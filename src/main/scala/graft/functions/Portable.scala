@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
+
+/** Column helpers whose results are bit-identical between Spark and the
+  * DuckDB oracle (SURVEY.md §6): no raw doubles in query outputs, one
+  * portable 60-bit hash, fixed-scale decimal rendering.
+  */
+object Portable {
+
+  /** 60-bit deterministic hash shared with DuckDB:
+    * Spark  : conv(substring(md5(s), 1, 15), 16, 10) cast long
+    * DuckDB : CAST('0x' || substring(md5(s), 1, 15) AS UBIGINT)
+    * 15 hex chars = 60 bits, always fits a signed long.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB-side rendering of [[portableHash]] for oracle SQL. */
+  def portableHashSql(expr: String): String =
+    s"CAST(CONCAT('0x', SUBSTRING(md5($expr), 1, 15)) AS UBIGINT)"
+
+  /** Double → exact decimal(18,2); both engines round half-up here. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Render a decimal aggregate as a fixed-scale string so the oracle
+    * compare is representation-independent (decimal precision rules
+    * differ between engines; the digits don't). NEVER reduce scale in
+    * these casts: Spark rounds HALF_UP, DuckDB truncates — rendering
+    * must stay at (or above) the value's exact scale.
+    */
+  def moneyStr(c: Column): Column =
+    c.cast(DecimalType(38, 2)).cast(StringType)
+
+  /** For sums of scale-4 products (e.g. price * (1 - discount)). */
+  def money4Str(c: Column): Column =
+    c.cast(DecimalType(38, 4)).cast(StringType)
+
+  /** Timestamp → epoch millis (both engines floor positive µs → ms). */
+  def epochMs(c: Column): Column = unix_millis(c)
+}

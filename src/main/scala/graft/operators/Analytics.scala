@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Batch analytics headliners (SURVEY.md §2 "Analytics core").
+  *
+  * Scale posture: every query is a declarative DataFrame plan — filters
+  * and projections reach the parquet scan, aggregates get map-side
+  * partial combine, dimension joins are explicit `broadcast()`s so the
+  * only shuffles left are the ones the data genuinely requires.
+  */
+object Analytics {
+
+  /** TPC-H Q1 shape: scan + filter + 8-way aggregate.
+    * One shuffle (groupBy), decimal math for an exact oracle.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).as("_sq"),
+        sum(dec2(col("l_extendedprice"))).as("_sbp"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("_sdp"),
+        sum(dec2(col("l_discount"))).as("_sd"),
+        count(lit(1)).cast(LongType).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        moneyStr(col("_sq")).as("sum_qty"),
+        moneyStr(col("_sbp")).as("sum_base_price"),
+        money4Str(col("_sdp")).as("sum_disc_price"),
+        // exact avg at 1e-4 precision: floor(sum*10^4 / n) in integer
+        // space — DuckDB AVG(DECIMAL) detours through DOUBLE, this
+        // doesn't.
+        expr("CAST(CAST(_sq * 10000 AS BIGINT) DIV count_order AS BIGINT)").as("avg_qty_e4"),
+        expr("CAST(CAST(_sd * 10000 AS BIGINT) DIV count_order AS BIGINT)").as("avg_disc_e4"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) // COUNT(*) AS avg_qty_e4,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) // COUNT(*) AS avg_disc_e4,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, agg, top-10.
+    * customer is broadcast (small dim); orders⋈lineitem shuffles on
+    * orderkey once and the groupBy reuses that partitioning.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1995-03-15"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1995-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(money4Str(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").cast("decimal(38,4)").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q3ShippingSql: String =
+    """SELECT l_orderkey,
+      |  STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 5-way star join. All dims broadcast — the plan has
+    * exactly one shuffle (the final groupBy on n_name).
+    */
+  def q5Regional(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(money4Str(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  def q5RegionalSql: String =
+    """SELECT n_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Per-user top-3 events by value: one window shuffle on user_id. */
+  def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    e.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("user_id"), col("rnk"), col("event_id"), col("event_type"))
+      .orderBy("user_id", "rnk")
+  }
+
+  def qWindowTopNSql: String =
+    """SELECT user_id, rnk, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+      |  FROM events) t
+      |WHERE rnk <= 3
+      |ORDER BY user_id, rnk""".stripMargin
+
+  /** Gap-based sessionization: a session breaks after >30 min idle.
+    * lag + conditional cumulative sum — two window passes over ONE
+    * shuffle (same partitioning user_id, same ordering).
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    e.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  def qSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, ms,
+      |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS session_seq
+      |  FROM g)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ms) AS start_ms, MAX(ms) AS end_ms
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Running total per user over time: range-unbounded window. */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    e.withColumn("running_value", moneyStr(sum(dec2(col("value"))).over(w)))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def qRunningTotalSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS DECIMAL(38,2)) AS VARCHAR) AS running_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_shipping" -> (q3Shipping _),
+    "q5_regional" -> (q5Regional _),
+    "q_window_topn" -> (qWindowTopN _),
+    "q_sessionize" -> (qSessionize _),
+    "q_running_total" -> (qRunningTotal _))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_shipping" -> q3ShippingSql,
+    "q5_regional" -> q5RegionalSql,
+    "q_window_topn" -> qWindowTopNSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_running_total" -> qRunningTotalSql)
+}

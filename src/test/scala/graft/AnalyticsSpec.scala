@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1_pricing aggregates lineitem into flag/status groups") {
+    val df = Analytics.q1Pricing(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length >= 4 && rows.length <= 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02")).count()
+    assert(total == expected)
+    // decimal strings, not doubles
+    assert(rows.head.getAs[String]("sum_qty").matches("""\d+\.\d{2}"""))
+  }
+
+  test("q3_shipping returns top-10 by revenue, deterministically ordered") {
+    val rows = Analytics.q3Shipping(spark, sfDir).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(r => BigDecimal(r.getAs[String]("revenue")))
+    assert(revs.sameElements(revs.sortBy(x => -x)))
+  }
+
+  test("q5_regional has one row per ASIA nation") {
+    val rows = Analytics.q5Regional(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+  }
+
+  test("q_window_topn keeps at most 3 events per user") {
+    val df = Analytics.qWindowTopN(spark, sfDir)
+    val worst = df.groupBy("user_id").count().agg(max("count")).head.getLong(0)
+    assert(worst <= 3)
+  }
+
+  test("q_sessionize events count is preserved") {
+    val sessions = Analytics.qSessionize(spark, sfDir)
+    val n = sessions.agg(sum("n_events")).head.getLong(0)
+    assert(n == Tables.events(spark, sfDir).count())
+    // sessions never overlap the >30min gap rule: end >= start
+    assert(sessions.filter(col("end_ms") < col("start_ms")).count() == 0)
+  }
+
+  test("q_running_total final value equals per-user sum") {
+    val rt = Analytics.qRunningTotal(spark, sfDir)
+    assert(rt.count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("q1 plan: filter is pushed to the parquet scan") {
+    val plan = Analytics.q1Pricing(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(l_shipdate"), s"no pushdown in:\n$plan")
+  }
+}
