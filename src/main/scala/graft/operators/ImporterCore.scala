@@ -1,0 +1,357 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Batch re-expression of the reference importer's record-stream
+  * semantics (SURVEY.md §2 "Importer core") over the `events` table —
+  * the stand-in for the Zeebe export stream.
+  *
+  * Mapping (fixed for every operator here):
+  *   - `user_id`    = workflowInstanceKey (the entity key)
+  *   - `event_type` = record role: `click`/`view`/`purchase` are
+  *     VARIABLE records (name = event_type, value = value), `signup` is
+  *     PROCESS_INSTANCE ELEMENT_ACTIVATING, `purchase` doubles as the
+  *     completion marker, `error` is the incident/failure record
+  *     (fatal when payload `k >= 90`, cf. transferCreateFailed
+  *     VariableParser.java:185-187).
+  *   - `props`      = the record's JSON payload (JsonPath-extracted in
+  *     NatsConsumer.listen via JsonPathReader; here `get_json_object`).
+  *   - `ts`         = record timestamp (exposed as `ts_ms`).
+  *
+  * Scale posture: every materialization is ONE shuffle on the entity
+  * key with map-side partial aggregation; dedups are window
+  * `row_number` (single shuffle on the dedup key); the parent remap
+  * broadcasts the parent side (instances ≪ records).
+  */
+object ImporterCore {
+
+  private val VarTypes = Seq("click", "view", "purchase")
+
+  /** Deterministic arg-max: value at the greatest (ts, event_id) among
+    * rows matching `cond`. The ordering key is the composite bigint
+    * `ts_ms * 1e6 + event_id` so Spark `max_by` and DuckDB `arg_max`
+    * order identically (event_id < 1e6 in the test corpus; at
+    * production scale use a struct ordering instead — semantics
+    * identical, oracle portability is the only reason for the
+    * composite).
+    * Both the value and ordering args are null unless `cond`, because
+    * DuckDB's arg_max skips null VALUES while Spark's max_by skips
+    * only null orderings — guarding both sides makes them agree.
+    */
+  private def lastBy(cond: Column, value: Column, ord: Column): Column =
+    max_by(when(cond, value), when(cond, ord))
+
+  private def ordKey: Column = col("ts_ms") * lit(1000000L) + col("event_id")
+
+  private def ordKeySql = "(epoch_ms(ts) * 1000000 + event_id)"
+
+  /** JSON payload extraction + record-type routing
+    * (NatsConsumer.listen:39-106: route on $.valueType, drop
+    * DEPLOYMENT/VARIABLE_DOCUMENT — here `error` records are the
+    * dropped class). Codegen'd `get_json_object`; the filter pushes to
+    * the scan.
+    */
+  def impParseRoute(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .select(
+        col("event_id"),
+        when(col("event_type").isin(VarTypes: _*), "VARIABLE")
+          .when(col("event_type") === "signup", "PROCESS_INSTANCE")
+          .otherwise("JOB").as("value_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy("event_id")
+
+  def impParseRouteSql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_type IN ('click','view','purchase') THEN 'VARIABLE'
+      |       WHEN event_type = 'signup' THEN 'PROCESS_INSTANCE'
+      |       ELSE 'JOB' END AS value_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE event_type <> 'error'
+      |ORDER BY event_id""".stripMargin
+
+  /** First-write-wins variable dedup per (instance, name)
+    * (RecordParser.processVariable:137-145: a later record with
+    * ts >= existing is dropped). One shuffle on the dedup key.
+    */
+  def impVarDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin(VarTypes: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_type").as("name"),
+        col("ts_ms").as("first_ms"), col("event_id"),
+        moneyStr(dec2(col("value"))).as("value_str"))
+      .orderBy("user_id", "name")
+  }
+
+  def impVarDedupSql: String =
+    """SELECT user_id, event_type AS name, epoch_ms(ts) AS first_ms, event_id,
+      |  CAST(CAST(value AS DECIMAL(38,2)) AS VARCHAR) AS value_str
+      |FROM events
+      |WHERE event_type IN ('click','view','purchase')
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY epoch_ms(ts), event_id) = 1
+      |ORDER BY user_id, name""".stripMargin
+
+  /** Task dedup on (instance, elementId, intent)
+    * (RecordParser.processTask:233-245: an existing
+    * (workflowInstanceKey, elementId, intent) row suppresses the new
+    * record). intent is derived from the payload (`k < 50` ⇒ CREATED
+    * else COMPLETED); keep the lowest event_id — deterministic
+    * `dropDuplicates` via row_number.
+    */
+  def impTaskDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("intent",
+        when(get_json_object(col("props"), "$.k").cast(LongType) < 50, "CREATED")
+          .otherwise("COMPLETED"))
+    val w = Window.partitionBy("user_id", "event_type", "intent")
+      .orderBy("event_id")
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("element_id"),
+        col("intent"), col("event_id"))
+      .orderBy("user_id", "element_id", "intent")
+  }
+
+  def impTaskDedupSql: String =
+    """SELECT user_id, event_type AS element_id,
+      |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+      |       THEN 'CREATED' ELSE 'COMPLETED' END AS intent,
+      |  event_id
+      |FROM events
+      |QUALIFY ROW_NUMBER() OVER (
+      |  PARTITION BY user_id, event_type,
+      |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+      |         THEN 'CREATED' ELSE 'COMPLETED' END
+      |  ORDER BY event_id) = 1
+      |ORDER BY user_id, element_id, intent""".stripMargin
+
+  /** Instance lifecycle: startedAt = min ACTIVATING ts, completedAt =
+    * max COMPLETED ts (InflightTransferManager.transferStarted/Ended;
+    * min/max are the batch semantics per SURVEY.md §3). Single
+    * shuffle, map-side partial agg; nulls pinned to -1 for oracle
+    * portability.
+    */
+  def impLifecycle(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(min(when(col("event_type") === "signup", col("ts_ms"))), lit(-1L)).as("started_ms"),
+        coalesce(max(when(col("event_type") === "purchase", col("ts_ms"))), lit(-1L)).as("completed_ms"),
+        count(lit(1)).cast(LongType).as("n_records"))
+      .orderBy("user_id")
+
+  def impLifecycleSql: String =
+    """SELECT user_id,
+      |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END), -1) AS started_ms,
+      |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END), -1) AS completed_ms,
+      |  COUNT(*) AS n_records
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Variables → wide entity row, last-write-by-ts per name
+    * (VariableParser.java:40-92 registry pivot;
+    * RecordParser.addVariableToEntity overwrite-then-save ⇒ latest
+    * surviving value wins). row_number dedup to the last record per
+    * (instance, name), then a static-column pivot — the pivot list is
+    * fixed (the parser registry), so no discovery pass.
+    */
+  def impPivotEntity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin(VarTypes: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("user_id")
+      .pivot("event_type", VarTypes)
+      .agg(max(dec2(col("value"))))
+      .select(
+        col("user_id"),
+        coalesce(moneyStr(col("click")), lit("")).as("last_click"),
+        coalesce(moneyStr(col("view")), lit("")).as("last_view"),
+        coalesce(moneyStr(col("purchase")), lit("")).as("last_purchase"))
+      .orderBy("user_id")
+  }
+
+  def impPivotEntitySql: String =
+    """WITH lastv AS (
+      |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events
+      |  WHERE event_type IN ('click','view','purchase')
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1)
+      |SELECT user_id,
+      |  COALESCE(CAST(CAST(MAX(CASE WHEN event_type='click' THEN v END) AS DECIMAL(38,2)) AS VARCHAR), '') AS last_click,
+      |  COALESCE(CAST(CAST(MAX(CASE WHEN event_type='view' THEN v END) AS DECIMAL(38,2)) AS VARCHAR), '') AS last_view,
+      |  COALESCE(CAST(CAST(MAX(CASE WHEN event_type='purchase' THEN v END) AS DECIMAL(38,2)) AS VARCHAR), '') AS last_purchase
+      |FROM lastv GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Terminal-status state machine: FAILED (fatal incident,
+    * VariableParser.parseTransferCreateFailed:185-187) wins over
+    * COMPLETED (instance ended, InflightTransferManager.transferEnded)
+    * wins over the IN_PROGRESS default (Transfer ctor). Pure
+    * conditional aggregation — one shuffle.
+    */
+  def impStatusSm(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "error" &&
+          get_json_object(col("props"), "$.k").cast(LongType) >= 90, 1).otherwise(0)).as("failed"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("completed"))
+      .select(
+        col("user_id"),
+        when(col("failed") === 1, "FAILED")
+          .when(col("completed") === 1, "COMPLETED")
+          .otherwise("IN_PROGRESS").as("status"))
+      .orderBy("user_id")
+
+  def impStatusSmSql: String =
+    """SELECT user_id,
+      |  CASE WHEN MAX(CASE WHEN event_type = 'error'
+      |         AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+      |         THEN 1 ELSE 0 END) = 1 THEN 'FAILED'
+      |       WHEN MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 THEN 'COMPLETED'
+      |       ELSE 'IN_PROGRESS' END AS status
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** bpmnProcessId → (processId, tenant) split at the first '-'
+    * (NatsConsumer.java:73-75). The bpmn id is synthesized
+    * deterministically from the record (event_type + user bucket) so
+    * the split is observable; `substring_index` ≡ DuckDB `split_part`.
+    */
+  def impTenantSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bpmn",
+        concat(col("event_type"), lit("-t"), (col("user_id") % 10).cast(LongType)))
+      .select(
+        substring_index(col("bpmn"), "-", 1).as("process_id"),
+        substring_index(col("bpmn"), "-", -1).as("tenant"))
+      .groupBy("process_id", "tenant")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .orderBy("process_id", "tenant")
+
+  def impTenantSplitSql: String =
+    """WITH b AS (
+      |  SELECT CONCAT(event_type, '-t', CAST(user_id % 10 AS VARCHAR)) AS bpmn
+      |  FROM events)
+      |SELECT split_part(bpmn, '-', 1) AS process_id,
+      |       split_part(bpmn, '-', 2) AS tenant,
+      |       COUNT(*) AS n
+      |FROM b GROUP BY 1, 2 ORDER BY process_id, tenant""".stripMargin
+
+  /** Sub-process → parent instance remap
+    * (RecordParser.processWorkflowInstance:182-205
+    * inflightCallActivities): every record is re-keyed to its root
+    * instance record. The parent side (one row per instance) is tiny
+    * relative to the stream — broadcast it so the remap is
+    * shuffle-free on the big side.
+    */
+  def impParentRemap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val parents = e.groupBy("user_id")
+      .agg(min("event_id").as("parent_event_id"))
+    e.join(broadcast(parents), "user_id")
+      .select(col("event_id"), col("user_id"), col("parent_event_id"))
+      .orderBy("event_id")
+  }
+
+  def impParentRemapSql: String =
+    """SELECT e.event_id, e.user_id, p.parent_event_id
+      |FROM events e
+      |JOIN (SELECT user_id, MIN(event_id) AS parent_event_id
+      |      FROM events GROUP BY user_id) p USING (user_id)
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Full Transfer materialization: lifecycle + payload pivot +
+    * status state machine + tenant, in a SINGLE shuffled groupBy on
+    * the instance key (SURVEY.md §4: one shuffle per entity build) —
+    * the batch equivalent of RecordParser + VariableParser +
+    * InflightTransferManager composing one Transfer row per instance.
+    */
+  def impEntityTransfers(spark: SparkSession, dir: String): DataFrame =
+    transfers(spark, dir).orderBy("transfer_key")
+
+  /** The transfers entity as a reusable (un-sorted) DataFrame — the
+    * read-side Specs queries filter this.
+    */
+  def transfers(spark: SparkSession, dir: String): DataFrame = {
+    val isFatal = col("event_type") === "error" &&
+      get_json_object(col("props"), "$.k").cast(LongType) >= 90
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(min(when(col("event_type") === "signup", col("ts_ms"))), lit(-1L)).as("started_ms"),
+        coalesce(max(when(col("event_type") === "purchase", col("ts_ms"))), lit(-1L)).as("completed_ms"),
+        coalesce(moneyStr(sum(when(col("event_type") === "purchase", dec2(col("value"))))), lit("")).as("amount"),
+        coalesce(moneyStr(lastBy(col("event_type") === "click", dec2(col("value")), ordKey)), lit("")).as("last_click_value"),
+        max(when(isFatal, 1).otherwise(0)).as("_failed"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("_completed"),
+        count(lit(1)).cast(LongType).as("n_events"))
+      .select(
+        col("user_id").as("transfer_key"),
+        concat(lit("t"), (col("user_id") % 10).cast(LongType)).as("tenant"),
+        col("started_ms"), col("completed_ms"), col("amount"),
+        col("last_click_value"),
+        when(col("_failed") === 1, "FAILED")
+          .when(col("_completed") === 1, "COMPLETED")
+          .otherwise("IN_PROGRESS").as("status"),
+        col("n_events"))
+  }
+
+  /** Shared oracle CTE body for the transfers entity. */
+  def transfersSqlCte: String =
+    s"""SELECT user_id AS transfer_key,
+       |  CONCAT('t', CAST(user_id % 10 AS VARCHAR)) AS tenant,
+       |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END), -1) AS started_ms,
+       |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END), -1) AS completed_ms,
+       |  COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS VARCHAR), '') AS amount,
+       |  COALESCE(CAST(CAST(arg_max(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END,
+       |                             CASE WHEN event_type = 'click' THEN $ordKeySql END) AS DECIMAL(38,2)) AS VARCHAR), '') AS last_click_value,
+       |  CASE WHEN MAX(CASE WHEN event_type = 'error'
+       |         AND CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 90
+       |         THEN 1 ELSE 0 END) = 1 THEN 'FAILED'
+       |       WHEN MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 THEN 'COMPLETED'
+       |       ELSE 'IN_PROGRESS' END AS status,
+       |  COUNT(*) AS n_events
+       |FROM events GROUP BY user_id""".stripMargin
+
+  def impEntityTransfersSql: String =
+    s"""WITH t AS (
+       |$transfersSqlCte)
+       |SELECT * FROM t ORDER BY transfer_key""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "imp_parse_route" -> (impParseRoute _),
+    "imp_var_dedup" -> (impVarDedup _),
+    "imp_task_dedup" -> (impTaskDedup _),
+    "imp_lifecycle" -> (impLifecycle _),
+    "imp_pivot_entity" -> (impPivotEntity _),
+    "imp_status_sm" -> (impStatusSm _),
+    "imp_tenant_split" -> (impTenantSplit _),
+    "imp_parent_remap" -> (impParentRemap _),
+    "imp_entity_transfers" -> (impEntityTransfers _))
+
+  def oracles: Map[String, String] = Map(
+    "imp_parse_route" -> impParseRouteSql,
+    "imp_var_dedup" -> impVarDedupSql,
+    "imp_task_dedup" -> impTaskDedupSql,
+    "imp_lifecycle" -> impLifecycleSql,
+    "imp_pivot_entity" -> impPivotEntitySql,
+    "imp_status_sm" -> impStatusSmSql,
+    "imp_tenant_split" -> impTenantSplitSql,
+    "imp_parent_remap" -> impParentRemapSql,
+    "imp_entity_transfers" -> impEntityTransfersSql)
+}
