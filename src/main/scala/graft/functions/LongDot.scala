@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Exact integer dot product of two `array<bigint>` columns as a native
+  * Catalyst expression with whole-stage codegen — the hot inner loop of
+  * the similarity operators. The generated code is a primitive long
+  * loop over the two ArrayData buffers; versus the equivalent
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)`
+  * lambda chain it avoids one array allocation plus interpreted lambda
+  * dispatch per element (~20× on the ann_bruteforce pair loop).
+  *
+  * Null if either side is null; mismatched lengths dot the common
+  * prefix (inputs here are fixed-dimension embeddings).
+  */
+case class LongDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_dot requires two array<bigint> arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "long_dot"
+}
+
+/** Session registration for graft's native expressions, so they are
+  * usable from `expr("long_dot(a, b)")` and plain SQL. Idempotent.
+  */
+object GraftFunctions {
+  /** Minhash permutation constants shared with the DuckDB oracle
+    * (TextOps.dedupMinhashSql renders the same affine maps).
+    */
+  val MinhashP: Long = 2147483647L
+  val MinhashA: Seq[Long] = Seq(1103515245L, 1299709L, 2654435761L % 2147483647L,
+    97134911L, 179424673L, 32452843L, 15485863L, 49979687L)
+  val MinhashB: Seq[Long] = Seq(12345L, 7919L, 104729L, 1299721L,
+    217645199L, 86028121L, 472882027L, 533000389L)
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "long_dot"),
+      (children: Seq[Expression]) => LongDot(children.head, children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (children: Seq[Expression]) => SimHash32(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("graft_minhash8"),
+      new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash8"),
+      (children: Seq[Expression]) => MinHashK(children.head, MinhashA, MinhashB, MinhashP))
+  }
+}

@@ -1,0 +1,354 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis + near-duplicate operators for large-scale training
+  * data pipelines (SURVEY.md §2 "LLM-data-pipeline"), over the
+  * `documents` table.
+  *
+  * Scale posture: every per-document signature (tokens, quality,
+  * minhash, simhash, fingerprint) is computed ROW-LOCALLY with
+  * codegen'd higher-order functions — zero shuffles until a join is
+  * genuinely required to produce pairs, and every pair join is
+  * LSH-band/bucket-bounded, never a cross join. Hash functions are
+  * the portable 60-bit md5 prefix (graft.functions.Portable) so the
+  * DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object TextOps {
+
+  /** Spark SQL expression text for the portable 60-bit hash. */
+  private def hx(x: String): String =
+    s"CAST(conv(substring(md5($x),1,15),16,10) AS BIGINT)"
+
+  /** DuckDB rendering of the same hash. */
+  private def hxDuck(x: String): String =
+    s"CAST(CONCAT('0x', SUBSTRING(md5($x),1,15)) AS BIGINT)"
+
+  /** w-token shingles of the space-tokenized text, as a Spark SQL
+    * expression producing array<string>. Short docs yield one partial
+    * shingle (same rule on the oracle side).
+    */
+  private def shinglesExpr(w: Int): String =
+    s"transform(sequence(0, greatest(size(split(text,' ')) - $w, 0)), " +
+      s"i -> concat_ws(' ', slice(split(text,' '), i + 1, $w)))"
+
+  /** DuckDB shingle list over a tokens expression `t`. */
+  private def shinglesDuck(w: Int, t: String = "string_split(text,' ')"): String =
+    s"[array_to_string($t[i:i+${w - 1}], ' ') " +
+      s"for i in generate_series(1, greatest(len($t) - ${w - 1}, 1))]"
+
+  // ---------------------------------------------------------------- text
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation, the shape of a
+    * byte-pair pre-tokenizer split). Pure per-row column arithmetic.
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast(LongType).as("re_tokens"),
+      length(col("text")).cast(LongType).as("n_chars_calc"))
+      .orderBy("doc_id")
+
+  def textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, stopword ratio, mean token length —
+    * fixed-point integers (no doubles cross the oracle). The bucket
+    * rule is the usual "keep mid-length prose with sane stopword
+    * density" heuristic.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("n_stop",
+        size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))
+      .withColumn("char_sum", (length(col("text")) - (col("n_tokens") - 1)).cast(LongType))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("10000 * n_stop DIV n_tokens").as("stop_e4"),
+        expr("100 * char_sum DIV n_tokens").as("avg_len_e2"),
+        when(col("n_tokens").between(30, 400) &&
+          expr("10000 * n_stop DIV n_tokens").between(100, 3000), "good")
+          .otherwise("low").as("bucket"))
+      .orderBy("doc_id")
+
+  def textQualitySql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text,' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+      |    CAST(length(text) - (len(string_split(text,' ')) - 1) AS BIGINT) AS char_sum
+      |  FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  10000 * n_stop // n_tokens AS stop_e4,
+      |  100 * char_sum // n_tokens AS avg_len_e2,
+      |  CASE WHEN n_tokens BETWEEN 30 AND 400
+      |        AND 10000 * n_stop // n_tokens BETWEEN 100 AND 3000
+      |       THEN 'good' ELSE 'low' END AS bucket
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by marker-token profiles (the n-gram-heuristic shape:
+    * score each language profile by marker hits, argmax with a fixed
+    * tie-break order). Profiles are drawn from the corpus vocabulary.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(markers: Seq[String]): Column = {
+      val list = markers.map(m => s"'$m'").mkString(", ")
+      size(expr(s"filter(split(text,' '), t -> t IN ($list))")).cast(LongType)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("c_sql", cnt(Seq("table", "scan", "join", "query", "filter")))
+      .withColumn("c_stream", cnt(Seq("stream", "batch", "window", "spark")))
+      .withColumn("c_ml", cnt(Seq("vector", "data", "group", "value")))
+      .select(
+        col("doc_id"),
+        when(col("c_sql") >= col("c_stream") && col("c_sql") >= col("c_ml"), "sqlish")
+          .when(col("c_stream") >= col("c_ml"), "streamish")
+          .otherwise("mlish").as("lang_pred"),
+        col("c_sql"), col("c_stream"), col("c_ml"))
+      .orderBy("doc_id")
+  }
+
+  def textLangidSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('table','scan','join','query','filter'))) AS BIGINT) AS c_sql,
+      |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('stream','batch','window','spark'))) AS BIGINT) AS c_stream,
+      |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('vector','data','group','value'))) AS BIGINT) AS c_ml
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN c_sql >= c_stream AND c_sql >= c_ml THEN 'sqlish'
+      |       WHEN c_stream >= c_ml THEN 'streamish'
+      |       ELSE 'mlish' END AS lang_pred,
+      |  c_sql, c_stream, c_ml
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: a content hash plus an order-insensitive
+    * shingle fingerprint (XOR-fold of distinct 5-gram shingle hashes —
+    * the rolling-hash family, stable under shingle reordering). Both
+    * row-local, zero shuffle.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr(hx("text")).as("fp_content"),
+      expr(s"aggregate(array_distinct(${shinglesExpr(5)}), CAST(0 AS BIGINT), " +
+        s"(acc, s) -> acc ^ ${hx("s")})").as("fp_shingle"))
+      .orderBy("doc_id")
+
+  def textFingerprintSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${hxDuck("text")} AS fp_content,
+       |    list_distinct(${shinglesDuck(5)}) AS shingles
+       |  FROM documents),
+       |x AS (SELECT doc_id, fp_content, unnest(shingles) AS s FROM sh)
+       |SELECT doc_id, ANY_VALUE(fp_content) AS fp_content,
+       |  bit_xor(${hxDuck("s")}) AS fp_shingle
+       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-groupBy on the full text, keep the minimum
+    * doc_id per group (one shuffle on the 128-bit hash).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).cast(LongType).as("n_copies"))
+      .select("keep_id", "n_copies", "text_md5")
+      .orderBy("keep_id")
+
+  def dedupExactSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** n-gram Jaccard near-dup: distinct 3-gram shingles, hot-shingle
+    * df-cap (document frequency > 100 dropped — the standard guard
+    * that keeps the self-join candidate set linear at 100 TB), join
+    * on shared shingle, exact Jaccard >= 0.30 in fixed-point.
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${shinglesExpr(3)})")).as("s"))
+      .select(col("doc_id"), expr(hx("s")).as("h"))
+    // df-cap via a window over the SAME partitioning the self-join
+    // needs — the join reuses the hash(h) exchange instead of
+    // re-shuffling, and per-doc set sizes broadcast.
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= 100)
+      .select("doc_id", "h")
+    val counts = capped.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_sh"))
+    val shared = capped.as("a").join(capped.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).cast(LongType).as("shared"))
+    shared
+      .join(broadcast(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")), "a_id")
+      .join(broadcast(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")), "b_id")
+      .withColumn("jac_e4", expr("10000 * shared DIV (na + nb - shared)"))
+      .filter(col("jac_e4") >= 3000)
+      .select("a_id", "b_id", "jac_e4")
+      .orderBy("a_id", "b_id")
+  }
+
+  def dedupNgramSql: String =
+    s"""WITH sh0 AS (
+       |  SELECT doc_id, unnest(list_distinct(${shinglesDuck(3)})) AS s
+       |  FROM documents),
+       |sh1 AS (SELECT doc_id, ${hxDuck("s")} AS h FROM sh0),
+       |hot AS (SELECT h FROM sh1 GROUP BY h HAVING COUNT(*) > 100),
+       |sh AS (SELECT * FROM sh1 WHERE h NOT IN (SELECT h FROM hot)),
+       |cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  10000 * shared // (ca.n_sh + cb.n_sh - shared) AS jac_e4
+       |FROM pairs
+       |JOIN cnts ca ON ca.doc_id = a_id
+       |JOIN cnts cb ON cb.doc_id = b_id
+       |WHERE 10000 * shared // (ca.n_sh + cb.n_sh - shared) >= 3000
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** MinHash + LSH near-dup: k=8 portable min-hashes computed ROW-
+    * LOCALLY (array_min over shingle hashes — no explode, no shuffle),
+    * banded 4×2, candidates = pairs sharing >= 1 band bucket. Output
+    * is the candidate set with its band-agreement count, the exact
+    * shape a downstream verify stage consumes.
+    */
+  private val MinhashK = 8
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // Shingles are md5-hashed ONCE; the k=8 minhash variants are the
+    // affine pseudo-permutations (A_i*h + B_i) mod 2^31-1 computed by
+    // the native graft_minhash8 expression (exact in both engines —
+    // the oracle renders the same maps in SQL).
+    val withSigs = Tables.documents(spark, dir)
+      .withColumn("mhs", expr(
+        s"graft_minhash8(transform(array_distinct(${shinglesExpr(5)}), s -> ${hx("s")}))"))
+    val bands = withSigs.select(col("doc_id") +:
+      (0 until MinhashK / 2).map(j =>
+        expr(hx(s"concat(mhs[${2 * j}], '_', mhs[${2 * j + 1}])")).as(s"band$j")): _*)
+    val exploded = bands.select(col("doc_id"),
+      explode(expr(s"map_from_arrays(sequence(0, ${MinhashK / 2 - 1}), " +
+        s"array(${(0 until MinhashK / 2).map(j => s"band$j").mkString(",")}))")))
+      .toDF("doc_id", "band_idx", "band_key")
+    exploded.as("a").join(exploded.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bands"))
+      .orderBy("a_id", "b_id")
+  }
+
+  def dedupMinhashSql: String = {
+    import GraftFunctions.{MinhashA, MinhashB, MinhashP}
+    val mhs = (0 until MinhashK).map(i =>
+      s"list_min([(${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP for h in hs]) AS mh$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until MinhashK / 2).map(j =>
+      s"SELECT doc_id, $j AS band_idx, ${hxDuck(s"CONCAT(mh${2 * j}, '_', mh${2 * j + 1})")} AS band_key FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id, [${hxDuck("s")} % $MinhashP for s in list_distinct(${shinglesDuck(5)})] AS hs
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $mhs
+       |  FROM d),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       | AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** SimHash near-dup: 32-bit frequency-weighted signature computed
+    * row-locally (bit votes folded over the token list with
+    * higher-order functions), then the classic two-half band join and
+    * exact Hamming filter (<= 3) via bit_count(xor).
+    */
+  private val SimBits = 32
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // md5 each token once, then the 32-bit vote loop runs as native
+    // codegen (graft.functions.SimHash32) instead of a 32-way nested
+    // lambda fold.
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"graft_simhash32(transform(split(text,' '), w -> ${hx("w")}))").as("sig"))
+      .withColumn("hi", expr("shiftright(sig, 16)"))
+      .withColumn("lo", expr("sig & 65535"))
+    def halfJoin(k: String) = sigs.as("a").join(sigs.as("b"),
+      col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.sig ^ b.sig)").cast(LongType).as("hamming"))
+    halfJoin("hi").union(halfJoin("lo")).distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  def dedupSimhashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (${hxDuck("w")} >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tok, (SELECT unnest(generate_series(0, ${SimBits - 1})) AS j) bits
+       |  GROUP BY doc_id, j),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+       |  FROM votes GROUP BY doc_id),
+       |halves AS (
+       |  SELECT doc_id, sig, sig >> 16 AS hi, sig & 65535 AS lo FROM sigs),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
+       |  FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id, a.sig, b.sig
+       |  FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+       |SELECT DISTINCT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram" -> (dedupNgram _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  def oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram" -> dedupNgramSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql)
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Similarity search + embedding near-dup over the `embeddings` table
+  * (SURVEY.md §2: `ann_bruteforce` baseline, LSH-bucketed scale path).
+  *
+  * Oracle portability: float math never crosses the oracle. Embeddings
+  * are quantized row-locally to integer lists (floor(x*1e4 + 0.5) —
+  * identical double op on both engines), dot products and norms are
+  * then EXACT integer sums (< 2^53, so even DuckDB's double
+  * accumulation is exact), and the cosine score is derived from those
+  * exact integers with deterministic IEEE ops (sqrt/mul/div), rendered
+  * fixed-point e6. Ranking ties break by neighbor id.
+  *
+  * Scale posture: signatures and quantization are per-row (no
+  * shuffle); `ann_bruteforce` is the small-corpus baseline (its
+  * query-side is the bounded set at 100 TB — the corpus side streams);
+  * `ann_lsh`/`dedup_embed` bound candidates by random-hyperplane
+  * buckets so no cross join ever materializes.
+  */
+object VectorOps {
+
+  private val Dim = 64
+  private val Planes = 16   // 4 bands × 4 sign bits
+  private val Bands = 4
+  private val BitsPerBand = 4
+
+  /** Spark-side quantized vector: array<bigint>. */
+  private val quantExpr =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+
+  private val quantDuck =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+
+  /** Exact integer dot product via the native codegen expression
+    * (graft.functions.LongDot — registered per session).
+    */
+  private def dotExpr(a: String, b: String): String = s"long_dot($a, $b)"
+
+  /** DuckDB: double accumulation over ints < 2^53 is exact. */
+  private def dotDuck(a: String, b: String): String =
+    s"CAST(list_dot_product(list_transform($a, x -> CAST(x AS DOUBLE)), list_transform($b, x -> CAST(x AS DOUBLE))) AS BIGINT)"
+
+  /** cosine * 1e6, fixed-point, from exact integer dot/norms. */
+  private def scoreE6(dot: String, na2: String, nb2: String): String =
+    s"CAST(floor($dot / (sqrt(CAST($na2 AS DOUBLE)) * sqrt(CAST($nb2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)"
+
+  /** Deterministic pseudo-random hyperplane j: 64 ints in [-1000, 1000]
+    * derived from the portable md5 hash — both engines synthesize the
+    * SAME planes, so bucketing is reproducible with no stored model.
+    * Spark-side the planes are folded to LITERAL arrays at plan build
+    * (they are constants — recomputing 16×64 md5s per row was the
+    * dominant cost of the bucketed ops).
+    */
+  private def planeValue(j: Int, i: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+  }
+
+  private def planeExpr(j: Int): String =
+    (0 until Dim).map(i => s"${planeValue(j, i)}L").mkString("array(", ", ", ")")
+
+  private def planeDuck(j: Int): String =
+    s"[CAST(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('$j', '_', CAST(i AS VARCHAR))),1,15)) AS UBIGINT) % 2001 AS BIGINT) - 1000 " +
+      s"for i in range(0, $Dim)]"
+
+  /** vectors + quantization + norm², all row-local. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .withColumn("q", expr(quantExpr))
+      .withColumn("n2", expr(dotExpr("q", "q")))
+      .select("vec_id", "q", "n2")
+  }
+
+  private val quantizedDuckCte =
+    s"""q0 AS (
+       |  SELECT vec_id, $quantDuck AS q FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, q, ${dotDuck("q", "q")} AS n2 FROM q0)""".stripMargin
+
+  /** LSH bucket keys: per band, the 4 sign bits of the hyperplane dot
+    * products — row-local, then exploded to (band_idx, bucket).
+    */
+  private def bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val withBits = (0 until Planes).foldLeft(quantized(spark, dir)) { (d, j) =>
+      d.withColumn(s"bit$j",
+        expr(s"IF(${dotExpr("q", planeExpr(j))} >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"))
+    }
+    val withBuckets = (0 until Bands).foldLeft(withBits) { (d, b) =>
+      val bits = (0 until BitsPerBand)
+        .map(k => s"shiftleft(bit${b * BitsPerBand + k}, $k)").mkString(" + ")
+      d.withColumn(s"bucket$b", expr(bits))
+    }
+    withBuckets.select(col("vec_id"), col("q"), col("n2"),
+      explode(expr(s"map_from_arrays(sequence(0, ${Bands - 1}), " +
+        s"array(${(0 until Bands).map(b => s"bucket$b").mkString(",")}))")))
+      .toDF("vec_id", "q", "n2", "band_idx", "bucket")
+  }
+
+  private val bucketedDuckCte: String = {
+    val bitCols = (0 until Planes).map(j =>
+      s"CASE WHEN ${dotDuck("q", s"(${planeDuck(j)})")} >= 0 THEN 1 ELSE 0 END AS bit$j")
+      .mkString(",\n    ")
+    val bucketCols = (0 until Bands).map { b =>
+      val bits = (0 until BitsPerBand)
+        .map(k => s"(bit${b * BitsPerBand + k} << $k)").mkString(" + ")
+      s"$bits AS bucket$b"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT vec_id, q, n2, $b AS band_idx, bucket$b AS bucket FROM bk").mkString("\n  UNION ALL ")
+    s"""bits AS (
+       |  SELECT vec_id, q, n2,
+       |    $bitCols
+       |  FROM qv),
+       |bk AS (
+       |  SELECT vec_id, q, n2,
+       |    $bucketCols
+       |  FROM bits),
+       |buckets AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** Exact top-k cosine neighbors, brute force: the correctness
+    * baseline. Corpus × corpus with self excluded; at scale the query
+    * side is the bounded set and `ann_lsh` is the path.
+    */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val joined = v.as("a").join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
+    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def annBruteforceSql: String =
+    s"""WITH $quantizedDuckCte
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, score_e6 FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |    ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} AS score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} DESC, b.vec_id) AS rnk
+       |  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id) t
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** Approximate top-k via random-hyperplane LSH buckets: candidates
+    * share a band bucket; local top-3. Driver records a rows-only
+    * check (approximation is the semantic; determinism still holds).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = bucketed(spark, dir)
+    val cands = b.as("a").join(b.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Embedding-cosine near-dup: LSH-bucket candidates, exact
+    * fixed-point cosine >= 0.40 — pairs (a < b). The full oracle
+    * reproduces bucketing AND scoring, so recall semantics are pinned,
+    * not just row counts.
+    */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val b = bucketed(spark, dir)
+    b.as("a").join(b.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
+      .distinct()
+      .filter(col("score_e6") >= 400000)
+      .orderBy("a_id", "b_id")
+  }
+
+  def dedupEmbedSql: String =
+    s"""WITH $quantizedDuckCte,
+       |$bucketedDuckCte
+       |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} AS score_e6
+       |FROM buckets a JOIN buckets b
+       |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       | AND a.vec_id < b.vec_id
+       |WHERE ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} >= 400000
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh" -> (annLsh _),
+    "dedup_embed" -> (dedupEmbed _))
+
+  /** ann_lsh intentionally has no SQL oracle (approximate op — the
+    * driver records the weaker rows-only check, SparkEntry contract).
+    */
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql,
+    "dedup_embed" -> dedupEmbedSql)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+
+  test("text ops are per-row (no shuffle in the plan) and cover all docs") {
+    val n = Tables.documents(spark, sfDir).count()
+    for (q <- Seq(TextOps.textTokens _, TextOps.textQuality _,
+      TextOps.textLangid _, TextOps.textFingerprint _)) {
+      val df = q(spark, sfDir)
+      assert(df.count() == n)
+      // signature computation itself must not shuffle (only the final
+      // presentation orderBy may exchange for range partitioning)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+    }
+  }
+
+  test("text_fingerprint: identical text => identical fingerprints") {
+    val fp = TextOps.textFingerprint(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val joined = fp.join(docs, "doc_id")
+    val groups = joined.groupBy("text")
+      .agg(countDistinct("fp_content").as("nfp"), countDistinct("fp_shingle").as("nsh"))
+    assert(groups.filter(col("nfp") > 1 || col("nsh") > 1).count() == 0)
+  }
+
+  test("dedup_minhash candidates have genuinely high Jaccard on planted dups") {
+    val cands = TextOps.dedupMinhash(spark, sfDir)
+    assert(cands.count() > 0, "no candidate pairs found — LSH bands broken?")
+    // pairs found by >= 3 of 4 bands should also pass the 3-gram gate
+    val strong = cands.filter(col("n_bands") >= 3)
+    val ngram = TextOps.dedupNgram(spark, sfDir)
+    val missed = strong.join(ngram, Seq("a_id", "b_id"), "left_anti").count()
+    assert(missed <= strong.count() / 2,
+      s"$missed of ${strong.count()} strong minhash pairs fail the ngram gate")
+  }
+
+  test("dedup_exact keeps one id per distinct text") {
+    val d = TextOps.dedupExact(spark, sfDir)
+    assert(d.count() == Tables.documents(spark, sfDir).select("text").distinct().count())
+  }
+
+  test("ann_bruteforce: 5 neighbors per vector, self excluded, ranks contiguous") {
+    val ann = VectorOps.annBruteforce(spark, sfDir)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(ann.count() == 5 * n)
+    assert(ann.filter(col("q_id") === col("n_id")).count() == 0)
+    val ranks = ann.groupBy("q_id").agg(collect_set("rnk").as("r"))
+    assert(ranks.filter(size(col("r")) =!= 5).count() == 0)
+  }
+
+  test("ann_lsh results are a subset-quality approximation of brute force") {
+    val bf = VectorOps.annBruteforce(spark, sfDir)
+      .filter(col("rnk") === 1).select(col("q_id"), col("score_e6").as("bf_score"))
+    val lsh = VectorOps.annLsh(spark, sfDir)
+      .filter(col("rnk") === 1).select(col("q_id"), col("score_e6").as("lsh_score"))
+    // LSH top-1 can never beat exact top-1
+    val bad = bf.join(lsh, "q_id").filter(col("lsh_score") > col("bf_score")).count()
+    assert(bad == 0)
+  }
+
+  test("dedup_embed pairs all meet the cosine threshold and are canonical") {
+    val d = VectorOps.dedupEmbed(spark, sfDir)
+    assert(d.filter(col("score_e6") < 400000).count() == 0)
+    assert(d.filter(col("a_id") >= col("b_id")).count() == 0)
+  }
+}
