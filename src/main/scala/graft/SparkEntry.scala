@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, ImporterCore, Specs, TextOps, VectorOps}
+import graft.operators.{Analytics, ImporterCore, Multimodal, Specs, TextOps, VectorOps}
+import graft.streaming.StreamImport
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,11 +13,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ ImporterCore.queries ++ Specs.queries ++
-      TextOps.queries ++ VectorOps.queries
+      TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
+      StreamImport.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ ImporterCore.oracles ++ Specs.oracles ++
-      TextOps.oracles ++ VectorOps.oracles
+      TextOps.oracles ++ VectorOps.oracles ++ StreamImport.oracles
 }

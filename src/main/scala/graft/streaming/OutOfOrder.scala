@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Out-of-order association buffering — the reference's
+  * TempDocumentStore (NatsConsumer.java:56-70): records whose
+  * bpmnProcessId is not yet known are buffered until a sibling record
+  * delivers the workflowKey → bpmnProcessId association, then flushed
+  * with the association applied.
+  *
+  * Model on the events stream: the `signup` record carries the
+  * instance's process association (process id derived from the
+  * instance, as imp_tenant_split derives tenants); every other record
+  * of that instance must be emitted WITH the association. Records
+  * arriving before their signup buffer in state; an event-time
+  * watermark timeout bounds state for instances whose association
+  * never arrives (flushed to a dead-letter marker — the reference
+  * leaks these in TempDocumentStore; bounding is the 100 TB fix).
+  */
+object OutOfOrder {
+
+  case class Assoc(user_id: Long, process_id: String)
+
+  case class BufferSt(assoc: Option[String], buffered: List[Long], maxTs: Long)
+
+  case class Routed(event_id: Long, user_id: Long, process_id: String)
+
+  val DeadLetter = "__dead_letter__"
+
+  /** Association payload a signup record carries. */
+  def assocOf(userId: Long): String = s"proc-t${userId % 10}"
+
+  def update(key: Long, recs: Iterator[StreamImport.Rec],
+      state: GroupState[BufferSt]): Iterator[Routed] = {
+    if (state.hasTimedOut) {
+      // instance idle past the horizon: flush any un-associated
+      // buffer to the dead-letter route and drop ALL state — bounded
+      // memory (the reference's TempDocumentStore keeps these forever;
+      // that leak is what this timeout fixes at scale).
+      val st = state.getOption.getOrElse(BufferSt(None, Nil, 0L))
+      state.remove()
+      return st.buffered.reverseIterator.map(Routed(_, key, DeadLetter))
+    }
+    val st0 = state.getOption.getOrElse(BufferSt(None, Nil, 0L))
+    val out = Seq.newBuilder[Routed]
+    var st = st0
+    recs.foreach { r =>
+      st = st.copy(maxTs = math.max(st.maxTs, r.ts_ms))
+      if (r.event_type == "signup") {
+        if (st.assoc.isEmpty) {
+          val a = assocOf(key)
+          // association arrived: flush the buffer in arrival order
+          st.buffered.reverse.foreach(id => out += Routed(id, key, a))
+          st = st.copy(assoc = Some(a), buffered = Nil)
+        }
+      } else st.assoc match {
+        case Some(a) => out += Routed(r.event_id, key, a)
+        case None => st = st.copy(buffered = r.event_id :: st.buffered)
+      }
+    }
+    state.update(st)
+    // idle horizon: one hour of EVENT time past the newest record for
+    // this key (never at-or-below the watermark, which Spark rejects)
+    state.setTimeoutTimestamp(
+      math.max(st.maxTs + 60L * 60 * 1000, state.getCurrentWatermarkMs() + 60L * 1000))
+    out.result().iterator
+  }
+
+  /** Streaming events (with event-time column `ts`) → routed records.
+    * Watermark 30 min: buffered orphans flush to dead-letter 1 h after
+    * the watermark passes them.
+    */
+  def routed(events: DataFrame): Dataset[Routed] = {
+    import events.sparkSession.implicits._
+    StreamImport.toRecs(events)
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "30 minutes")
+      .as[StreamImport.Rec]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+/** Structured-Streaming re-expression of the reference's import loop
+  * (NatsConsumer listen → RecordParser → Inflight*Manager → JPA save):
+  * a keyed state machine over the record stream materializing one
+  * Transfer row per workflow instance, upserted per micro-batch.
+  *
+  * The NATS client itself is out of scope (zero-egress container;
+  * SURVEY.md §5) — the source is pluggable: any Dataset[Rec]-shaped
+  * stream (file source in the driver path, MemoryStream in specs).
+  *
+  * Scale posture: state is keyed by instance (bounded per-key size,
+  * no per-key growth beyond the folded aggregates), the fold is
+  * order-insensitive (min/max/sum + arg-max by composite ord) so
+  * late/out-of-order records need no reprocessing, and the sink is an
+  * idempotent keyed upsert — the three properties that let the
+  * pipeline run with thousands of parallel state partitions.
+  */
+object StreamImport {
+
+  /** One export record (the events-table shape; `k` is the parsed
+    * JSON payload field, ts normalized to epoch millis).
+    */
+  case class Rec(event_id: Long, ts_ms: Long, user_id: Long,
+    event_type: String, value: Double, k: Long)
+
+  /** Per-instance in-flight state — the batch groupBy's accumulator,
+    * folded incrementally (InflightTransferManager's entity cache,
+    * minus the repo lookups: the fold is total, not read-modify-write).
+    */
+  case class St(started: Long, completed: Long, amountE2: Long,
+    lastOrd: Long, lastClickE2: Long, hasClick: Boolean, hasAmount: Boolean,
+    failed: Boolean, done: Boolean, n: Long)
+
+  private val EmptySt = St(Long.MaxValue, Long.MinValue, 0L, Long.MinValue, 0L,
+    hasClick = false, hasAmount = false, failed = false, done = false, n = 0L)
+
+  /** The materialized entity row — column-compatible with
+    * ImporterCore.transfers so the SAME DuckDB oracle checks the
+    * streaming path.
+    */
+  case class TransferRow(transfer_key: Long, tenant: String,
+    started_ms: Long, completed_ms: Long, amount: String,
+    last_click_value: String, status: String, n_events: Long)
+
+  private def fold(st: St, r: Rec): St = {
+    var s = st.copy(n = st.n + 1)
+    r.event_type match {
+      case "signup" =>
+        s = s.copy(started = math.min(s.started, r.ts_ms))
+      case "purchase" =>
+        s = s.copy(completed = math.max(s.completed, r.ts_ms),
+          amountE2 = s.amountE2 + math.round(r.value * 100),
+          hasAmount = true, done = true)
+      case "click" =>
+        val ord = r.ts_ms * 1000000L + r.event_id
+        if (ord > s.lastOrd)
+          s = s.copy(lastOrd = ord, lastClickE2 = math.round(r.value * 100), hasClick = true)
+      case "error" =>
+        if (r.k >= 90) s = s.copy(failed = true)
+      case _ => ()
+    }
+    s
+  }
+
+  private def render(key: Long, s: St): TransferRow = TransferRow(
+    transfer_key = key,
+    tenant = "t" + (key % 10),
+    started_ms = if (s.started == Long.MaxValue) -1L else s.started,
+    completed_ms = if (s.completed == Long.MinValue) -1L else s.completed,
+    amount = if (s.hasAmount) java.math.BigDecimal.valueOf(s.amountE2, 2).toPlainString else "",
+    last_click_value = if (s.hasClick) java.math.BigDecimal.valueOf(s.lastClickE2, 2).toPlainString else "",
+    status = if (s.failed) "FAILED" else if (s.done) "COMPLETED" else "IN_PROGRESS",
+    n_events = s.n)
+
+  /** The flatMapGroupsWithState update function: fold the batch's
+    * records into the per-instance state, emit the refreshed entity.
+    */
+  def update(key: Long, recs: Iterator[Rec], state: GroupState[St]): Iterator[TransferRow] = {
+    val st = recs.foldLeft(state.getOption.getOrElse(EmptySt))(fold)
+    state.update(st)
+    Iterator.single(render(key, st))
+  }
+
+  /** events DataFrame (batch or streaming) → typed record stream:
+    * parse + route, dropping the record classes the reference drops
+    * is NOT done here — the state machine consumes every class
+    * (routing demo lives in ImporterCore.impParseRoute).
+    */
+  def toRecs(events: DataFrame): Dataset[Rec] = {
+    import events.sparkSession.implicits._
+    val k =
+      if (events.columns.contains("props"))
+        coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L))
+      else col("k")
+    events.select(
+      col("event_id"), col("ts_ms"), col("user_id"), col("event_type"),
+      col("value"), k.as("k"))
+      .as[Rec]
+  }
+
+  /** Incrementally materialized transfers from a streaming events
+    * source.
+    */
+  def transfersStream(events: DataFrame): Dataset[TransferRow] = {
+    import events.sparkSession.implicits._
+    toRecs(events)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Driver-checked end-to-end run: stream the sf dir's events file
+    * through the state machine with an AvailableNow trigger into the
+    * tenant-routed upsert sink, then read the sink back. Output is
+    * oracle-identical to the batch imp_entity_transfers.
+    */
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val sinkDir = s"$work/transfers"
+    // Raw file schema (ts is parquet TIMESTAMP(NANOS) read as long —
+    // Tables.events sets the legacy conf); normalization to ts_ms then
+    // happens on the stream exactly as in the batch loader.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source wants a directory: stream the sf dir
+    // with a glob pinned to the events file
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .drop("ts")
+    val q = transfersStream(stream).toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$work/chk")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TenantUpsertSink.upsert(sinkDir, batch, "transfer_key")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+      .select("transfer_key", "tenant", "started_ms", "completed_ms",
+        "amount", "last_click_value", "status", "n_events")
+      .orderBy("transfer_key")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_import" -> (runToCompletion _))
+
+  /** Streaming path answers the SAME oracle as the batch entity. */
+  def oracles: Map[String, String] = Map(
+    "stream_import" -> graft.operators.ImporterCore.impEntityTransfersSql)
+}

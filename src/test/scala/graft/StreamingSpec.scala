@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{ImporterCore, Multimodal}
+import graft.streaming.{OutOfOrder, StreamImport, TenantUpsertSink}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+
+  import StreamImport.Rec
+
+  private def mkRec(id: Long, tsMs: Long, user: Long, typ: String,
+      value: Double = 10.0, k: Long = 0): Rec =
+    Rec(id, tsMs, user, typ, value, k)
+
+  test("stream_import over micro-batches equals the batch transfers entity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val allRecs = StreamImport.toRecs(events).collect().sortBy(_.event_id)
+    // feed in three arbitrary chunks to force incremental folding
+    val stream = MemoryStream[Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString + "/t"
+    val q = StreamImport.transfersStream(stream.toDF())
+      .toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_chk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "transfer_key")
+      }
+      .start()
+    allRecs.grouped(math.max(allRecs.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(sinkDir)
+      .orderBy("transfer_key").collect()
+    val batch = ImporterCore.impEntityTransfers(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      for (c <- Seq("transfer_key", "tenant", "started_ms", "completed_ms",
+        "amount", "last_click_value", "status", "n_events"))
+        assert(s.getAs[Any](c) == b.getAs[Any](c),
+          s"column $c: streaming=${s.getAs[Any](c)} batch=${b.getAs[Any](c)} key=${s.getAs[Any]("transfer_key")}")
+    }
+  }
+
+  test("upsert sink: latest batch wins per key, tenant partitions routed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert2_").toString + "/t"
+    val b1 = Seq((1L, "t1", "v1"), (2L, "t2", "v1")).toDF("transfer_key", "tenant", "payload")
+    val b2 = Seq((2L, "t2", "v2"), (3L, "t3", "v1")).toDF("transfer_key", "tenant", "payload")
+    TenantUpsertSink.upsert(dir, b1, "transfer_key")
+    TenantUpsertSink.upsert(dir, b2, "transfer_key")
+    val out = spark.read.parquet(dir).orderBy("transfer_key")
+      .collect().map(r => (r.getAs[Long]("transfer_key"), r.getAs[String]("payload")))
+    assert(out.toSeq == Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
+    // partition routing on disk
+    assert(new java.io.File(dir).listFiles().exists(_.getName == "tenant=t2"))
+    // idempotency: re-applying b2 changes nothing
+    TenantUpsertSink.upsert(dir, b2, "transfer_key")
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("src_out_of_order buffers records until the association arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1704067200000L // 2024-01-01
+    val stream = MemoryStream[Rec]
+    val q = OutOfOrder.routed(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ooo_").toString)
+      .start()
+    // batch 1: two orphans for user 7 (no signup yet) → nothing emitted
+    stream.addData(mkRec(100, t0, 7, "click"), mkRec(101, t0 + 1000, 7, "view"))
+    q.processAllAvailable()
+    assert(spark.table("ooo_out").count() == 0)
+    // batch 2: the association arrives → buffer flushes with process id
+    stream.addData(mkRec(102, t0 + 2000, 7, "signup"))
+    q.processAllAvailable()
+    val flushed = spark.table("ooo_out").orderBy("event_id").collect()
+    assert(flushed.map(_.getAs[Long]("event_id")).toSeq == Seq(100L, 101L))
+    assert(flushed.forall(_.getAs[String]("process_id") == "proc-t7"))
+    // batch 3: post-association records route immediately
+    stream.addData(mkRec(103, t0 + 3000, 7, "click"))
+    q.processAllAvailable()
+    assert(spark.table("ooo_out").count() == 3)
+    // batch 4: an orphan for user 8, then the watermark sails past its
+    // 1 h idle horizon (driven by user 9's much later events) → the
+    // orphan flushes to the dead-letter route and state drops
+    stream.addData(mkRec(200, t0 + 4000, 8, "view"))
+    q.processAllAvailable()
+    stream.addData(mkRec(300, t0 + 5 * 3600 * 1000L, 9, "click"))
+    q.processAllAvailable()
+    stream.addData(mkRec(301, t0 + 5 * 3600 * 1000L + 1, 9, "click"))
+    q.processAllAvailable()
+    val dead = spark.table("ooo_out")
+      .filter(col("process_id") === OutOfOrder.DeadLetter).collect()
+    assert(dead.map(_.getAs[Long]("event_id")).toSeq == Seq(200L))
+    q.stop()
+  }
+
+  test("mm_pipeline: one row per sampled frame, deterministic checksums, no shuffle before agg") {
+    val f1 = Multimodal.mmPipeline(spark, sfDir).collect()
+    val f2 = Multimodal.mmPipeline(spark, sfDir).collect()
+    assert(f1.nonEmpty)
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+    // frames per doc match meta.n_frames = 1 + doc_id % 5
+    val byDoc = f1.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rows) => assert(rows.length == 1 + (id % 5).toInt) }
+    assert(f1.forall(_.getAs[Int]("dim") == 8))
+  }
+}
