@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans of the headline queries for
+  * plan review (PLANS.md). Usage: runMain graft.Plans [sfDir].
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q1_pricing", "q3_shipping", "q5_regional", "imp_entity_transfers",
+      "dedup_minhash", "dedup_ngram", "ann_bruteforce", "q_sessionize")
+    names.foreach { name =>
+      println(s"===== $name =====")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // force AQE finalization so the printed plan is the executed one
+      df.count()
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

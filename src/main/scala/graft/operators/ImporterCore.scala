@@ -333,6 +333,116 @@ object ImporterCore {
        |$transfersSqlCte)
        |SELECT * FROM t ORDER BY transfer_key""".stripMargin
 
+  /** TransactionRequest materialization: unlike Transfer's monotone
+    * flags, `transactionState` is LAST-WRITE-WINS — every parser call
+    * overwrites the current state
+    * (VariableParser.parsePartyLookUpState:124-133,
+    * parseTransactionFailed:113-122, parseSettlementFiled:102-111,
+    * parseTransactionRequestFailed:247-250; each maps its payload to a
+    * TransactionRequestState and setState()s it). Batch semantics:
+    * the final state is the signal carried by the latest
+    * state-carrying record. Signal mapping on the events stream:
+    * signup → RECEIVED, view → party lookup (fatal ⇒ FAILED else
+    * RECEIVED), click → transaction progress (fatal ⇒ FAILED else
+    * IN_PROGRESS), purchase → settlement (fatal ⇒ FAILED else
+    * ACCEPTED), error → request-failed only when fatal (non-fatal
+    * errors carry no signal, like parseTransactionRequestFailed's
+    * "true"-only write).
+    */
+  def impEntityTxnreq(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val fatal = k >= 90
+    val signal =
+      when(col("event_type") === "signup", "RECEIVED")
+        .when(col("event_type") === "view", when(fatal, "FAILED").otherwise("RECEIVED"))
+        .when(col("event_type") === "click", when(fatal, "FAILED").otherwise("IN_PROGRESS"))
+        .when(col("event_type") === "purchase", when(fatal, "FAILED").otherwise("ACCEPTED"))
+        .when(col("event_type") === "error" && fatal, "FAILED")
+        .otherwise(lit(null))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(lastBy(signal.isNotNull, signal, ordKey), lit("IN_PROGRESS")).as("state"),
+        coalesce(min(when(col("event_type") === "signup", col("ts_ms"))), lit(-1L)).as("started_ms"),
+        coalesce(max(when(col("event_type") === "purchase", col("ts_ms"))), lit(-1L)).as("completed_ms"),
+        coalesce(moneyStr(sum(when(col("event_type") === "purchase", dec2(col("value"))))), lit("")).as("amount"),
+        count(lit(1)).cast(LongType).as("n_events"))
+      .select(
+        col("user_id").as("txn_key"),
+        concat(lit("t"), (col("user_id") % 10).cast(LongType)).as("tenant"),
+        col("state"), col("started_ms"), col("completed_ms"),
+        col("amount"), col("n_events"))
+      .orderBy("txn_key")
+  }
+
+  def impEntityTxnreqSql: String =
+    s"""WITH sig AS (
+       |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value,
+       |    CASE WHEN event_type = 'signup' THEN 'RECEIVED'
+       |         WHEN event_type = 'view' THEN
+       |           CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED' ELSE 'RECEIVED' END
+       |         WHEN event_type = 'click' THEN
+       |           CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED' ELSE 'IN_PROGRESS' END
+       |         WHEN event_type = 'purchase' THEN
+       |           CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED' ELSE 'ACCEPTED' END
+       |         WHEN event_type = 'error' AND CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED'
+       |         ELSE NULL END AS signal
+       |  FROM events)
+       |SELECT user_id AS txn_key,
+       |  CONCAT('t', CAST(user_id % 10 AS VARCHAR)) AS tenant,
+       |  COALESCE(arg_max(CASE WHEN signal IS NOT NULL THEN signal END,
+       |                   CASE WHEN signal IS NOT NULL THEN ms * 1000000 + event_id END), 'IN_PROGRESS') AS state,
+       |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN ms END), -1) AS started_ms,
+       |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN ms END), -1) AS completed_ms,
+       |  COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS VARCHAR), '') AS amount,
+       |  COUNT(*) AS n_events
+       |FROM sig GROUP BY user_id ORDER BY txn_key""".stripMargin
+
+  /** Batch materialization (InflightBatchManager + batchParsers:88-91):
+    * startedAt set once / completedAt from the end record, plus the
+    * progress counters the operations UI reads (totalTransactions /
+    * ongoing / failed / completed) and the payload-derived metadata
+    * strings (batchId, requestId). Counter semantics over the events
+    * stream: sub-transactions are the click/view/purchase records;
+    * failed counts fatal errors; completed counts purchases; ongoing
+    * is the remainder.
+    */
+  def impEntityBatches(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val isTxn = col("event_type").isin("click", "view", "purchase")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(min(when(col("event_type") === "signup", col("ts_ms"))), lit(-1L)).as("started_ms"),
+        coalesce(max(when(col("event_type") === "purchase", col("ts_ms"))), lit(-1L)).as("completed_ms"),
+        sum(when(isTxn, 1L).otherwise(0L)).cast(LongType).as("total_transactions"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast(LongType).as("completed"),
+        sum(when(col("event_type") === "error" && k >= 90, 1L).otherwise(0L)).cast(LongType).as("failed"))
+      .select(
+        col("user_id").as("batch_key"),
+        concat(lit("b"), (col("user_id") % 20).cast(LongType)).as("batch_id"),
+        concat(lit("req-"), col("user_id")).as("request_id"),
+        col("started_ms"), col("completed_ms"),
+        col("total_transactions"),
+        greatest(col("total_transactions") - col("completed"), lit(0L)).as("ongoing"),
+        col("failed"), col("completed"))
+      .orderBy("batch_key")
+  }
+
+  def impEntityBatchesSql: String =
+    """SELECT user_id AS batch_key,
+      |  CONCAT('b', CAST(user_id % 20 AS VARCHAR)) AS batch_id,
+      |  CONCAT('req-', CAST(user_id AS VARCHAR)) AS request_id,
+      |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END), -1) AS started_ms,
+      |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END), -1) AS completed_ms,
+      |  CAST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS total_transactions,
+      |  CAST(GREATEST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END)
+      |    - SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) AS ongoing,
+      |  CAST(SUM(CASE WHEN event_type = 'error'
+      |        AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS completed
+      |FROM events GROUP BY user_id ORDER BY batch_key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "imp_parse_route" -> (impParseRoute _),
     "imp_var_dedup" -> (impVarDedup _),
@@ -342,7 +452,9 @@ object ImporterCore {
     "imp_status_sm" -> (impStatusSm _),
     "imp_tenant_split" -> (impTenantSplit _),
     "imp_parent_remap" -> (impParentRemap _),
-    "imp_entity_transfers" -> (impEntityTransfers _))
+    "imp_entity_transfers" -> (impEntityTransfers _),
+    "imp_entity_txnreq" -> (impEntityTxnreq _),
+    "imp_entity_batches" -> (impEntityBatches _))
 
   def oracles: Map[String, String] = Map(
     "imp_parse_route" -> impParseRouteSql,
@@ -353,5 +465,7 @@ object ImporterCore {
     "imp_status_sm" -> impStatusSmSql,
     "imp_tenant_split" -> impTenantSplitSql,
     "imp_parent_remap" -> impParentRemapSql,
-    "imp_entity_transfers" -> impEntityTransfersSql)
+    "imp_entity_transfers" -> impEntityTransfersSql,
+    "imp_entity_txnreq" -> impEntityTxnreqSql,
+    "imp_entity_batches" -> impEntityBatchesSql)
 }
