@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, ImporterCore, Multimodal, Specs, TextOps, VectorOps}
+import graft.sources.RawIngest
 import graft.streaming.StreamImport
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,11 +15,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ ImporterCore.queries ++ Specs.queries ++
       TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
-      StreamImport.queries
+      StreamImport.queries ++ RawIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ ImporterCore.oracles ++ Specs.oracles ++
-      TextOps.oracles ++ VectorOps.oracles ++ StreamImport.oracles
+      TextOps.oracles ++ VectorOps.oracles ++ StreamImport.oracles ++
+      RawIngest.oracles
 }
