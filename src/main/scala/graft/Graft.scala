@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession configured the way graft's
+  * operators expect (UTC semantics for oracle-stable timestamps, AQE
+  * with skew-join handling on, sized shuffle parallelism), with
+  * graft's native expressions registered.
+  */
+object Graft {
+  def session(master: String = "local[32]",
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // the corpus' events table carries parquet TIMESTAMP(NANOS),
+      // which the vectorized reader only accepts as a raw long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -7,6 +7,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+/** The materialized Transfer entity (the reference's
+  * entity/transfer/Transfer.java row, the columns this corpus can
+  * populate) — typed read-side surface for Dataset users.
+  */
+case class Transfer(transfer_key: Long, tenant: String,
+  started_ms: Long, completed_ms: Long, amount: String,
+  last_click_value: String, status: String, n_events: Long)
+
 /** Batch re-expression of the reference importer's record-stream
   * semantics (SURVEY.md §2 "Importer core") over the `events` table —
   * the stand-in for the Zeebe export stream.
@@ -309,6 +317,15 @@ object ImporterCore {
           .when(col("_completed") === 1, "COMPLETED")
           .otherwise("IN_PROGRESS").as("status"),
         col("n_events"))
+  }
+
+  /** Typed read-side surface: `Dataset[Transfer]` with the case-class
+    * Encoder — the JPA-entity-shaped API a reference user queries
+    * (compose with Specs for the filter surface).
+    */
+  def transfersTyped(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[Transfer] = {
+    import spark.implicits._
+    transfers(spark, dir).as[Transfer]
   }
 
   /** Shared oracle CTE body for the transfers entity. */

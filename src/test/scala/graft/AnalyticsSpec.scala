@@ -48,6 +48,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(rt.count() == Tables.events(spark, sfDir).count())
   }
 
+  test("q5 plan: all four dims broadcast, one hash shuffle") {
+    val plan = Analytics.q5Regional(spark, sfDir).queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles")
+  }
+
   test("q1 plan: filter is pushed to the parquet scan") {
     val plan = Analytics.q1Pricing(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&

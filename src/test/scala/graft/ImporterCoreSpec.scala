@@ -67,6 +67,13 @@ class ImporterCoreSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
   }
 
+  test("transfersTyped: typed Dataset surface composes with plain Scala") {
+    val ds = ImporterCore.transfersTyped(spark, sfDir)
+    val failed = ds.filter(_.status == "FAILED").collect()
+    assert(failed.nonEmpty && failed.forall(_.status == "FAILED"))
+    assert(failed.forall(t => t.tenant == s"t${t.transfer_key % 10}"))
+  }
+
   test("specs filters compose and push down") {
     val df = Specs.qSpecsMatch(spark, sfDir)
     assert(df.filter(col("status") =!= "COMPLETED").count() == 0)
