@@ -196,13 +196,79 @@ object Analytics {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Multi-dimensional aggregate: ROLLUP over (returnflag, linestatus)
+    * — subtotals + grand total in one pass (partial aggs expand the
+    * grouping sets map-side; still ONE shuffle).
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneyStr(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).cast(LongType).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus")
+  }
+
+  def qRollupSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin
+
+  /** Semi-join: orders having at least one returned line item —
+    * `left_semi` keeps the probe side only (no row multiplication, no
+    * payload columns shuffled from the build side).
+    */
+  def qSemiReturned(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  def qSemiReturnedSql: String =
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Anti-join: customers gone idle (no order since 1998) —
+    * `left_anti` against the filtered key set; the filter pushes to
+    * the orders scan so the anti side stays small.
+    */
+  def qAntiIdle(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01")).select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  def qAntiIdleSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_regional" -> (q5Regional _),
     "q_window_topn" -> (qWindowTopN _),
     "q_sessionize" -> (qSessionize _),
-    "q_running_total" -> (qRunningTotal _))
+    "q_running_total" -> (qRunningTotal _),
+    "q_rollup" -> (qRollup _),
+    "q_semi_returned" -> (qSemiReturned _),
+    "q_anti_idle" -> (qAntiIdle _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -210,5 +276,8 @@ object Analytics {
     "q5_regional" -> q5RegionalSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_sessionize" -> qSessionizeSql,
-    "q_running_total" -> qRunningTotalSql)
+    "q_running_total" -> qRunningTotalSql,
+    "q_rollup" -> qRollupSql,
+    "q_semi_returned" -> qSemiReturnedSql,
+    "q_anti_idle" -> qAntiIdleSql)
 }
