@@ -259,6 +259,24 @@ object Analytics {
       |                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Exact distinct counting per group — Spark plans this as a
+    * two-phase expand + partial agg (the distinct shuffles on
+    * (event_type, user_id) first, then counts), which is the
+    * scalable shape; `Salting.saltedAgg` is the fallback for a
+    * pathological single hot group.
+    */
+  def qDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).cast(LongType).as("n_events"))
+      .orderBy("event_type")
+
+  def qDistinctUsersSql: String =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
@@ -268,7 +286,8 @@ object Analytics {
     "q_running_total" -> (qRunningTotal _),
     "q_rollup" -> (qRollup _),
     "q_semi_returned" -> (qSemiReturned _),
-    "q_anti_idle" -> (qAntiIdle _))
+    "q_anti_idle" -> (qAntiIdle _),
+    "q_distinct_users" -> (qDistinctUsers _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -279,5 +298,6 @@ object Analytics {
     "q_running_total" -> qRunningTotalSql,
     "q_rollup" -> qRollupSql,
     "q_semi_returned" -> qSemiReturnedSql,
-    "q_anti_idle" -> qAntiIdleSql)
+    "q_anti_idle" -> qAntiIdleSql,
+    "q_distinct_users" -> qDistinctUsersSql)
 }
