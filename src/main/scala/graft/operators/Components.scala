@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster closure: connected components over the near-dup
+  * candidate graph, the primitive that turns pairwise near-dup hits
+  * into keep-lists at corpus scale (pairs alone under-delete: a~b and
+  * b~c must collapse to ONE kept doc, which needs the transitive
+  * closure, not the pair list).
+  *
+  * Algorithm: iterative min-label propagation (Pregel-style) — every
+  * node starts labeled with itself; each round it takes the min label
+  * across its neighborhood; converges in O(diameter) rounds, ≤
+  * O(log n) for the small-world clusters dedup produces. Each round is
+  * one join + one aggregation, both on the node key; lineage is
+  * truncated per round (localCheckpoint) so plans stay flat. This is
+  * the standard large-scale CC formulation (GraphX's CC is the same
+  * loop); no driver-side graph materializes.
+  */
+object Components {
+
+  /** Label-propagate to convergence over an undirected edge list
+    * (columns `a_id`, `b_id`) covering `nodes` (column `doc_id`).
+    * Returns (doc_id, component) where component = min doc_id reachable.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels.as("l")
+        .join(neighborMin.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint(eager = true)
+      // labels only ever decrease; the sum is a strictly decreasing
+      // convergence witness
+      val before = labels.agg(sum("component")).head.getLong(0)
+      val after = next.agg(sum("component")).head.getLong(0)
+      converged = before == after
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Minhash-LSH candidate pairs → duplicate clusters: one row per
+    * document with its component label and whether it is the kept
+    * representative (min id of the cluster).
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val pairs = TextOps.minhashCandidates(spark, dir)
+    connectedComponents(docs, pairs)
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure via recursive CTE (UNION dedups, so
+    * the recursion terminates on cycles), component = min reachable.
+    */
+  def dedupComponentsSql: String =
+    s"""WITH RECURSIVE ${TextOps.minhashCandidatesSqlCtes},
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM cand
+       |  UNION
+       |  SELECT b_id, a_id FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+       |SELECT src AS doc_id, MIN(dst) AS component,
+       |  src = MIN(dst) AS keep
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> (dedupComponents _))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_components" -> dedupComponentsSql)
+}

@@ -233,7 +233,13 @@ object TextOps {
     */
   private val MinhashK = 8
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidates(spark, dir).orderBy("a_id", "b_id")
+
+  /** Candidate pair graph (un-sorted) — consumed by dedupMinhash and
+    * the component-closure operator.
+    */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     // Shingles are md5-hashed ONCE; the k=8 minhash variants are the
     // affine pseudo-permutations (A_i*h + B_i) mod 2^31-1 computed by
@@ -255,10 +261,12 @@ object TextOps {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).cast(LongType).as("n_bands"))
-      .orderBy("a_id", "b_id")
   }
 
-  def dedupMinhashSql: String = {
+  /** CTE chain ending in `cand(a_id, b_id, n_bands)` — shared by the
+    * minhash oracle and the component-closure oracle.
+    */
+  def minhashCandidatesSqlCtes: String = {
     import GraftFunctions.{MinhashA, MinhashB, MinhashP}
     val mhs = (0 until MinhashK).map(i =>
       s"list_min([(${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP for h in hs]) AS mh$i")
@@ -266,7 +274,7 @@ object TextOps {
     val bandSelects = (0 until MinhashK / 2).map(j =>
       s"SELECT doc_id, $j AS band_idx, ${hxDuck(s"CONCAT(mh${2 * j}, '_', mh${2 * j + 1})")} AS band_key FROM sigs")
       .mkString("\n  UNION ALL ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, [${hxDuck("s")} % $MinhashP for s in list_distinct(${shinglesDuck(5)})] AS hs
        |  FROM documents),
        |sigs AS (
@@ -274,13 +282,18 @@ object TextOps {
        |    $mhs
        |  FROM d),
        |bands AS (
-       |  $bandSelects)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
-       |FROM bands a JOIN bands b
-       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       | AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
   }
+
+  def dedupMinhashSql: String =
+    s"""WITH ${minhashCandidatesSqlCtes}
+       |SELECT a_id, b_id, n_bands FROM cand ORDER BY a_id, b_id""".stripMargin
 
   /** SimHash near-dup: 32-bit frequency-weighted signature computed
     * row-locally (bit votes folded over the token list with

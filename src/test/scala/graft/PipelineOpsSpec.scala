@@ -38,6 +38,23 @@ class PipelineOpsSpec extends SparkSpec {
       s"$missed of ${strong.count()} strong minhash pairs fail the ngram gate")
   }
 
+  test("dedup_components: labels are transitively closed over candidate pairs") {
+    import graft.operators.Components
+    val comp = Components.dedupComponents(spark, sfDir)
+      .select("doc_id", "component")
+    val pairs = TextOps.minhashCandidates(spark, sfDir)
+    // every edge must connect nodes with the SAME component label
+    val viol = pairs
+      .join(comp.withColumnRenamed("doc_id", "a_id").withColumnRenamed("component", "ca"), "a_id")
+      .join(comp.withColumnRenamed("doc_id", "b_id").withColumnRenamed("component", "cb"), "b_id")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(viol == 0, s"$viol edges cross components — closure incomplete")
+    // exactly one keeper per component
+    val keepers = Components.dedupComponents(spark, sfDir)
+      .filter(col("keep")).groupBy("component").count()
+    assert(keepers.filter(col("count") =!= 1).count() == 0)
+  }
+
   test("dedup_exact keeps one id per distinct text") {
     val d = TextOps.dedupExact(spark, sfDir)
     assert(d.count() == Tables.documents(spark, sfDir).select("text").distinct().count())
