@@ -26,10 +26,17 @@ object Components {
     * Returns (doc_id, component) where component = min doc_id reachable.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // materialize the edge list ONCE — the loop re-reads it every
+    // round, and without the barrier each round would recompute the
+    // full candidate-generation plan (minhash signatures included)
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(eager = true)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint(eager = true)
+    // labels only ever decrease; the label sum is a strictly
+    // decreasing convergence witness (one agg per round, carried over)
+    var witness = labels.agg(sum("component")).head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -42,11 +49,9 @@ object Components {
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
         .localCheckpoint(eager = true)
-      // labels only ever decrease; the sum is a strictly decreasing
-      // convergence witness
-      val before = labels.agg(sum("component")).head.getLong(0)
       val after = next.agg(sum("component")).head.getLong(0)
-      converged = before == after
+      converged = witness == after
+      witness = after
       labels = next
       rounds += 1
     }

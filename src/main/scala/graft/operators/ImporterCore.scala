@@ -350,6 +350,38 @@ object ImporterCore {
        |$transfersSqlCte)
        |SELECT * FROM t ORDER BY transfer_key""".stripMargin
 
+  /** Static per-process configuration (the reference's application.yml
+    * `bpmn.processes` list: each process id carries its payment
+    * direction, consumed by Inflight*Manager.*Started). Dimension
+    * tables this small are BROADCAST — the config join adds zero
+    * shuffles.
+    */
+  val ProcessConfig: Seq[(String, String)] = Seq(
+    "click" -> "INCOMING", "view" -> "INCOMING", "purchase" -> "OUTGOING",
+    "signup" -> "INCOMING", "error" -> "UNKNOWN")
+
+  /** Per-process direction resolution via the broadcast config dim. */
+  def impDirection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val config = ProcessConfig.toDF("process_id", "direction")
+    Tables.events(spark, dir)
+      .select(substring_index(
+        concat(col("event_type"), lit("-t"), (col("user_id") % 10).cast(LongType)),
+        "-", 1).as("process_id"))
+      .join(broadcast(config), "process_id")
+      .groupBy("process_id", "direction")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .orderBy("process_id")
+  }
+
+  def impDirectionSql: String = {
+    val cases = ProcessConfig.map { case (p, d) => s"WHEN '$p' THEN '$d'" }.mkString(" ")
+    s"""SELECT event_type AS process_id,
+       |  CASE event_type $cases END AS direction,
+       |  COUNT(*) AS n
+       |FROM events GROUP BY 1, 2 ORDER BY process_id""".stripMargin
+  }
+
   /** TransactionRequest materialization: unlike Transfer's monotone
     * flags, `transactionState` is LAST-WRITE-WINS — every parser call
     * overwrites the current state
@@ -471,7 +503,8 @@ object ImporterCore {
     "imp_parent_remap" -> (impParentRemap _),
     "imp_entity_transfers" -> (impEntityTransfers _),
     "imp_entity_txnreq" -> (impEntityTxnreq _),
-    "imp_entity_batches" -> (impEntityBatches _))
+    "imp_entity_batches" -> (impEntityBatches _),
+    "imp_direction" -> (impDirection _))
 
   def oracles: Map[String, String] = Map(
     "imp_parse_route" -> impParseRouteSql,
@@ -484,5 +517,6 @@ object ImporterCore {
     "imp_parent_remap" -> impParentRemapSql,
     "imp_entity_transfers" -> impEntityTransfersSql,
     "imp_entity_txnreq" -> impEntityTxnreqSql,
-    "imp_entity_batches" -> impEntityBatchesSql)
+    "imp_entity_batches" -> impEntityBatchesSql,
+    "imp_direction" -> impDirectionSql)
 }

@@ -204,9 +204,76 @@ object VectorOps {
        |WHERE ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} >= 400000
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** IVF-style ANN: the second scale path. Vectors partition into C
+    * coarse cells (here: nearest of C deterministic seed centroids —
+    * a k-means iteration would refine them; seeds keep the oracle
+    * exact); queries probe their `nprobe` nearest cells and rank only
+    * those candidates. The centroid table is broadcast (C rows); the
+    * candidate join is cell-bounded, never n².
+    */
+  private val IvfCells = 16
+  private val IvfProbes = 2
+
+  private def cellAssignments(spark: SparkSession, dir: String, topK: Int): DataFrame = {
+    val v = quantized(spark, dir)
+    val cents = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("n2"), col("cent_id"),
+        expr(scoreE6(dotExpr("q", "cq"), "n2", "cn2")).as("cscore"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id"))
+    scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= topK)
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = cellAssignments(spark, dir, 1)
+      .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
+        col("cent_id").as("cell"))
+    val queriesSide = cellAssignments(spark, dir, IvfProbes)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"),
+        col("cent_id").as("cell"))
+    val cands = queriesSide.join(corpus, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        expr(scoreE6(dotExpr("qq", "nq"), "qn2", "nn2")).as("score_e6"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def annIvfSql: String =
+    s"""WITH $quantizedDuckCte,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM qv WHERE vec_id < $IvfCells),
+       |assign AS (
+       |  SELECT v.vec_id, v.q, v.n2, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |  FROM qv v CROSS JOIN cents c),
+       |corpus AS (
+       |  SELECT vec_id AS n_id, q AS nq, n2 AS nn2, cent_id AS cell
+       |  FROM assign WHERE crnk = 1),
+       |queries AS (
+       |  SELECT vec_id AS q_id, q AS qq, n2 AS qn2, cent_id AS cell
+       |  FROM assign WHERE crnk <= $IvfProbes),
+       |cands AS (
+       |  SELECT DISTINCT q_id, n_id,
+       |    ${scoreE6(dotDuck("qq", "nq"), "qn2", "nn2")} AS score_e6
+       |  FROM queries JOIN corpus USING (cell)
+       |  WHERE q_id <> n_id)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, score_e6 FROM (
+       |  SELECT q_id, n_id, score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, n_id) AS rnk
+       |  FROM cands) t
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "dedup_embed" -> (dedupEmbed _))
 
   /** ann_lsh intentionally has no SQL oracle (approximate op — the
@@ -214,5 +281,6 @@ object VectorOps {
     */
   def oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_ivf" -> annIvfSql,
     "dedup_embed" -> dedupEmbedSql)
 }
