@@ -307,11 +307,15 @@ object TextOps {
     // md5 each token once, then the 32-bit vote loop runs as native
     // codegen (graft.functions.SimHash32) instead of a 32-way nested
     // lambda fold.
+    // signatures materialize once — they feed FOUR join inputs (two
+    // half-band self-joins × two sides); without the barrier each
+    // side re-hashes the corpus
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr(s"graft_simhash32(transform(split(text,' '), w -> ${hx("w")}))").as("sig"))
       .withColumn("hi", expr("shiftright(sig, 16)"))
       .withColumn("lo", expr("sig & 65535"))
+      .localCheckpoint(eager = true)
     def halfJoin(k: String) = sigs.as("a").join(sigs.as("b"),
       col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
