@@ -187,10 +187,13 @@ object TextOps {
     // df-cap via a window over the SAME partitioning the self-join
     // needs — the join reuses the hash(h) exchange instead of
     // re-shuffling, and per-doc set sizes broadcast.
+    // materialized once: feeds the per-doc counts AND both self-join
+    // sides (explode + md5 + the df-cap window would otherwise run 3×)
     val capped = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= 100)
       .select("doc_id", "h")
+      .localCheckpoint(eager = true)
     val counts = capped.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_sh"))
     val shared = capped.as("a").join(capped.as("b"),
       col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -251,10 +254,13 @@ object TextOps {
     val bands = withSigs.select(col("doc_id") +:
       (0 until MinhashK / 2).map(j =>
         expr(hx(s"concat(mhs[${2 * j}], '_', mhs[${2 * j + 1}])")).as(s"band$j")): _*)
+    // sigs + bands materialize once — the self-join consumes this
+    // frame on both sides
     val exploded = bands.select(col("doc_id"),
       explode(expr(s"map_from_arrays(sequence(0, ${MinhashK / 2 - 1}), " +
         s"array(${(0 until MinhashK / 2).map(j => s"band$j").mkString(",")}))")))
       .toDF("doc_id", "band_idx", "band_key")
+      .localCheckpoint(eager = true)
     exploded.as("a").join(exploded.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&

@@ -100,10 +100,13 @@ object VectorOps {
         .map(k => s"shiftleft(bit${b * BitsPerBand + k}, $k)").mkString(" + ")
       d.withColumn(s"bucket$b", expr(bits))
     }
+    // materialized once: quantization + 16 hyperplane dots feed both
+    // self-join sides of ann_lsh / dedup_embed
     withBuckets.select(col("vec_id"), col("q"), col("n2"),
       explode(expr(s"map_from_arrays(sequence(0, ${Bands - 1}), " +
         s"array(${(0 until Bands).map(b => s"bucket$b").mkString(",")}))")))
       .toDF("vec_id", "q", "n2", "band_idx", "bucket")
+      .localCheckpoint(eager = true)
   }
 
   private val bucketedDuckCte: String = {
