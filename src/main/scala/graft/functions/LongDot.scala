@@ -91,6 +91,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head))
     registry.registerFunction(
+      FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60(children.head))
+    registry.registerFunction(
       FunctionIdentifier("graft_minhash8"),
       new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash8"),
       (children: Seq[Expression]) => MinHashK(children.head, MinhashA, MinhashB, MinhashP))

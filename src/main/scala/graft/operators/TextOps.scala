@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.LongType
   */
 object TextOps {
 
-  /** Spark SQL expression text for the portable 60-bit hash. */
-  private def hx(x: String): String =
-    s"CAST(conv(substring(md5($x),1,15),16,10) AS BIGINT)"
+  /** Spark SQL expression text for the portable 60-bit hash — the
+    * native Hash60 expression (bit-identical to the md5-hex
+    * formulation the oracle uses; see graft.functions.Hash60).
+    * Callers must GraftFunctions.register first.
+    */
+  private def hx(x: String): String = s"graft_hash60($x)"
 
   /** DuckDB rendering of the same hash. */
   private def hxDuck(x: String): String =
@@ -140,13 +143,15 @@ object TextOps {
     * the rolling-hash family, stable under shingle reordering). Both
     * row-local, zero shuffle.
     */
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     Tables.documents(spark, dir).select(
       col("doc_id"),
       expr(hx("text")).as("fp_content"),
       expr(s"aggregate(array_distinct(${shinglesExpr(5)}), CAST(0 AS BIGINT), " +
         s"(acc, s) -> acc ^ ${hx("s")})").as("fp_shingle"))
       .orderBy("doc_id")
+  }
 
   def textFingerprintSql: String =
     s"""WITH sh AS (
@@ -180,6 +185,7 @@ object TextOps {
     * on shared shingle, exact Jaccard >= 0.30 in fixed-point.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${shinglesExpr(3)})")).as("s"))

@@ -18,6 +18,16 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("graft_hash60 is bit-identical to the md5-hex/conv formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val mismatches = Tables.documents(spark, sfDir)
+      .select(
+        expr("graft_hash60(text)").as("native"),
+        expr("CAST(conv(substring(md5(text),1,15),16,10) AS BIGINT)").as("hex"))
+      .filter(col("native") =!= col("hex")).count()
+    assert(mismatches == 0)
+  }
+
   test("text_fingerprint: identical text => identical fingerprints") {
     val fp = TextOps.textFingerprint(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
