@@ -10,17 +10,12 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
   */
 object Portable {
 
-  /** 60-bit deterministic hash shared with DuckDB:
-    * Spark  : conv(substring(md5(s), 1, 15), 16, 10) cast long
-    * DuckDB : CAST('0x' || substring(md5(s), 1, 15) AS UBIGINT)
-    * 15 hex chars = 60 bits, always fits a signed long.
+  /** The 60-bit deterministic hash shared with DuckDB lives in
+    * [[graft.functions.Hash60]] (native expression, bit-identical to
+    * `conv(substring(md5(s),1,15),16,10)`); register via
+    * [[GraftFunctions.register]] and use `expr("graft_hash60(x)")`.
+    * DuckDB side: `CAST('0x' || substring(md5(s),1,15) AS UBIGINT)`.
     */
-  def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-
-  /** DuckDB-side rendering of [[portableHash]] for oracle SQL. */
-  def portableHashSql(expr: String): String =
-    s"CAST(CONCAT('0x', SUBSTRING(md5($expr), 1, 15)) AS UBIGINT)"
 
   /** Double → exact decimal(18,2); both engines round half-up here. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -32,14 +32,19 @@ object Components {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(eager = true)
+    val MaxRounds = 50
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint(eager = true)
     // labels only ever decrease; the label sum is a strictly
-    // decreasing convergence witness (one agg per round, carried over)
-    var witness = labels.agg(sum("component")).head.getLong(0)
+    // decreasing convergence witness (one agg per round, carried over).
+    // sum over zero rows is null — an empty node set is already
+    // converged.
+    val first = labels.agg(sum("component")).head
+    if (first.isNullAt(0)) return labels
+    var witness = first.getLong(0)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < MaxRounds) {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
@@ -55,6 +60,12 @@ object Components {
       labels = next
       rounds += 1
     }
+    // silent under-merge is worse than failing loudly: a >MaxRounds
+    // diameter means the graph needs a pointer-doubling variant, not
+    // a wrong keep-list
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxRounds rounds — graph diameter too large")
     labels
   }
 

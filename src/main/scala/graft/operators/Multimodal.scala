@@ -37,7 +37,7 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), unbase64(base64(md5(col("text")).cast("binary"))).as("seed"))
+      .select(col("doc_id"), md5(col("text")).cast("binary").as("seed"))
       .as[(Long, Array[Byte])]
       .map { case (id, seed) =>
         val reps = 1 + (id % 8).toInt

@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.LongType
   * codegen'd higher-order functions — zero shuffles until a join is
   * genuinely required to produce pairs, and every pair join is
   * LSH-band/bucket-bounded, never a cross join. Hash functions are
-  * the portable 60-bit md5 prefix (graft.functions.Portable) so the
-  * DuckDB oracle reproduces signatures bit-for-bit.
+  * the portable 60-bit md5 prefix (the native graft.functions.Hash60
+  * expression) so the DuckDB oracle reproduces signatures
+  * bit-for-bit.
   */
 object TextOps {
 
@@ -205,9 +206,12 @@ object TextOps {
       col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).cast(LongType).as("shared"))
+    // counts is one row per document — leave the join strategy to
+    // AQE (a forced broadcast would collect the whole corpus's doc
+    // list to the driver at scale)
     shared
-      .join(broadcast(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")), "a_id")
-      .join(broadcast(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")), "b_id")
+      .join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
       .withColumn("jac_e4", expr("10000 * shared DIV (na + nb - shared)"))
       .filter(col("jac_e4") >= 3000)
       .select("a_id", "b_id", "jac_e4")

@@ -72,12 +72,17 @@ object VectorOps {
     s"[CAST(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('$j', '_', CAST(i AS VARCHAR))),1,15)) AS UBIGINT) % 2001 AS BIGINT) - 1000 " +
       s"for i in range(0, $Dim)]"
 
-  /** vectors + quantization + norm², all row-local. */
+  /** vectors + quantization + norm², all row-local. Zero-norm vectors
+    * (all components quantize to 0) are dropped — cosine is undefined
+    * for them, and NaN semantics differ between engines (Spark CAST
+    * maps NaN to 0; DuckDB errors). The oracle applies the same guard.
+    */
   private def quantized(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("q", expr(quantExpr))
       .withColumn("n2", expr(dotExpr("q", "q")))
+      .filter(col("n2") > 0)
       .select("vec_id", "q", "n2")
   }
 
@@ -85,7 +90,9 @@ object VectorOps {
     s"""q0 AS (
        |  SELECT vec_id, $quantDuck AS q FROM embeddings),
        |qv AS (
-       |  SELECT vec_id, q, ${dotDuck("q", "q")} AS n2 FROM q0)""".stripMargin
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, ${dotDuck("q", "q")} AS n2 FROM q0) t
+       |  WHERE n2 > 0)""".stripMargin
 
   /** LSH bucket keys: per band, the 4 sign bits of the hyperplane dot
     * products — row-local, then exploded to (band_idx, bucket).

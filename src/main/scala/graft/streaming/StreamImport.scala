@@ -49,6 +49,16 @@ object StreamImport {
     started_ms: Long, completed_ms: Long, amount: String,
     last_click_value: String, status: String, n_events: Long)
 
+  /** Double → cents with the SAME rounding as the batch path's
+    * decimal(18,2) cast (HALF_UP on the decimal rendering of the
+    * double — `math.round(v * 100)` would differ on negatives and on
+    * FP .5 boundaries, diverging from the shared oracle).
+    */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
   private def fold(st: St, r: Rec): St = {
     var s = st.copy(n = st.n + 1)
     r.event_type match {
@@ -56,12 +66,12 @@ object StreamImport {
         s = s.copy(started = math.min(s.started, r.ts_ms))
       case "purchase" =>
         s = s.copy(completed = math.max(s.completed, r.ts_ms),
-          amountE2 = s.amountE2 + math.round(r.value * 100),
+          amountE2 = s.amountE2 + cents(r.value),
           hasAmount = true, done = true)
       case "click" =>
         val ord = r.ts_ms * 1000000L + r.event_id
         if (ord > s.lastOrd)
-          s = s.copy(lastOrd = ord, lastClickE2 = math.round(r.value * 100), hasClick = true)
+          s = s.copy(lastOrd = ord, lastClickE2 = cents(r.value), hasClick = true)
       case "error" =>
         if (r.k >= 90) s = s.copy(failed = true)
       case _ => ()
@@ -146,7 +156,8 @@ object StreamImport {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(sinkDir)
+    TenantUpsertSink.readCurrent(spark, sinkDir)
+      .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir"))
       .select("transfer_key", "tenant", "started_ms", "completed_ms",
         "amount", "last_click_value", "status", "n_events")
       .orderBy("transfer_key")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Keyed upsert sink with tenant partition routing — the batch-side
   * mirror of the reference's per-tenant RDBMS writes
@@ -10,37 +10,59 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * body is a JDBC MERGE per tenant partition (same contract:
   * idempotent by key, latest batch wins).
   *
-  * Upsert = anti-join existing rows on the key, union the new batch,
-  * atomic swap via staging-dir rename. Safe for the micro-batch
-  * cadence of foreachBatch (one writer per query); re-running a batch
-  * converges to the same state — the idempotency the reference gets
-  * from JPA merge semantics.
+  * Crash safety: generations + an atomically-renamed pointer file.
+  * Each upsert writes a NEW generation directory (anti-join current on
+  * the key, union the batch, `partitionBy(tenant)`), then swings
+  * `_CURRENT` via write-temp + rename (atomic on POSIX). A crash at
+  * any point leaves the previous pointer valid and the previous
+  * generation intact, so re-running the batch converges — the
+  * idempotency the reference gets from JPA merge semantics. Stale
+  * generations are pruned best-effort after the swing.
   */
 object TenantUpsertSink {
 
-  def upsert(tableDir: String, batch: DataFrame, key: String): Unit = {
-    val spark = batch.sparkSession
-    val dir = new java.io.File(tableDir)
-    val staging = new java.io.File(tableDir + ".staging")
-    val merged =
-      if (dir.exists()) {
-        val existing = spark.read.parquet(tableDir)
-        existing.join(batch.select(key).distinct(), Seq(key), "left_anti")
-          .unionByName(batch)
-      } else batch
-    merged.write.mode(SaveMode.Overwrite)
-      .partitionBy("tenant")
-      .parquet(staging.getPath)
-    // swap: the read above is fully materialized by the write, so the
-    // old generation can be dropped and replaced atomically-enough for
-    // a single-writer stream.
-    if (dir.exists()) delete(dir)
-    if (!staging.renameTo(dir))
-      throw new java.io.IOException(s"rename $staging -> $dir failed")
+  private val Pointer = "_CURRENT"
+
+  /** The table's current contents (empty frame semantics are the
+    * caller's concern: returns None before the first upsert).
+    */
+  def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
+    currentGen(tableDir).map(g => spark.read.parquet(s"$tableDir/$g"))
+
+  private def currentGen(tableDir: String): Option[String] = {
+    val p = new java.io.File(tableDir, Pointer)
+    if (p.exists()) Some(new String(java.nio.file.Files.readAllBytes(p.toPath)).trim)
+    else None
   }
 
-  private def delete(f: java.io.File): Unit = {
+  def upsert(tableDir: String, batch: DataFrame, key: String): Unit = {
+    val spark = batch.sparkSession
+    new java.io.File(tableDir).mkdirs()
+    val prev = currentGen(tableDir)
+    val merged = readCurrent(spark, tableDir) match {
+      case Some(existing) =>
+        existing.join(batch.select(key).distinct(), Seq(key), "left_anti")
+          .unionByName(batch)
+      case None => batch
+    }
+    val gen = s"gen-${System.nanoTime()}"
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy("tenant")
+      .parquet(s"$tableDir/$gen")
+    // atomic pointer swing: write tmp, rename over _CURRENT
+    val tmp = new java.io.File(tableDir, s"$Pointer.tmp")
+    java.nio.file.Files.write(tmp.toPath, gen.getBytes)
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(tableDir, Pointer).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // best-effort prune of the superseded generation
+    prev.filter(_ != gen).foreach { g =>
+      delete(new java.io.File(tableDir, g))
+    }
+  }
+
+  private def delete(f: java.io.File): Unit = if (f.exists()) {
     if (f.isDirectory) f.listFiles().foreach(delete)
-    if (!f.delete()) throw new java.io.IOException(s"delete $f failed")
+    f.delete()
   }
 }

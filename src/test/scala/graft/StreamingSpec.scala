@@ -36,7 +36,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     }
     q.stop()
-    val streamed = spark.read.parquet(sinkDir)
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
       .orderBy("transfer_key").collect()
     val batch = ImporterCore.impEntityTransfers(spark, sfDir).collect()
     assert(streamed.length == batch.length)
@@ -55,14 +55,19 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq((2L, "t2", "v2"), (3L, "t3", "v1")).toDF("transfer_key", "tenant", "payload")
     TenantUpsertSink.upsert(dir, b1, "transfer_key")
     TenantUpsertSink.upsert(dir, b2, "transfer_key")
-    val out = spark.read.parquet(dir).orderBy("transfer_key")
+    val out = TenantUpsertSink.readCurrent(spark, dir).get.orderBy("transfer_key")
       .collect().map(r => (r.getAs[Long]("transfer_key"), r.getAs[String]("payload")))
     assert(out.toSeq == Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
-    // partition routing on disk
-    assert(new java.io.File(dir).listFiles().exists(_.getName == "tenant=t2"))
+    // partition routing on disk (inside the current generation dir)
+    val gens = new java.io.File(dir).listFiles().filter(_.getName.startsWith("gen-"))
+    assert(gens.nonEmpty && gens.exists(_.listFiles().exists(_.getName == "tenant=t2")))
     // idempotency: re-applying b2 changes nothing
     TenantUpsertSink.upsert(dir, b2, "transfer_key")
-    assert(spark.read.parquet(dir).count() == 3)
+    assert(TenantUpsertSink.readCurrent(spark, dir).get.count() == 3)
+    // crash safety: a leftover staging generation without a pointer
+    // swing must not corrupt reads (pointer still names a valid gen)
+    new java.io.File(dir, "gen-9999999999999999999").mkdirs()
+    assert(TenantUpsertSink.readCurrent(spark, dir).get.count() == 3)
   }
 
   test("src_out_of_order buffers records until the association arrives") {
