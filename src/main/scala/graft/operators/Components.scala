@@ -99,9 +99,52 @@ object Components {
        |  src = MIN(dst) AS keep
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** The pipeline's end product: the training-data keep-list. A
+    * document survives iff it passes the quality gate AND is its
+    * duplicate-cluster's representative — the composition every
+    * corpus-prep pipeline ships, here as one declarative plan over the
+    * quality and closure operators.
+    */
+  def pipeKeeplist(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("bucket"))
+    val keepers = dedupComponents(spark, dir)
+      .select(col("doc_id"), col("component"), col("keep"))
+    keepers.join(quality, "doc_id")
+      .filter(col("keep") && col("bucket") === "good")
+      .select("doc_id", "component")
+      .orderBy("doc_id")
+  }
+
+  def pipeKeeplistSql: String =
+    s"""WITH RECURSIVE ${TextOps.minhashCandidatesSqlCtes},
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM cand
+       |  UNION
+       |  SELECT b_id, a_id FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |comp AS (
+       |  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT c.doc_id, c.component
+       |FROM comp c JOIN q ON q.doc_id = c.doc_id
+       |WHERE c.doc_id = c.component
+       |  AND q.n_tokens BETWEEN 30 AND 400
+       |  AND 10000 * q.n_stop // q.n_tokens BETWEEN 100 AND 3000
+       |ORDER BY c.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_components" -> (dedupComponents _))
+    "dedup_components" -> (dedupComponents _),
+    "pipe_keeplist" -> (pipeKeeplist _))
 
   def oracles: Map[String, String] = Map(
-    "dedup_components" -> dedupComponentsSql)
+    "dedup_components" -> dedupComponentsSql,
+    "pipe_keeplist" -> pipeKeeplistSql)
 }
