@@ -164,6 +164,29 @@ object TextOps {
        |  bit_xor(${hxDuck("s")}) AS fp_shingle
        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Text normalization: lowercase, trim, collapse whitespace runs —
+    * the canonical pre-dedup cleanup. Output carries the normalized
+    * text's hash (not the text itself) so the check stays compact.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
+      .select(
+        col("doc_id"),
+        expr(hx("norm")).as("norm_hash"),
+        length(col("norm")).cast(LongType).as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  def textNormalizeSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm
+       |  FROM documents)
+       |SELECT doc_id, ${hxDuck("norm")} AS norm_hash,
+       |  CAST(length(norm) AS BIGINT) AS norm_len
+       |FROM n ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- dedup
 
   /** Exact dedup: hash-groupBy on the full text, keep the minimum
@@ -370,6 +393,7 @@ object TextOps {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_normalize" -> (textNormalize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -380,6 +404,7 @@ object TextOps {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_normalize" -> textNormalizeSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,

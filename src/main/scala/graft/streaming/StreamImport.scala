@@ -125,14 +125,86 @@ object StreamImport {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
-  /** Driver-checked end-to-end run: stream the sf dir's events file
-    * through the state machine with an AvailableNow trigger into the
-    * tenant-routed upsert sink, then read the sink back. Output is
-    * oracle-identical to the batch imp_entity_transfers.
+  // ------------------------------------------------ TransactionRequest
+
+  /** TransactionRequest streaming state: LAST-WRITE-WINS on the state
+    * signal (every state-carrying record overwrites; latest ord wins —
+    * ImporterCore.impEntityTxnreq's arg-max, folded incrementally).
     */
-  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+  case class TxnSt(state: String, stateOrd: Long, started: Long,
+    completed: Long, amountE2: Long, hasAmount: Boolean, n: Long)
+
+  private val EmptyTxnSt = TxnSt("IN_PROGRESS", Long.MinValue,
+    Long.MaxValue, Long.MinValue, 0L, hasAmount = false, 0L)
+
+  case class TxnRow(txn_key: Long, tenant: String, state: String,
+    started_ms: Long, completed_ms: Long, amount: String, n_events: Long)
+
+  private def txnSignal(r: Rec): Option[String] = {
+    val fatal = r.k >= 90
+    r.event_type match {
+      case "signup" => Some("RECEIVED")
+      case "view" => Some(if (fatal) "FAILED" else "RECEIVED")
+      case "click" => Some(if (fatal) "FAILED" else "IN_PROGRESS")
+      case "purchase" => Some(if (fatal) "FAILED" else "ACCEPTED")
+      case "error" if fatal => Some("FAILED")
+      case _ => None
+    }
+  }
+
+  private def foldTxn(st: TxnSt, r: Rec): TxnSt = {
+    var s = st.copy(n = st.n + 1)
+    val ord = r.ts_ms * 1000000L + r.event_id
+    txnSignal(r).foreach { sig =>
+      if (ord > s.stateOrd) s = s.copy(state = sig, stateOrd = ord)
+    }
+    if (r.event_type == "signup")
+      s = s.copy(started = math.min(s.started, r.ts_ms))
+    if (r.event_type == "purchase")
+      s = s.copy(completed = math.max(s.completed, r.ts_ms),
+        amountE2 = s.amountE2 + cents(r.value), hasAmount = true)
+    s
+  }
+
+  def updateTxn(key: Long, recs: Iterator[Rec], state: GroupState[TxnSt]): Iterator[TxnRow] = {
+    val st = recs.foldLeft(state.getOption.getOrElse(EmptyTxnSt))(foldTxn)
+    state.update(st)
+    Iterator.single(TxnRow(
+      txn_key = key,
+      tenant = "t" + (key % 10),
+      state = st.state,
+      started_ms = if (st.started == Long.MaxValue) -1L else st.started,
+      completed_ms = if (st.completed == Long.MinValue) -1L else st.completed,
+      amount = if (st.hasAmount) java.math.BigDecimal.valueOf(st.amountE2, 2).toPlainString else "",
+      n_events = st.n))
+  }
+
+  def txnreqStream(events: DataFrame): Dataset[TxnRow] = {
+    import events.sparkSession.implicits._
+    toRecs(events)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateTxn)
+  }
+
+  /** Streaming TransactionRequest materialization, driver-checked
+    * against the SAME oracle as the batch imp_entity_txnreq.
+    */
+  def runTxnreqToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events => txnreqStream(events).toDF(), "txn_key")
+      .select("txn_key", "tenant", "state", "started_ms", "completed_ms",
+        "amount", "n_events")
+      .orderBy("txn_key")
+
+  // --------------------------------------------------------- plumbing
+
+  /** Shared end-to-end runner: stream the sf dir's events file through
+    * `transform` with an AvailableNow trigger into the tenant-routed
+    * upsert sink, then read the sink back.
+    */
+  private def runPipeline(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, key: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_").toString
-    val sinkDir = s"$work/transfers"
+    val sinkDir = s"$work/sink"
     // Raw file schema (ts is parquet TIMESTAMP(NANOS) read as long —
     // Tables.events sets the legacy conf); normalization to ts_ms then
     // happens on the stream exactly as in the batch loader.
@@ -146,27 +218,35 @@ object StreamImport {
       .parquet(dir)
       .withColumn("ts_ms", expr("ts div 1000000"))
       .drop("ts")
-    val q = transfersStream(stream).toDF()
+    val q = transform(stream)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$work/chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        TenantUpsertSink.upsert(sinkDir, batch, "transfer_key")
+        TenantUpsertSink.upsert(sinkDir, batch, key)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     TenantUpsertSink.readCurrent(spark, sinkDir)
       .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir"))
+  }
+
+  /** Driver-checked transfers run — oracle-identical to the batch
+    * imp_entity_transfers.
+    */
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events => transfersStream(events).toDF(), "transfer_key")
       .select("transfer_key", "tenant", "started_ms", "completed_ms",
         "amount", "last_click_value", "status", "n_events")
       .orderBy("transfer_key")
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_import" -> (runToCompletion _))
+    "stream_import" -> (runToCompletion _),
+    "stream_txnreq" -> (runTxnreqToCompletion _))
 
-  /** Streaming path answers the SAME oracle as the batch entity. */
+  /** Streaming paths answer the SAME oracles as the batch entities. */
   def oracles: Map[String, String] = Map(
-    "stream_import" -> graft.operators.ImporterCore.impEntityTransfersSql)
+    "stream_import" -> graft.operators.ImporterCore.impEntityTransfersSql,
+    "stream_txnreq" -> graft.operators.ImporterCore.impEntityTxnreqSql)
 }
