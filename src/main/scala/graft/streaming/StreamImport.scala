@@ -195,6 +195,65 @@ object StreamImport {
         "amount", "n_events")
       .orderBy("txn_key")
 
+  // ------------------------------------------------------------ Batch
+
+  /** Batch entity streaming state: pure counters + lifecycle
+    * (InflightBatchManager semantics — all order-insensitive).
+    */
+  case class BatchSt(started: Long, completed: Long, total: Long,
+    done: Long, failed: Long)
+
+  private val EmptyBatchSt = BatchSt(Long.MaxValue, Long.MinValue, 0L, 0L, 0L)
+
+  case class BatchRow(batch_key: Long, batch_id: String, request_id: String,
+    started_ms: Long, completed_ms: Long, total_transactions: Long,
+    ongoing: Long, failed: Long, completed: Long)
+
+  private def foldBatch(st: BatchSt, r: Rec): BatchSt = {
+    var s = st
+    r.event_type match {
+      case "signup" => s = s.copy(started = math.min(s.started, r.ts_ms))
+      case "purchase" => s = s.copy(completed = math.max(s.completed, r.ts_ms),
+        total = s.total + 1, done = s.done + 1)
+      case "click" | "view" => s = s.copy(total = s.total + 1)
+      case "error" => if (r.k >= 90) s = s.copy(failed = s.failed + 1)
+      case _ => ()
+    }
+    s
+  }
+
+  def updateBatch(key: Long, recs: Iterator[Rec], state: GroupState[BatchSt]): Iterator[BatchRow] = {
+    val st = recs.foldLeft(state.getOption.getOrElse(EmptyBatchSt))(foldBatch)
+    state.update(st)
+    Iterator.single(BatchRow(
+      batch_key = key,
+      batch_id = "b" + (key % 20),
+      request_id = s"req-$key",
+      started_ms = if (st.started == Long.MaxValue) -1L else st.started,
+      completed_ms = if (st.completed == Long.MinValue) -1L else st.completed,
+      total_transactions = st.total,
+      ongoing = math.max(st.total - st.done, 0L),
+      failed = st.failed,
+      completed = st.done))
+  }
+
+  def batchesStream(events: DataFrame): Dataset[BatchRow] = {
+    import events.sparkSession.implicits._
+    toRecs(events)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateBatch)
+  }
+
+  /** Streaming Batch materialization — same oracle as the batch
+    * imp_entity_batches.
+    */
+  def runBatchesToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events => batchesStream(events).toDF()
+      .withColumn("tenant", concat(lit("t"), col("batch_key") % 10)), "batch_key")
+      .select("batch_key", "batch_id", "request_id", "started_ms", "completed_ms",
+        "total_transactions", "ongoing", "failed", "completed")
+      .orderBy("batch_key")
+
   // --------------------------------------------------------- plumbing
 
   /** Shared end-to-end runner: stream the sf dir's events file through
@@ -243,10 +302,12 @@ object StreamImport {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_import" -> (runToCompletion _),
-    "stream_txnreq" -> (runTxnreqToCompletion _))
+    "stream_txnreq" -> (runTxnreqToCompletion _),
+    "stream_batches" -> (runBatchesToCompletion _))
 
   /** Streaming paths answer the SAME oracles as the batch entities. */
   def oracles: Map[String, String] = Map(
     "stream_import" -> graft.operators.ImporterCore.impEntityTransfersSql,
-    "stream_txnreq" -> graft.operators.ImporterCore.impEntityTxnreqSql)
+    "stream_txnreq" -> graft.operators.ImporterCore.impEntityTxnreqSql,
+    "stream_batches" -> graft.operators.ImporterCore.impEntityBatchesSql)
 }
