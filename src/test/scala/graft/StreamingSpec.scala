@@ -48,6 +48,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_txnreq: RANDOMIZED arrival order still equals the batch entity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    // deterministic shuffle: last-write-wins must be decided by event
+    // ORD, not arrival order
+    val shuffled = new scala.util.Random(7).shuffle(recs.toVector)
+    val stream = MemoryStream[StreamImport.Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_txn_").toString + "/t"
+    val q = StreamImport.txnreqStream(stream.toDF()).toDF()
+      .withColumn("tenant", concat(lit("t"), col("txn_key") % 10))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_txnchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "txn_key")
+      }
+      .start()
+    shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = graft.streaming.TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("txn_key", "state", "started_ms", "completed_ms", "amount", "n_events")
+      .orderBy("txn_key").collect()
+    val batch = ImporterCore.impEntityTxnreq(spark, sfDir)
+      .select("txn_key", "state", "started_ms", "completed_ms", "amount", "n_events")
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"key ${s.get(0)}: stream=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("upsert sink: latest batch wins per key, tenant partitions routed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert2_").toString + "/t"
