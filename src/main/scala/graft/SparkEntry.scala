@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Components, ImporterCore, Multimodal, Specs, TextOps, VectorOps}
+import graft.operators.{Analytics, Components, ImporterCore, Multimodal, Specs, TemporalJoins, TextOps, VectorOps}
 import graft.sources.RawIngest
 import graft.streaming.StreamImport
 
@@ -15,12 +15,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ ImporterCore.queries ++ Specs.queries ++
       TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
-      StreamImport.queries ++ RawIngest.queries ++ Components.queries
+      StreamImport.queries ++ RawIngest.queries ++ Components.queries ++
+      TemporalJoins.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ ImporterCore.oracles ++ Specs.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ StreamImport.oracles ++
-      RawIngest.oracles ++ Components.oracles
+      RawIngest.oracles ++ Components.oracles ++ TemporalJoins.oracles
 }
