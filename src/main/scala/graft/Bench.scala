@@ -8,18 +8,30 @@ object Bench {
     val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, scheduler, file-listing
-    // caches) so the first measured query isn't charged the JVM spinup
+    // caches) so the first measured query isn't charged the JVM spinup;
+    // warmup failures must not kill the run — the per-query loop
+    // reports them properly
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    Tables.all.foreach(t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () })
+    val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+          false
+      }
+      // a failed query reports -1, never its time-to-crash
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,8 +21,10 @@ object Plans {
     names.foreach { name =>
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
-      // force AQE finalization so the printed plan is the executed one
-      df.count()
+      // collect() runs df's OWN QueryExecution (count() would build a
+      // derived aggregate and leave this plan un-executed), so the
+      // printed plan is the post-AQE executed one
+      df.collect()
       println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()

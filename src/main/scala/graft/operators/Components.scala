@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Release a superseded localCheckpoint's storage: the returned
+    * Dataset wraps a persisted RDD behind a LogicalRDD node — without
+    * this, every propagation round leaves a full label-set copy in
+    * block-manager memory for the life of the query.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Label-propagate to convergence over an undirected edge list
     * (columns `a_id`, `b_id`) covering `nodes` (column `doc_id`).
     * Returns (doc_id, component) where component = min doc_id reachable.
@@ -36,12 +48,17 @@ object Components {
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint(eager = true)
     // labels only ever decrease; the label sum is a strictly
-    // decreasing convergence witness (one agg per round, carried over).
-    // sum over zero rows is null — an empty node set is already
-    // converged.
-    val first = labels.agg(sum("component")).head
-    if (first.isNullAt(0)) return labels
-    var witness = first.getLong(0)
+    // decreasing convergence witness (one agg per round, carried
+    // over). Summed in decimal(38,0) — a bigint sum would wrap at
+    // billion-node/large-id scale and wrapped equality is not a
+    // convergence proof. Sum over zero rows is null — an empty node
+    // set is already converged.
+    def witnessOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head
+        .getDecimal(0)
+    val first = witnessOf(labels)
+    if (first == null) return labels
+    var witness = first
     var converged = false
     var rounds = 0
     while (!converged && rounds < MaxRounds) {
@@ -54,9 +71,10 @@ object Components {
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
         .localCheckpoint(eager = true)
-      val after = next.agg(sum("component")).head.getLong(0)
-      converged = witness == after
+      val after = witnessOf(next)
+      converged = witness.compareTo(after) == 0
       witness = after
+      freeCheckpoint(labels)
       labels = next
       rounds += 1
     }

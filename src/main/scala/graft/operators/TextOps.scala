@@ -335,36 +335,44 @@ object TextOps {
        |SELECT a_id, b_id, n_bands FROM cand ORDER BY a_id, b_id""".stripMargin
 
   /** SimHash near-dup: 32-bit frequency-weighted signature computed
-    * row-locally (bit votes folded over the token list with
-    * higher-order functions), then the classic two-half band join and
-    * exact Hamming filter (<= 3) via bit_count(xor).
+    * row-locally (native graft_simhash32 codegen), banded 4×8 bits.
+    * Pigeonhole: a pair at Hamming distance <= 3 differs in at most 3
+    * of the 4 bands, so AT LEAST ONE band matches exactly — full
+    * recall for the d<=3 filter. (Two 16-bit halves would only
+    * guarantee d<=1: two flipped bits can straddle both halves.)
     */
   private val SimBits = 32
+  private val SimBands = 4 // 8 bits each — exact-recall band count for d<=3
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    // md5 each token once, then the 32-bit vote loop runs as native
-    // codegen (graft.functions.SimHash32) instead of a 32-way nested
-    // lambda fold.
-    // signatures materialize once — they feed FOUR join inputs (two
-    // half-band self-joins × two sides); without the barrier each
-    // side re-hashes the corpus
+    // signatures materialize once — they feed all band-join inputs;
+    // without the barrier each side re-hashes the corpus
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr(s"graft_simhash32(transform(split(text,' '), w -> ${hx("w")}))").as("sig"))
-      .withColumn("hi", expr("shiftright(sig, 16)"))
-      .withColumn("lo", expr("sig & 65535"))
       .localCheckpoint(eager = true)
-    def halfJoin(k: String) = sigs.as("a").join(sigs.as("b"),
-      col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("bit_count(a.sig ^ b.sig)").cast(LongType).as("hamming"))
-    halfJoin("hi").union(halfJoin("lo")).distinct()
+    def bandJoin(b: Int) = {
+      val shift = b * 8
+      sigs.as("a").join(sigs.as("b"),
+        expr(s"(shiftright(a.sig, $shift) & 255) = (shiftright(b.sig, $shift) & 255)") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          expr("bit_count(a.sig ^ b.sig)").cast(LongType).as("hamming"))
+    }
+    (0 until SimBands).map(bandJoin).reduce(_ union _).distinct()
       .filter(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
   }
 
-  def dedupSimhashSql: String =
+  def dedupSimhashSql: String = {
+    val bandJoins = (0 until SimBands).map { b =>
+      val shift = b * 8
+      s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
+         |  FROM sigs a JOIN sigs b
+         |    ON (a.sig >> $shift) & 255 = (b.sig >> $shift) & 255
+         |   AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n  ")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
        |votes AS (
@@ -376,17 +384,12 @@ object TextOps {
        |  SELECT doc_id,
        |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
        |  FROM votes GROUP BY doc_id),
-       |halves AS (
-       |  SELECT doc_id, sig, sig >> 16 AS hi, sig & 65535 AS lo FROM sigs),
        |cand AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
-       |  FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id, a.sig, b.sig
-       |  FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+       |  $bandJoins)
        |SELECT DISTINCT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),

@@ -79,11 +79,13 @@ object VectorOps {
     */
   private def quantized(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
+    // materialized once: every consumer is a self-join or multi-read
     Tables.embeddings(spark, dir)
       .withColumn("q", expr(quantExpr))
       .withColumn("n2", expr(dotExpr("q", "q")))
       .filter(col("n2") > 0)
       .select("vec_id", "q", "n2")
+      .localCheckpoint(eager = true)
   }
 
   private val quantizedDuckCte =
@@ -224,7 +226,12 @@ object VectorOps {
   private val IvfCells = 16
   private val IvfProbes = 2
 
-  private def cellAssignments(spark: SparkSession, dir: String, topK: Int): DataFrame = {
+  /** One pass: top-`IvfProbes` cells per vector, materialized — the
+    * corpus side is the crnk=1 filter of the SAME frame (computing
+    * assignments separately per side would re-run the crossJoin +
+    * window twice).
+    */
+  private def cellAssignments(spark: SparkSession, dir: String): DataFrame = {
     val v = quantized(spark, dir)
     val cents = v.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
@@ -232,14 +239,17 @@ object VectorOps {
       .select(col("vec_id"), col("q"), col("n2"), col("cent_id"),
         expr(scoreE6(dotExpr("q", "cq"), "n2", "cn2")).as("cscore"))
     val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id"))
-    scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= topK)
+    scored.withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= IvfProbes)
+      .localCheckpoint(eager = true)
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = cellAssignments(spark, dir, 1)
+    val assigned = cellAssignments(spark, dir)
+    val corpus = assigned.filter(col("crnk") === 1)
       .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
         col("cent_id").as("cell"))
-    val queriesSide = cellAssignments(spark, dir, IvfProbes)
+    val queriesSide = assigned
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"),
         col("cent_id").as("cell"))
     val cands = queriesSide.join(corpus, "cell")

@@ -38,7 +38,6 @@ object TenantUpsertSink {
   def upsert(tableDir: String, batch: DataFrame, key: String): Unit = {
     val spark = batch.sparkSession
     new java.io.File(tableDir).mkdirs()
-    val prev = currentGen(tableDir)
     val merged = readCurrent(spark, tableDir) match {
       case Some(existing) =>
         existing.join(batch.select(key).distinct(), Seq(key), "left_anti")
@@ -55,10 +54,13 @@ object TenantUpsertSink {
     java.nio.file.Files.move(tmp.toPath, new java.io.File(tableDir, Pointer).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // best-effort prune of the superseded generation
-    prev.filter(_ != gen).foreach { g =>
-      delete(new java.io.File(tableDir, g))
-    }
+    // best-effort prune of EVERY unreferenced generation — not just
+    // the one superseded now: a crash between gen write and pointer
+    // swing orphans a directory that no later upsert would otherwise
+    // reclaim (single-writer, so nothing else can hold a stale gen).
+    new java.io.File(tableDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-") && f.getName != gen)
+      .foreach(delete)
   }
 
   private def delete(f: java.io.File): Unit = if (f.exists()) {
