@@ -48,6 +48,23 @@ class PipelineOpsSpec extends SparkSpec {
       s"$missed of ${strong.count()} strong minhash pairs fail the ngram gate")
   }
 
+  test("cross-detector agreement: high-precision ngram pairs are found by the sketch detectors") {
+    // Guards against STRUCTURAL flaws an implementation-mirroring
+    // oracle cannot catch (the simhash half-band recall bug passed the
+    // oracle gate because the oracle shared the banding): independent
+    // detectors must substantially agree on the planted near-dups.
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ngram = pairSet(TextOps.dedupNgram(spark, sfDir))
+    assert(ngram.nonEmpty)
+    val simhash = pairSet(TextOps.dedupSimhash(spark, sfDir))
+    val minhash = pairSet(TextOps.dedupMinhash(spark, sfDir))
+    val shRecall = (ngram & simhash).size.toDouble / ngram.size
+    val mhRecall = (ngram & minhash).size.toDouble / ngram.size
+    assert(shRecall >= 0.7, s"simhash finds only ${(shRecall * 100).round}% of ngram pairs")
+    assert(mhRecall >= 0.9, s"minhash finds only ${(mhRecall * 100).round}% of ngram pairs")
+  }
+
   test("dedup_components: labels are transitively closed over candidate pairs") {
     import graft.operators.Components
     val comp = Components.dedupComponents(spark, sfDir)
