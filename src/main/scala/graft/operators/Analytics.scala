@@ -277,6 +277,38 @@ object Analytics {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Exact per-group percentiles, positionally (the element at
+    * floor((n-1)·p), "lower" interpolation) — engine quantile
+    * functions disagree on interpolation, the positional form is
+    * deterministic everywhere and one window pass computes any number
+    * of cut points.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val ranked = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked.groupBy("event_type")
+      .agg(
+        moneyStr(max(when(col("rn") === expr("CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1"), dec2(col("value"))))).as("p50"),
+        moneyStr(max(when(col("rn") === expr("CAST(FLOOR((n - 1) * 0.95) AS BIGINT) + 1"), dec2(col("value"))))).as("p95"),
+        max(col("n")).as("n"))
+      .orderBy("event_type")
+  }
+
+  def qPercentilesSql: String =
+    """WITH r AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(CAST(MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1 THEN v END) AS DECIMAL(38,2)) AS VARCHAR) AS p50,
+      |  CAST(CAST(MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.95) AS BIGINT) + 1 THEN v END) AS DECIMAL(38,2)) AS VARCHAR) AS p95,
+      |  MAX(n) AS n
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
@@ -287,7 +319,8 @@ object Analytics {
     "q_rollup" -> (qRollup _),
     "q_semi_returned" -> (qSemiReturned _),
     "q_anti_idle" -> (qAntiIdle _),
-    "q_distinct_users" -> (qDistinctUsers _))
+    "q_distinct_users" -> (qDistinctUsers _),
+    "q_percentiles" -> (qPercentiles _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -299,5 +332,6 @@ object Analytics {
     "q_rollup" -> qRollupSql,
     "q_semi_returned" -> qSemiReturnedSql,
     "q_anti_idle" -> qAntiIdleSql,
-    "q_distinct_users" -> qDistinctUsersSql)
+    "q_distinct_users" -> qDistinctUsersSql,
+    "q_percentiles" -> qPercentilesSql)
 }
