@@ -220,6 +220,28 @@ object Analytics {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rflag, lstatus""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    * pass — the full grouping-set machinery next to ROLLUP's
+    * hierarchy.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"))
+      .orderBy("rflag", "lstatus")
+  }
+
+  def qCubeSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin
+
   /** Semi-join: orders having at least one returned line item —
     * `left_semi` keeps the probe side only (no row multiplication, no
     * payload columns shuffled from the build side).
@@ -320,7 +342,8 @@ object Analytics {
     "q_semi_returned" -> (qSemiReturned _),
     "q_anti_idle" -> (qAntiIdle _),
     "q_distinct_users" -> (qDistinctUsers _),
-    "q_percentiles" -> (qPercentiles _))
+    "q_percentiles" -> (qPercentiles _),
+    "q_cube" -> (qCube _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -333,5 +356,6 @@ object Analytics {
     "q_semi_returned" -> qSemiReturnedSql,
     "q_anti_idle" -> qAntiIdleSql,
     "q_distinct_users" -> qDistinctUsersSql,
-    "q_percentiles" -> qPercentilesSql)
+    "q_percentiles" -> qPercentilesSql,
+    "q_cube" -> qCubeSql)
 }

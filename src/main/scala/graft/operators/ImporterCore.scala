@@ -350,6 +350,54 @@ object ImporterCore {
        |$transfersSqlCte)
        |SELECT * FROM t ORDER BY transfer_key""".stripMargin
 
+  /** The `variables` append table (the reference's per-record variable
+    * log: workflowKey, workflowInstanceKey, timestamp, name, value —
+    * §1 data model). Append semantics: every VARIABLE record lands,
+    * dedup happens at read time (imp_var_dedup) exactly as the
+    * reference's processVariable guards inserts.
+    */
+  def impVariables(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(
+        col("event_id").as("record_key"),
+        col("user_id").as("instance_key"),
+        col("ts_ms"),
+        col("event_type").as("name"),
+        moneyStr(dec2(col("value"))).as("value"))
+      .orderBy("record_key")
+
+  def impVariablesSql: String =
+    """SELECT event_id AS record_key, user_id AS instance_key,
+      |  epoch_ms(ts) AS ts_ms, event_type AS name,
+      |  CAST(CAST(value AS DECIMAL(38,2)) AS VARCHAR) AS value
+      |FROM events WHERE event_type IN ('click','view','purchase')
+      |ORDER BY record_key""".stripMargin
+
+  /** The `tasks` append table (workflowKey, workflowInstanceKey,
+    * timestamp, intent, recordType, type, elementId — §1 data model).
+    */
+  def impTasks(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id").as("record_key"),
+        col("user_id").as("instance_key"),
+        col("ts_ms"),
+        when(get_json_object(col("props"), "$.k").cast(LongType) < 50, "CREATED")
+          .otherwise("COMPLETED").as("intent"),
+        lit("JOB").as("record_type"),
+        col("event_type").as("element_id"))
+      .orderBy("record_key")
+
+  def impTasksSql: String =
+    """SELECT event_id AS record_key, user_id AS instance_key,
+      |  epoch_ms(ts) AS ts_ms,
+      |  CASE WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) < 50
+      |       THEN 'CREATED' ELSE 'COMPLETED' END AS intent,
+      |  'JOB' AS record_type,
+      |  event_type AS element_id
+      |FROM events ORDER BY record_key""".stripMargin
+
   /** Static per-process configuration (the reference's application.yml
     * `bpmn.processes` list: each process id carries its payment
     * direction, consumed by Inflight*Manager.*Started). Dimension
@@ -504,7 +552,9 @@ object ImporterCore {
     "imp_entity_transfers" -> (impEntityTransfers _),
     "imp_entity_txnreq" -> (impEntityTxnreq _),
     "imp_entity_batches" -> (impEntityBatches _),
-    "imp_direction" -> (impDirection _))
+    "imp_direction" -> (impDirection _),
+    "imp_variables" -> (impVariables _),
+    "imp_tasks" -> (impTasks _))
 
   def oracles: Map[String, String] = Map(
     "imp_parse_route" -> impParseRouteSql,
@@ -518,5 +568,7 @@ object ImporterCore {
     "imp_entity_transfers" -> impEntityTransfersSql,
     "imp_entity_txnreq" -> impEntityTxnreqSql,
     "imp_entity_batches" -> impEntityBatchesSql,
-    "imp_direction" -> impDirectionSql)
+    "imp_direction" -> impDirectionSql,
+    "imp_variables" -> impVariablesSql,
+    "imp_tasks" -> impTasksSql)
 }
