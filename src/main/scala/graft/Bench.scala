@@ -18,7 +18,13 @@ object Bench {
     val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // noop sink materializes EVERY column and keeps the final sort
+      // in the plan — count() would let Catalyst prune the aggregates
+      // and EliminateSorts drop the orderBy, timing a fraction of the
+      // real query
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name

@@ -28,10 +28,16 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_ms", org.apache.spark.sql.functions.expr("ts div 1000000"))
-      .drop("ts")
+    normalizeEvents(load(spark, dir, "events"))
   }
+
+  /** The nanos→millis normalization contract, shared by the batch
+    * loader and the streaming source (divergence here would split the
+    * two paths that answer one oracle).
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.withColumn("ts_ms", org.apache.spark.sql.functions.expr("ts div 1000000"))
+      .drop("ts")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -29,17 +29,26 @@ object OutOfOrder {
 
   val DeadLetter = "__dead_letter__"
 
+  /** Per-key orphan buffer cap; overflow spills to dead-letter. */
+  val MaxBuffer = 1000
+
   /** Association payload a signup record carries. */
   def assocOf(userId: Long): String = s"proc-t${userId % 10}"
 
   def update(key: Long, recs: Iterator[StreamImport.Rec],
       state: GroupState[BufferSt]): Iterator[Routed] = {
     if (state.hasTimedOut) {
-      // instance idle past the horizon: flush any un-associated
-      // buffer to the dead-letter route and drop ALL state — bounded
-      // memory (the reference's TempDocumentStore keeps these forever;
-      // that leak is what this timeout fixes at scale).
+      // instance idle past the horizon. An ESTABLISHED association is
+      // kept (O(1) state — dropping it would mis-route later records
+      // of a known instance to dead-letter); only un-associated
+      // buffers flush to dead-letter and drop. The reference's
+      // TempDocumentStore keeps orphan buffers forever — that
+      // unbounded growth is what this timeout fixes.
       val st = state.getOption.getOrElse(BufferSt(None, Nil, 0L))
+      if (st.assoc.isDefined) {
+        state.update(st.copy(buffered = Nil))
+        return Iterator.empty
+      }
       state.remove()
       return st.buffered.reverseIterator.map(Routed(_, key, DeadLetter))
     }
@@ -57,7 +66,16 @@ object OutOfOrder {
         }
       } else st.assoc match {
         case Some(a) => out += Routed(r.event_id, key, a)
-        case None => st = st.copy(buffered = r.event_id :: st.buffered)
+        case None =>
+          st = st.copy(buffered = r.event_id :: st.buffered)
+          // an ACTIVELY-written orphan pushes its idle horizon forward
+          // forever, so the timeout alone cannot bound its buffer —
+          // overflow the oldest entries to dead-letter at the cap
+          if (st.buffered.length > MaxBuffer) {
+            val (keep, spill) = st.buffered.splitAt(MaxBuffer)
+            spill.reverse.foreach(id => out += Routed(id, key, DeadLetter))
+            st = st.copy(buffered = keep)
+          }
       }
     }
     state.update(st)

@@ -265,18 +265,16 @@ object StreamImport {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_").toString
     val sinkDir = s"$work/sink"
     // Raw file schema (ts is parquet TIMESTAMP(NANOS) read as long —
-    // Tables.events sets the legacy conf); normalization to ts_ms then
-    // happens on the stream exactly as in the batch loader.
+    // Tables.events sets the legacy conf); normalization then comes
+    // from the SAME helper the batch loader uses.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source wants a directory: stream the sf dir
     // with a glob pinned to the events file
-    val stream = spark.readStream
+    val stream = Tables.normalizeEvents(spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .drop("ts")
+      .parquet(dir))
     val q = transform(stream)
       .writeStream
       .outputMode("update")
@@ -287,8 +285,17 @@ object StreamImport {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TenantUpsertSink.readCurrent(spark, sinkDir)
+    val result = TenantUpsertSink.readCurrent(spark, sinkDir)
       .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir"))
+      // detach from the temp files so the work dir can be reclaimed
+      // (a lazy plan over deleted parquet would fail at consume time)
+      .localCheckpoint(eager = true)
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(work))
+    result
   }
 
   /** Driver-checked transfers run — oracle-identical to the batch

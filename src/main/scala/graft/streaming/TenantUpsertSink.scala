@@ -37,6 +37,10 @@ object TenantUpsertSink {
 
   def upsert(tableDir: String, batch: DataFrame, key: String): Unit = {
     val spark = batch.sparkSession
+    // an empty batch would write a generation with ZERO parquet files
+    // (only _SUCCESS) and poison every later schema-inferring read;
+    // there is also nothing to change — skip
+    if (batch.isEmpty) return
     new java.io.File(tableDir).mkdirs()
     val merged = readCurrent(spark, tableDir) match {
       case Some(existing) =>
