@@ -31,7 +31,13 @@ object Bench {
           false
       }
       // a failed query reports -1, never its time-to-crash
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // per-query scratch scope: release the query's materialized
+      // checkpoints OUTSIDE its timing — round 1 measured a 15× tail
+      // inflation from leaked blocks contaminating later queries
+      Scratch.releaseAll()
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

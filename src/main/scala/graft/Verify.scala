@@ -23,6 +23,8 @@ object Verify {
         }
         rm(new java.io.File(s"$outDir/$name"))
       }
+      // per-query scratch scope (see graft.Scratch)
+      Scratch.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

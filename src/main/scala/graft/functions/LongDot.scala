@@ -98,5 +98,13 @@ object GraftFunctions {
       FunctionIdentifier("graft_minhash8"),
       new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash8"),
       (children: Seq[Expression]) => MinHashK(children.head, MinhashA, MinhashB, MinhashP))
+    registry.registerFunction(
+      FunctionIdentifier("graft_hash60_all"),
+      new ExpressionInfo(classOf[Hash60All].getName, "graft_hash60_all"),
+      (children: Seq[Expression]) => Hash60All(children.head))
+    registry.registerFunction(
+      FunctionIdentifier("graft_xorfold"),
+      new ExpressionInfo(classOf[XorFold].getName, "graft_xorfold"),
+      (children: Seq[Expression]) => XorFold(children.head))
   }
 }

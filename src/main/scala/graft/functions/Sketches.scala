@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Sketch expressions over a pre-hashed token/shingle array
   * (array<bigint> of portable 60-bit hashes). Native Catalyst
@@ -145,4 +145,93 @@ case class MinHashK(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
     copy(child = newChild)
 
   override def prettyName: String = "graft_minhash"
+}
+
+/** Element-wise portable 60-bit hash of an array<string> — the
+  * vectorized form of [[Hash60]]. Replaces
+  * `transform(arr, s -> graft_hash60(s))`: Catalyst's higher-order
+  * `transform` evaluates its lambda through interpreted dispatch per
+  * element even when the inner expression is codegen-capable, which
+  * made the per-shingle hash the hot loop of every signature build.
+  * Null elements hash to null (never produced by split/shingling).
+  */
+case class Hash60All(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash60_all requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    Hash60All.hashAll(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr => s"graft.functions.Hash60All.hashAll($arr)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60All =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hash60_all"
+}
+
+object Hash60All {
+  def hashAll(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) null
+      else java.lang.Long.valueOf(Hash60.hash(arr.getUTF8String(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** XOR-fold of an array<bigint> (order-insensitive combiner — the
+  * document-fingerprint reducer). Replaces the interpreted
+  * `aggregate(arr, 0L, (acc, h) -> acc ^ h)` lambda chain with a
+  * primitive loop; null elements are skipped (XOR identity), empty or
+  * all-null arrays fold to 0.
+  */
+case class XorFold(child: Expression) extends HashArrayExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) acc ^= arr.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |long $acc = 0L;
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) $acc ^= $arr.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): XorFold =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_xorfold"
 }

@@ -21,32 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Release a superseded localCheckpoint's storage: the returned
-    * Dataset wraps a persisted RDD behind a LogicalRDD node — without
-    * this, every propagation round leaves a full label-set copy in
-    * block-manager memory for the life of the query.
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-
   /** Label-propagate to convergence over an undirected edge list
     * (columns `a_id`, `b_id`) covering `nodes` (column `doc_id`).
     * Returns (doc_id, component) where component = min doc_id reachable.
+    * Superseded label generations and the symmetrized edge list are
+    * released as soon as they can no longer be read (graft.Scratch);
+    * only the final labels stay materialized for the caller.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // materialize the edge list ONCE — the loop re-reads it every
     // round, and without the barrier each round would recompute the
     // full candidate-generation plan (minhash signatures included)
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(eager = true)
+    val sym = graft.Scratch.cp(
+      edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))))
     val MaxRounds = 50
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint(eager = true)
+    var labels = graft.Scratch.cp(
+      nodes.select(col("doc_id"), col("doc_id").as("component")))
     // labels only ever decrease; the label sum is a strictly
     // decreasing convergence witness (one agg per round, carried
     // over). Summed in decimal(38,0) — a bigint sum would wrap at
@@ -57,7 +48,7 @@ object Components {
       df.agg(sum(col("component").cast("decimal(38,0)"))).head
         .getDecimal(0)
     val first = witnessOf(labels)
-    if (first == null) return labels
+    if (first == null) { graft.Scratch.free(sym); return labels }
     var witness = first
     var converged = false
     var rounds = 0
@@ -66,18 +57,18 @@ object Components {
         .join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("component").as("nbr_min"))
-      val next = labels.as("l")
+      val next = graft.Scratch.cp(labels.as("l")
         .join(neighborMin.as("n"), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint(eager = true)
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")))
       val after = witnessOf(next)
       converged = witness.compareTo(after) == 0
       witness = after
-      freeCheckpoint(labels)
+      graft.Scratch.free(labels)
       labels = next
       rounds += 1
     }
+    graft.Scratch.free(sym)
     // silent under-merge is worse than failing loudly: a >MaxRounds
     // diameter means the graph needs a pointer-doubling variant, not
     // a wrong keep-list
@@ -94,7 +85,11 @@ object Components {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val pairs = TextOps.minhashCandidates(spark, dir)
-    connectedComponents(docs, pairs)
+    val labels = connectedComponents(docs, pairs)
+    // the closure consumed the pair list eagerly (labels are
+    // materialized) — release it before returning
+    graft.Scratch.free(pairs)
+    labels
       .select(col("doc_id"), col("component"),
         (col("doc_id") === col("component")).as("keep"))
       .orderBy("doc_id")

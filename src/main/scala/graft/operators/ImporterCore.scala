@@ -33,8 +33,8 @@ case class Transfer(transfer_key: Long, tenant: String,
   *
   * Scale posture: every materialization is ONE shuffle on the entity
   * key with map-side partial aggregation; dedups are window
-  * `row_number` (single shuffle on the dedup key); the parent remap
-  * broadcasts the parent side (instances ≪ records).
+  * `row_number` (single shuffle on the dedup key); the parent remap's
+  * join strategy is AQE's call (the parent side is unbounded).
   */
 object ImporterCore {
 
@@ -263,15 +263,18 @@ object ImporterCore {
   /** Sub-process → parent instance remap
     * (RecordParser.processWorkflowInstance:182-205
     * inflightCallActivities): every record is re-keyed to its root
-    * instance record. The parent side (one row per instance) is tiny
-    * relative to the stream — broadcast it so the remap is
-    * shuffle-free on the big side.
+    * instance record. The parent side is one row per workflow
+    * instance — smaller than the record stream but UNBOUNDED (it
+    * grows with the corpus), so the join strategy is left to AQE: at
+    * test scale it broadcasts, at 100 TB it becomes a shuffled hash
+    * join instead of a forced driver-side collect of billions of
+    * parent rows.
     */
   def impParentRemap(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val parents = e.groupBy("user_id")
       .agg(min("event_id").as("parent_event_id"))
-    e.join(broadcast(parents), "user_id")
+    e.join(parents, "user_id")
       .select(col("event_id"), col("user_id"), col("parent_event_id"))
       .orderBy("event_id")
   }

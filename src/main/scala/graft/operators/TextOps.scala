@@ -29,6 +29,13 @@ object TextOps {
     */
   private def hx(x: String): String = s"graft_hash60($x)"
 
+  /** Element-wise hash of an array<string> expression — the native
+    * Hash60All expression (a `transform(arr, s -> hash(s))` lambda
+    * would interpret-dispatch per element; this is the signature
+    * builds' hot loop).
+    */
+  private def hxAll(x: String): String = s"graft_hash60_all($x)"
+
   /** DuckDB rendering of the same hash. */
   private def hxDuck(x: String): String =
     s"CAST(CONCAT('0x', SUBSTRING(md5($x),1,15)) AS BIGINT)"
@@ -142,15 +149,17 @@ object TextOps {
   /** Document fingerprinting: a content hash plus an order-insensitive
     * shingle fingerprint (XOR-fold of distinct 5-gram shingle hashes —
     * the rolling-hash family, stable under shingle reordering). Both
-    * row-local, zero shuffle.
+    * row-local, zero shuffle; the hash + fold run as native codegen
+    * expressions (the interpreted `aggregate(...)` lambda chain they
+    * replace dominated this query's cost).
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.documents(spark, dir).select(
       col("doc_id"),
       expr(hx("text")).as("fp_content"),
-      expr(s"aggregate(array_distinct(${shinglesExpr(5)}), CAST(0 AS BIGINT), " +
-        s"(acc, s) -> acc ^ ${hx("s")})").as("fp_shingle"))
+      expr(s"graft_xorfold(${hxAll(s"array_distinct(${shinglesExpr(5)})")})")
+        .as("fp_shingle"))
       .orderBy("doc_id")
   }
 
@@ -219,11 +228,10 @@ object TextOps {
     // re-shuffling, and per-doc set sizes broadcast.
     // materialized once: feeds the per-doc counts AND both self-join
     // sides (explode + md5 + the df-cap window would otherwise run 3×)
-    val capped = sh
+    val capped = graft.Scratch.cp(sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= 100)
-      .select("doc_id", "h")
-      .localCheckpoint(eager = true)
+      .select("doc_id", "h"))
     val counts = capped.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_sh"))
     val shared = capped.as("a").join(capped.as("b"),
       col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -232,13 +240,15 @@ object TextOps {
     // counts is one row per document — leave the join strategy to
     // AQE (a forced broadcast would collect the whole corpus's doc
     // list to the driver at scale)
-    shared
+    val pairs = shared
       .join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
       .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
       .withColumn("jac_e4", expr("10000 * shared DIV (na + nb - shared)"))
       .filter(col("jac_e4") >= 3000)
       .select("a_id", "b_id", "jac_e4")
-      .orderBy("a_id", "b_id")
+    // result (the near-dup pair list) is tiny next to the capped
+    // shingle frame — seal it and release the working set
+    graft.Scratch.seal(pairs, capped).orderBy("a_id", "b_id")
   }
 
   def dedupNgramSql: String =
@@ -283,23 +293,23 @@ object TextOps {
     // the oracle renders the same maps in SQL).
     val withSigs = Tables.documents(spark, dir)
       .withColumn("mhs", expr(
-        s"graft_minhash8(transform(array_distinct(${shinglesExpr(5)}), s -> ${hx("s")}))"))
+        s"graft_minhash8(${hxAll(s"array_distinct(${shinglesExpr(5)})")})"))
     val bands = withSigs.select(col("doc_id") +:
       (0 until MinhashK / 2).map(j =>
         expr(hx(s"concat(mhs[${2 * j}], '_', mhs[${2 * j + 1}])")).as(s"band$j")): _*)
     // sigs + bands materialize once — the self-join consumes this
     // frame on both sides
-    val exploded = bands.select(col("doc_id"),
+    val exploded = graft.Scratch.cp(bands.select(col("doc_id"),
       explode(expr(s"map_from_arrays(sequence(0, ${MinhashK / 2 - 1}), " +
         s"array(${(0 until MinhashK / 2).map(j => s"band$j").mkString(",")}))")))
-      .toDF("doc_id", "band_idx", "band_key")
-      .localCheckpoint(eager = true)
-    exploded.as("a").join(exploded.as("b"),
+      .toDF("doc_id", "band_idx", "band_key"))
+    val cand = exploded.as("a").join(exploded.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).cast(LongType).as("n_bands"))
+    graft.Scratch.seal(cand, exploded)
   }
 
   /** CTE chain ending in `cand(a_id, b_id, n_bands)` — shared by the
@@ -348,10 +358,9 @@ object TextOps {
     GraftFunctions.register(spark)
     // signatures materialize once — they feed all band-join inputs;
     // without the barrier each side re-hashes the corpus
-    val sigs = Tables.documents(spark, dir)
+    val sigs = graft.Scratch.cp(Tables.documents(spark, dir)
       .select(col("doc_id"),
-        expr(s"graft_simhash32(transform(split(text,' '), w -> ${hx("w")}))").as("sig"))
-      .localCheckpoint(eager = true)
+        expr(s"graft_simhash32(${hxAll("split(text,' ')")})").as("sig")))
     def bandJoin(b: Int) = {
       val shift = b * 8
       sigs.as("a").join(sigs.as("b"),
@@ -360,9 +369,9 @@ object TextOps {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           expr("bit_count(a.sig ^ b.sig)").cast(LongType).as("hamming"))
     }
-    (0 until SimBands).map(bandJoin).reduce(_ union _).distinct()
+    val pairs = (0 until SimBands).map(bandJoin).reduce(_ union _).distinct()
       .filter(col("hamming") <= 3)
-      .orderBy("a_id", "b_id")
+    graft.Scratch.seal(pairs, sigs).orderBy("a_id", "b_id")
   }
 
   def dedupSimhashSql: String = {

@@ -80,12 +80,11 @@ object VectorOps {
   private def quantized(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     // materialized once: every consumer is a self-join or multi-read
-    Tables.embeddings(spark, dir)
+    graft.Scratch.cp(Tables.embeddings(spark, dir)
       .withColumn("q", expr(quantExpr))
       .withColumn("n2", expr(dotExpr("q", "q")))
       .filter(col("n2") > 0)
-      .select("vec_id", "q", "n2")
-      .localCheckpoint(eager = true)
+      .select("vec_id", "q", "n2"))
   }
 
   private val quantizedDuckCte =
@@ -100,7 +99,8 @@ object VectorOps {
     * products — row-local, then exploded to (band_idx, bucket).
     */
   private def bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val withBits = (0 until Planes).foldLeft(quantized(spark, dir)) { (d, j) =>
+    val q = quantized(spark, dir)
+    val withBits = (0 until Planes).foldLeft(q) { (d, j) =>
       d.withColumn(s"bit$j",
         expr(s"IF(${dotExpr("q", planeExpr(j))} >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"))
     }
@@ -110,12 +110,14 @@ object VectorOps {
       d.withColumn(s"bucket$b", expr(bits))
     }
     // materialized once: quantization + 16 hyperplane dots feed both
-    // self-join sides of ann_lsh / dedup_embed
-    withBuckets.select(col("vec_id"), col("q"), col("n2"),
-      explode(expr(s"map_from_arrays(sequence(0, ${Bands - 1}), " +
-        s"array(${(0 until Bands).map(b => s"bucket$b").mkString(",")}))")))
-      .toDF("vec_id", "q", "n2", "band_idx", "bucket")
-      .localCheckpoint(eager = true)
+    // self-join sides of ann_lsh / dedup_embed; the quantized frame is
+    // subsumed by this one and released immediately
+    graft.Scratch.seal(
+      withBuckets.select(col("vec_id"), col("q"), col("n2"),
+        explode(expr(s"map_from_arrays(sequence(0, ${Bands - 1}), " +
+          s"array(${(0 until Bands).map(b => s"bucket$b").mkString(",")}))")))
+        .toDF("vec_id", "q", "n2", "band_idx", "bucket"),
+      q)
   }
 
   private val bucketedDuckCte: String = {
@@ -151,10 +153,10 @@ object VectorOps {
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
     val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
-    joined.withColumn("rnk", row_number().over(w))
+    val topk = joined.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
-      .orderBy("q_id", "rnk")
+    graft.Scratch.seal(topk, v).orderBy("q_id", "rnk")
   }
 
   def annBruteforceSql: String =
@@ -181,10 +183,10 @@ object VectorOps {
         expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
       .distinct()
     val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
-    cands.withColumn("rnk", row_number().over(w))
+    val topk = cands.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
-      .orderBy("q_id", "rnk")
+    graft.Scratch.seal(topk, b).orderBy("q_id", "rnk")
   }
 
   /** Embedding-cosine near-dup: LSH-bucket candidates, exact
@@ -194,7 +196,7 @@ object VectorOps {
     */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     val b = bucketed(spark, dir)
-    b.as("a").join(b.as("b"),
+    val pairs = b.as("a").join(b.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -202,7 +204,7 @@ object VectorOps {
         expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
       .distinct()
       .filter(col("score_e6") >= 400000)
-      .orderBy("a_id", "b_id")
+    graft.Scratch.seal(pairs, b).orderBy("a_id", "b_id")
   }
 
   def dedupEmbedSql: String =
@@ -239,9 +241,11 @@ object VectorOps {
       .select(col("vec_id"), col("q"), col("n2"), col("cent_id"),
         expr(scoreE6(dotExpr("q", "cq"), "n2", "cn2")).as("cscore"))
     val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id"))
-    scored.withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") <= IvfProbes)
-      .localCheckpoint(eager = true)
+    // subsumes the quantized frame (assignment rows carry q, n2)
+    graft.Scratch.seal(
+      scored.withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= IvfProbes),
+      v)
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -258,10 +262,10 @@ object VectorOps {
         expr(scoreE6(dotExpr("qq", "nq"), "qn2", "nn2")).as("score_e6"))
       .distinct()
     val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
-    cands.withColumn("rnk", row_number().over(w))
+    val topk = cands.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
-      .orderBy("q_id", "rnk")
+    graft.Scratch.seal(topk, assigned).orderBy("q_id", "rnk")
   }
 
   def annIvfSql: String =

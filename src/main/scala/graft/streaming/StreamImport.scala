@@ -285,11 +285,11 @@ object StreamImport {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val result = TenantUpsertSink.readCurrent(spark, sinkDir)
-      .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir"))
-      // detach from the temp files so the work dir can be reclaimed
-      // (a lazy plan over deleted parquet would fail at consume time)
-      .localCheckpoint(eager = true)
+    // detach from the temp files so the work dir can be reclaimed (a
+    // lazy plan over deleted parquet would fail at consume time);
+    // tracked in Scratch so the session can sweep it after consumption
+    val result = graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
+      .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
     def rm(f: java.io.File): Unit = if (f.exists()) {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
