@@ -37,4 +37,14 @@ object Portable {
 
   /** Timestamp → epoch millis (both engines floor positive µs → ms). */
   def epochMs(c: Column): Column = unix_millis(c)
+
+  /** bpmnProcessId → tenant: everything after the FIRST dash — the
+    * reference's split (NatsConsumer: substring(indexOf('-')+1)), which
+    * differs from a last-dash split whenever the id itself carries
+    * dashes ('transfer-process-tn02' → tenant 'process-tn02'). A
+    * dash-less id maps to itself (indexOf = -1 ⇒ substring(0)).
+    * DuckDB rendering: `substring(bpmn, instr(bpmn, '-') + 1)`.
+    */
+  def tenantOf(bpmn: Column): Column =
+    bpmn.substr(instr(bpmn, "-") + lit(1), length(bpmn))
 }

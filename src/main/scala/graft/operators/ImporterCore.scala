@@ -41,12 +41,13 @@ object ImporterCore {
   private val VarTypes = Seq("click", "view", "purchase")
 
   /** Deterministic arg-max: value at the greatest (ts, event_id) among
-    * rows matching `cond`. The ordering key is the composite bigint
-    * `ts_ms * 1e6 + event_id` so Spark `max_by` and DuckDB `arg_max`
-    * order identically (event_id < 1e6 in the test corpus; at
-    * production scale use a struct ordering instead — semantics
-    * identical, oracle portability is the only reason for the
-    * composite).
+    * rows matching `cond`. Spark orders a (ts_ms, event_id) STRUCT
+    * lexicographically — no composite-bigint encoding, so no overflow
+    * when event_id crosses 1e6 (the round-1 `ts*1e6+id` key silently
+    * corrupted there). DuckDB's arg_max can't order by a row value, so
+    * the oracle uses the zero-padded fixed-width string rendering of
+    * the same pair — lexicographic string order equals numeric order
+    * for non-negative fixed-width integers.
     * Both the value and ordering args are null unless `cond`, because
     * DuckDB's arg_max skips null VALUES while Spark's max_by skips
     * only null orderings — guarding both sides makes them agree.
@@ -54,9 +55,9 @@ object ImporterCore {
   private def lastBy(cond: Column, value: Column, ord: Column): Column =
     max_by(when(cond, value), when(cond, ord))
 
-  private def ordKey: Column = col("ts_ms") * lit(1000000L) + col("event_id")
+  private def ordKey: Column = struct(col("ts_ms"), col("event_id"))
 
-  private def ordKeySql = "(epoch_ms(ts) * 1000000 + event_id)"
+  private def ordKeySql = "printf('%020d%020d', epoch_ms(ts), event_id)"
 
   /** JSON payload extraction + record-type routing
     * (NatsConsumer.listen:39-106: route on $.valueType, drop
@@ -235,28 +236,30 @@ object ImporterCore {
       |       ELSE 'IN_PROGRESS' END AS status
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** bpmnProcessId → (processId, tenant) split at the first '-'
-    * (NatsConsumer.java:73-75). The bpmn id is synthesized
-    * deterministically from the record (event_type + user bucket) so
-    * the split is observable; `substring_index` ≡ DuckDB `split_part`.
+  /** bpmnProcessId → (processId, tenant) split at the FIRST '-'
+    * (NatsConsumer.java:73-75: tenantName = bpmn.substring(
+    * bpmn.indexOf('-') + 1) — the reference's own sample ids are
+    * multi-dash, 'transfer-process-tn02' → tenant 'process-tn02').
+    * The bpmn id synthesized here is multi-dash too ('click-proc-t3')
+    * so first-dash vs last-dash is observable in the gate.
     */
   def impTenantSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("bpmn",
-        concat(col("event_type"), lit("-t"), (col("user_id") % 10).cast(LongType)))
+        concat(col("event_type"), lit("-proc-t"), (col("user_id") % 10).cast(LongType)))
       .select(
         substring_index(col("bpmn"), "-", 1).as("process_id"),
-        substring_index(col("bpmn"), "-", -1).as("tenant"))
+        tenantOf(col("bpmn")).as("tenant"))
       .groupBy("process_id", "tenant")
       .agg(count(lit(1)).cast(LongType).as("n"))
       .orderBy("process_id", "tenant")
 
   def impTenantSplitSql: String =
     """WITH b AS (
-      |  SELECT CONCAT(event_type, '-t', CAST(user_id % 10 AS VARCHAR)) AS bpmn
+      |  SELECT CONCAT(event_type, '-proc-t', CAST(user_id % 10 AS VARCHAR)) AS bpmn
       |  FROM events)
       |SELECT split_part(bpmn, '-', 1) AS process_id,
-      |       split_part(bpmn, '-', 2) AS tenant,
+      |       substring(bpmn, instr(bpmn, '-') + 1) AS tenant,
       |       COUNT(*) AS n
       |FROM b GROUP BY 1, 2 ORDER BY process_id, tenant""".stripMargin
 
@@ -417,7 +420,7 @@ object ImporterCore {
     val config = ProcessConfig.toDF("process_id", "direction")
     Tables.events(spark, dir)
       .select(substring_index(
-        concat(col("event_type"), lit("-t"), (col("user_id") % 10).cast(LongType)),
+        concat(col("event_type"), lit("-proc-t"), (col("user_id") % 10).cast(LongType)),
         "-", 1).as("process_id"))
       .join(broadcast(config), "process_id")
       .groupBy("process_id", "direction")
@@ -443,11 +446,13 @@ object ImporterCore {
     * the final state is the signal carried by the latest
     * state-carrying record. Signal mapping on the events stream:
     * signup → RECEIVED, view → party lookup (fatal ⇒ FAILED else
-    * RECEIVED), click → transaction progress (fatal ⇒ FAILED else
-    * IN_PROGRESS), purchase → settlement (fatal ⇒ FAILED else
-    * ACCEPTED), error → request-failed only when fatal (non-fatal
-    * errors carry no signal, like parseTransactionRequestFailed's
-    * "true"-only write).
+    * RECEIVED), click → transaction progress (fatal ⇒ FAILED,
+    * k ∈ [80,90) ⇒ REJECTED — parseTransactionRequestResponse's
+    * reject arm, TransactionRequestState.java:7 — else IN_PROGRESS),
+    * purchase → settlement (fatal ⇒ FAILED else ACCEPTED), error →
+    * request-failed only when fatal (non-fatal errors carry no
+    * signal, like parseTransactionRequestFailed's "true"-only write).
+    * All five reference states are reachable.
     */
   def impEntityTxnreq(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
@@ -455,7 +460,8 @@ object ImporterCore {
     val signal =
       when(col("event_type") === "signup", "RECEIVED")
         .when(col("event_type") === "view", when(fatal, "FAILED").otherwise("RECEIVED"))
-        .when(col("event_type") === "click", when(fatal, "FAILED").otherwise("IN_PROGRESS"))
+        .when(col("event_type") === "click",
+          when(fatal, "FAILED").when(k >= 80, "REJECTED").otherwise("IN_PROGRESS"))
         .when(col("event_type") === "purchase", when(fatal, "FAILED").otherwise("ACCEPTED"))
         .when(col("event_type") === "error" && fatal, "FAILED")
         .otherwise(lit(null))
@@ -482,7 +488,9 @@ object ImporterCore {
        |         WHEN event_type = 'view' THEN
        |           CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED' ELSE 'RECEIVED' END
        |         WHEN event_type = 'click' THEN
-       |           CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED' ELSE 'IN_PROGRESS' END
+       |           CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED'
+       |                WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 80 THEN 'REJECTED'
+       |                ELSE 'IN_PROGRESS' END
        |         WHEN event_type = 'purchase' THEN
        |           CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED' ELSE 'ACCEPTED' END
        |         WHEN event_type = 'error' AND CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED'
@@ -491,7 +499,7 @@ object ImporterCore {
        |SELECT user_id AS txn_key,
        |  CONCAT('t', CAST(user_id % 10 AS VARCHAR)) AS tenant,
        |  COALESCE(arg_max(CASE WHEN signal IS NOT NULL THEN signal END,
-       |                   CASE WHEN signal IS NOT NULL THEN ms * 1000000 + event_id END), 'IN_PROGRESS') AS state,
+       |                   CASE WHEN signal IS NOT NULL THEN printf('%020d%020d', ms, event_id) END), 'IN_PROGRESS') AS state,
        |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN ms END), -1) AS started_ms,
        |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN ms END), -1) AS completed_ms,
        |  COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS VARCHAR), '') AS amount,

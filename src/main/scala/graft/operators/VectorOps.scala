@@ -170,8 +170,10 @@ object VectorOps {
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** Approximate top-k via random-hyperplane LSH buckets: candidates
-    * share a band bucket; local top-3. Driver records a rows-only
-    * check (approximation is the semantic; determinism still holds).
+    * share a band bucket; local top-3. Approximate w.r.t. exact kNN,
+    * but fully DETERMINISTIC (md5-derived planes, fixed-point scores,
+    * id tie-breaks) — so it carries a full oracle reproducing the
+    * bucketing AND the ranking, like dedup_embed.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val b = bucketed(spark, dir)
@@ -206,6 +208,21 @@ object VectorOps {
       .filter(col("score_e6") >= 400000)
     graft.Scratch.seal(pairs, b).orderBy("a_id", "b_id")
   }
+
+  def annLshSql: String =
+    s"""WITH $quantizedDuckCte,
+       |$bucketedDuckCte,
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id,
+       |    ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} AS score_e6
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       |   AND a.vec_id <> b.vec_id)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, score_e6 FROM (
+       |  SELECT q_id, n_id, score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, n_id) AS rnk
+       |  FROM cands) t
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   def dedupEmbedSql: String =
     s"""WITH $quantizedDuckCte,
@@ -300,11 +317,9 @@ object VectorOps {
     "ann_ivf" -> (annIvf _),
     "dedup_embed" -> (dedupEmbed _))
 
-  /** ann_lsh intentionally has no SQL oracle (approximate op — the
-    * driver records the weaker rows-only check, SparkEntry contract).
-    */
   def oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "dedup_embed" -> dedupEmbedSql)
 }

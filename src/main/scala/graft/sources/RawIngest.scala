@@ -1,9 +1,10 @@
 package graft.sources
 
 import graft.Tables
+import graft.functions.Portable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Raw export-record ingest: the reference consumes raw JSON strings
   * off the subject and JsonPath-extracts routing + entity fields
@@ -14,26 +15,44 @@ import org.apache.spark.sql.types.LongType
   */
 object RawIngest {
 
+  /** Explicit export-record schema: ONE `from_json` parse per record,
+    * then struct field access — the reference parses each message
+    * once too (NatsConsumer.java:36, a single JsonPathReader over the
+    * payload). Independent `get_json_object` calls would re-parse the
+    * string per extracted field (7× per record in round 1 — the most
+    * expensive importer op in the bench).
+    */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("valueType", StringType),
+    StructField("timestamp", LongType),
+    StructField("value", StructType(Seq(
+      StructField("workflowInstanceKey", LongType),
+      StructField("bpmnProcessId", StringType),
+      StructField("recordId", LongType),
+      StructField("payload", StructType(Seq(
+        StructField("k", LongType)))))))))
+
   /** Parse + route raw JSON record strings (column `value`). DEPLOYMENT
     * records are dropped (the reference ignores them, NatsConsumer:47).
+    * Tenant is the FIRST-dash split (NatsConsumer.java:73-75).
     */
   def parse(raw: DataFrame): DataFrame =
-    raw.select(
-      get_json_object(col("value"), "$.valueType").as("value_type"),
-      get_json_object(col("value"), "$.timestamp").cast(LongType).as("ts_ms"),
-      get_json_object(col("value"), "$.value.workflowInstanceKey").cast(LongType).as("instance_key"),
-      get_json_object(col("value"), "$.value.bpmnProcessId").as("bpmn"),
-      get_json_object(col("value"), "$.value.recordId").cast(LongType).as("record_id"),
-      get_json_object(col("value"), "$.value.payload.k").cast(LongType).as("k"))
-      .filter(col("value_type") =!= "DEPLOYMENT")
+    raw.select(from_json(col("value"), recordSchema).as("r"))
+      .filter(col("r.valueType") =!= "DEPLOYMENT")
       .select(
-        col("record_id"), col("value_type"), col("instance_key"),
-        substring_index(col("bpmn"), "-", 1).as("process_id"),
-        substring_index(col("bpmn"), "-", -1).as("tenant"),
-        col("ts_ms"), col("k"))
+        col("r.value.recordId").as("record_id"),
+        col("r.valueType").as("value_type"),
+        col("r.value.workflowInstanceKey").as("instance_key"),
+        substring_index(col("r.value.bpmnProcessId"), "-", 1).as("process_id"),
+        Portable.tenantOf(col("r.value.bpmnProcessId")).as("tenant"),
+        col("r.timestamp").as("ts_ms"),
+        col("r.value.payload.k").as("k"))
 
   /** Synthesize the raw subject payloads from the events table — the
-    * Zeebe-export-shaped JSON a NATS subject would carry.
+    * Zeebe-export-shaped JSON a NATS subject would carry. The bpmn id
+    * is MULTI-dash ('click-proc-t3') so the first-dash tenant split is
+    * actually exercised by the gate (a single-dash corpus can't tell
+    * first-dash from last-dash).
     */
   def rawRecords(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(to_json(struct(
@@ -43,7 +62,7 @@ object RawIngest {
       col("ts_ms").as("timestamp"),
       struct(
         col("user_id").as("workflowInstanceKey"),
-        concat(col("event_type"), lit("-t"), (col("user_id") % 10).cast(LongType)).as("bpmnProcessId"),
+        concat(col("event_type"), lit("-proc-t"), (col("user_id") % 10).cast(LongType)).as("bpmnProcessId"),
         col("event_id").as("recordId"),
         struct(get_json_object(col("props"), "$.k").cast(LongType).as("k")).as("payload")
       ).as("value"))).as("value"))
@@ -65,19 +84,21 @@ object RawIngest {
       |      "timestamp" := epoch_ms(ts),
       |      value := struct_pack(
       |        workflowInstanceKey := user_id,
-      |        bpmnProcessId := CONCAT(event_type, '-t', CAST(user_id % 10 AS VARCHAR)),
+      |        bpmnProcessId := CONCAT(event_type, '-proc-t', CAST(user_id % 10 AS VARCHAR)),
       |        recordId := event_id,
       |        payload := struct_pack(k := CAST(json_extract_string(props,'$.k') AS BIGINT))))) AS value
-      |  FROM events)
+      |  FROM events),
+      |b AS (
+      |  SELECT value, json_extract_string(value, '$.value.bpmnProcessId') AS bpmn FROM raw)
       |SELECT
       |  CAST(json_extract_string(value, '$.value.recordId') AS BIGINT) AS record_id,
       |  json_extract_string(value, '$.valueType') AS value_type,
       |  CAST(json_extract_string(value, '$.value.workflowInstanceKey') AS BIGINT) AS instance_key,
-      |  split_part(json_extract_string(value, '$.value.bpmnProcessId'), '-', 1) AS process_id,
-      |  split_part(json_extract_string(value, '$.value.bpmnProcessId'), '-', 2) AS tenant,
+      |  split_part(bpmn, '-', 1) AS process_id,
+      |  substring(bpmn, instr(bpmn, '-') + 1) AS tenant,
       |  CAST(json_extract_string(value, '$.timestamp') AS BIGINT) AS ts_ms,
       |  CAST(json_extract_string(value, '$.value.payload.k') AS BIGINT) AS k
-      |FROM raw
+      |FROM b
       |WHERE json_extract_string(value, '$.valueType') <> 'DEPLOYMENT'
       |ORDER BY record_id""".stripMargin
 

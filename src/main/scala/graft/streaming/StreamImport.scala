@@ -33,13 +33,21 @@ object StreamImport {
   /** Per-instance in-flight state — the batch groupBy's accumulator,
     * folded incrementally (InflightTransferManager's entity cache,
     * minus the repo lookups: the fold is total, not read-modify-write).
+    * The last-write ordering is the (ts, event_id) PAIR compared
+    * lexicographically — same semantics as the batch side's struct
+    * max_by, with no composite-bigint overflow at event_id >= 1e6.
     */
   case class St(started: Long, completed: Long, amountE2: Long,
-    lastOrd: Long, lastClickE2: Long, hasClick: Boolean, hasAmount: Boolean,
-    failed: Boolean, done: Boolean, n: Long)
+    lastTs: Long, lastId: Long, lastClickE2: Long, hasClick: Boolean,
+    hasAmount: Boolean, failed: Boolean, done: Boolean, n: Long)
 
-  private val EmptySt = St(Long.MaxValue, Long.MinValue, 0L, Long.MinValue, 0L,
+  private val EmptySt = St(Long.MaxValue, Long.MinValue, 0L, Long.MinValue,
+    Long.MinValue, 0L,
     hasClick = false, hasAmount = false, failed = false, done = false, n = 0L)
+
+  /** (ts, id) strictly after the fold's current last-write mark? */
+  private def isAfter(ts: Long, id: Long, lastTs: Long, lastId: Long): Boolean =
+    ts > lastTs || (ts == lastTs && id > lastId)
 
   /** The materialized entity row — column-compatible with
     * ImporterCore.transfers so the SAME DuckDB oracle checks the
@@ -69,9 +77,9 @@ object StreamImport {
           amountE2 = s.amountE2 + cents(r.value),
           hasAmount = true, done = true)
       case "click" =>
-        val ord = r.ts_ms * 1000000L + r.event_id
-        if (ord > s.lastOrd)
-          s = s.copy(lastOrd = ord, lastClickE2 = cents(r.value), hasClick = true)
+        if (isAfter(r.ts_ms, r.event_id, s.lastTs, s.lastId))
+          s = s.copy(lastTs = r.ts_ms, lastId = r.event_id,
+            lastClickE2 = cents(r.value), hasClick = true)
       case "error" =>
         if (r.k >= 90) s = s.copy(failed = true)
       case _ => ()
@@ -131,10 +139,10 @@ object StreamImport {
     * signal (every state-carrying record overwrites; latest ord wins —
     * ImporterCore.impEntityTxnreq's arg-max, folded incrementally).
     */
-  case class TxnSt(state: String, stateOrd: Long, started: Long,
+  case class TxnSt(state: String, stateTs: Long, stateId: Long, started: Long,
     completed: Long, amountE2: Long, hasAmount: Boolean, n: Long)
 
-  private val EmptyTxnSt = TxnSt("IN_PROGRESS", Long.MinValue,
+  private val EmptyTxnSt = TxnSt("IN_PROGRESS", Long.MinValue, Long.MinValue,
     Long.MaxValue, Long.MinValue, 0L, hasAmount = false, 0L)
 
   case class TxnRow(txn_key: Long, tenant: String, state: String,
@@ -145,7 +153,10 @@ object StreamImport {
     r.event_type match {
       case "signup" => Some("RECEIVED")
       case "view" => Some(if (fatal) "FAILED" else "RECEIVED")
-      case "click" => Some(if (fatal) "FAILED" else "IN_PROGRESS")
+      // k ∈ [80,90): the request-response reject arm — all five
+      // reference states (TransactionRequestState.java:7) reachable
+      case "click" => Some(
+        if (fatal) "FAILED" else if (r.k >= 80) "REJECTED" else "IN_PROGRESS")
       case "purchase" => Some(if (fatal) "FAILED" else "ACCEPTED")
       case "error" if fatal => Some("FAILED")
       case _ => None
@@ -154,9 +165,9 @@ object StreamImport {
 
   private def foldTxn(st: TxnSt, r: Rec): TxnSt = {
     var s = st.copy(n = st.n + 1)
-    val ord = r.ts_ms * 1000000L + r.event_id
     txnSignal(r).foreach { sig =>
-      if (ord > s.stateOrd) s = s.copy(state = sig, stateOrd = ord)
+      if (isAfter(r.ts_ms, r.event_id, s.stateTs, s.stateId))
+        s = s.copy(state = sig, stateTs = r.ts_ms, stateId = r.event_id)
     }
     if (r.event_type == "signup")
       s = s.copy(started = math.min(s.started, r.ts_ms))
