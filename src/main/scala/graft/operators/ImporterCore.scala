@@ -86,32 +86,42 @@ object ImporterCore {
       |WHERE event_type <> 'error'
       |ORDER BY event_id""".stripMargin
 
-  /** First-write-wins variable dedup per (instance, name)
-    * (RecordParser.processVariable:137-145: a later record with
-    * ts >= existing is dropped). One shuffle on the dedup key.
+  /** Variable-record dedup per (instance, name) — the reference's
+    * EXACT guard (RecordParser.processVariable:137-145): a record is
+    * DROPPED when its timestamp is <= the stored row's timestamp, and
+    * APPENDED otherwise — so the variables table keeps, per name, the
+    * strictly-increasing running-max subsequence of timestamps in
+    * arrival order (event_id stands in for consumption order). One
+    * shuffle on the dedup key; the running max is a rows-frame window
+    * over the same partitioning.
     */
   def impVarDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts_ms"), col("event_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     Tables.events(spark, dir)
       .filter(col("event_type").isin(VarTypes: _*))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .withColumn("prev_max", max(col("ts_ms")).over(w))
+      .filter(col("prev_max").isNull || col("ts_ms") > col("prev_max"))
       .select(
         col("user_id"), col("event_type").as("name"),
-        col("ts_ms").as("first_ms"), col("event_id"),
+        col("ts_ms"), col("event_id"),
         moneyStr(dec2(col("value"))).as("value_str"))
-      .orderBy("user_id", "name")
+      .orderBy("user_id", "name", "event_id")
   }
 
   def impVarDedupSql: String =
-    """SELECT user_id, event_type AS name, epoch_ms(ts) AS first_ms, event_id,
-      |  CAST(CAST(value AS DECIMAL(38,2)) AS VARCHAR) AS value_str
-      |FROM events
-      |WHERE event_type IN ('click','view','purchase')
-      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-      |                           ORDER BY epoch_ms(ts), event_id) = 1
-      |ORDER BY user_id, name""".stripMargin
+    """WITH v AS (
+      |  SELECT user_id, event_type AS name, epoch_ms(ts) AS ts_ms, event_id,
+      |    CAST(CAST(value AS DECIMAL(38,2)) AS VARCHAR) AS value_str
+      |  FROM events
+      |  WHERE event_type IN ('click','view','purchase'))
+      |SELECT user_id, name, ts_ms, event_id, value_str
+      |FROM v
+      |QUALIFY ts_ms > COALESCE(MAX(ts_ms) OVER (
+      |  PARTITION BY user_id, name ORDER BY event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775807)
+      |ORDER BY user_id, name, event_id""".stripMargin
 
   /** Task dedup on (instance, elementId, intent)
     * (RecordParser.processTask:233-245: an existing
@@ -404,6 +414,110 @@ object ImporterCore {
       |  event_type AS element_id
       |FROM events ORDER BY record_key""".stripMargin
 
+  /** Wide Transfer materialization with NESTED-JSON payload
+    * extraction — the reference's multi-level JsonPath pivot
+    * (VariableParser.java:50 `channelRequest` →
+    * parseChannelRequest:200-211 reading
+    * `$.payer.partyIdInfo.partyIdentifier` / `$.amount.amount` as
+    * BigDecimal; VariableParser.java:46 `transferResponse-CREATE` →
+    * parseTransferResponse:174-183 parsing `$.completedTimestamp`
+    * with OperatorUtils.dateFormat `yyyy-MM-dd'T'HH:mm:ss`).
+    *
+    * The events corpus carries flat payloads, so each engine
+    * synthesizes the nested variable payloads row-locally from the
+    * record (both build their own JSON — the gate compares EXTRACTION
+    * semantics: multi-level paths, decimal amounts, parsed
+    * timestamps). signup records carry the channelRequest, purchase
+    * records the transferResponse-CREATE; last write per variable
+    * name wins, ordered by (ts, event_id).
+    *
+    * Plan shape: JSON synth + ONE from_json per record class are
+    * row-local; the pivot is a single shuffled groupBy on the
+    * instance key.
+    */
+  def impEntityWide(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val chanSchema = StructType(Seq(
+      StructField("payer", StructType(Seq(StructField("partyIdInfo", StructType(Seq(
+        StructField("partyIdType", StringType),
+        StructField("partyIdentifier", StringType))))))),
+      StructField("payee", StructType(Seq(StructField("partyIdInfo", StructType(Seq(
+        StructField("partyIdType", StringType),
+        StructField("partyIdentifier", StringType))))))),
+      StructField("amount", StructType(Seq(
+        StructField("amount", StringType),
+        StructField("currency", StringType))))))
+    val respSchema = StructType(Seq(
+      StructField("completedTimestamp", StringType),
+      StructField("transferState", StringType)))
+    val chanJson = to_json(struct(
+      struct(struct(lit("MSISDN").as("partyIdType"),
+        concat(lit("277"), (col("user_id") % 100).cast(LongType)).as("partyIdentifier")).as("partyIdInfo")).as("payer"),
+      struct(struct(lit("ACCOUNT_ID").as("partyIdType"),
+        concat(lit("acct-"), (col("user_id") % 50).cast(LongType)).as("partyIdentifier")).as("partyIdInfo")).as("payee"),
+      struct(dec2(col("value")).cast(org.apache.spark.sql.types.StringType).as("amount"),
+        when(col("user_id") % 2 === 0, "USD").otherwise("KES").as("currency")).as("amount")))
+    val respJson = to_json(struct(
+      date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss").as("completedTimestamp"),
+      lit("COMMITTED").as("transferState")))
+    val isChan = col("event_type") === "signup"
+    val isResp = col("event_type") === "purchase"
+    val parsed = Tables.events(spark, dir)
+      .withColumn("chan", when(isChan, from_json(chanJson, chanSchema)))
+      .withColumn("resp", when(isResp, from_json(respJson, respSchema)))
+    parsed.groupBy(col("user_id"))
+      .agg(
+        coalesce(lastBy(isChan, col("chan.payer.partyIdInfo.partyIdentifier"), ordKey), lit("")).as("payer_party_id"),
+        coalesce(lastBy(isChan, col("chan.payer.partyIdInfo.partyIdType"), ordKey), lit("")).as("payer_id_type"),
+        coalesce(lastBy(isChan, col("chan.payee.partyIdInfo.partyIdentifier"), ordKey), lit("")).as("payee_party_id"),
+        coalesce(lastBy(isChan, col("chan.payee.partyIdInfo.partyIdType"), ordKey), lit("")).as("payee_id_type"),
+        coalesce(moneyStr(lastBy(isChan, col("chan.amount.amount").cast(org.apache.spark.sql.types.DecimalType(18, 2)), ordKey)), lit("")).as("amount"),
+        coalesce(lastBy(isChan, col("chan.amount.currency"), ordKey), lit("")).as("currency"),
+        coalesce(lastBy(isResp,
+          unix_millis(to_timestamp(col("resp.completedTimestamp"), "yyyy-MM-dd'T'HH:mm:ss")), ordKey), lit(-1L)).as("completed_ms"),
+        coalesce(lastBy(isResp, col("resp.transferState"), ordKey), lit("")).as("transfer_state"))
+      .select(col("user_id").as("transfer_key"),
+        col("payer_party_id"), col("payer_id_type"),
+        col("payee_party_id"), col("payee_id_type"),
+        col("amount"), col("currency"), col("completed_ms"), col("transfer_state"))
+      .orderBy("transfer_key")
+  }
+
+  def impEntityWideSql: String = {
+    def pick(cond: String, value: String, default: String): String =
+      s"""COALESCE(arg_max(CASE WHEN $cond THEN $value END,
+         |                 CASE WHEN $cond THEN printf('%020d%020d', ms, event_id) END), $default)""".stripMargin
+    val chan = "var_name = 'channelRequest'"
+    val resp = "var_name = 'transferResponse-CREATE'"
+    def jx(path: String) = s"json_extract_string(payload, '$path')"
+    s"""WITH src AS (
+       |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+       |    CASE WHEN event_type = 'signup' THEN 'channelRequest'
+       |         WHEN event_type = 'purchase' THEN 'transferResponse-CREATE' END AS var_name,
+       |    CASE WHEN event_type = 'signup' THEN to_json(struct_pack(
+       |        payer := struct_pack(partyIdInfo := struct_pack(partyIdType := 'MSISDN',
+       |          partyIdentifier := CONCAT('277', CAST(user_id % 100 AS VARCHAR)))),
+       |        payee := struct_pack(partyIdInfo := struct_pack(partyIdType := 'ACCOUNT_ID',
+       |          partyIdentifier := CONCAT('acct-', CAST(user_id % 50 AS VARCHAR)))),
+       |        amount := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+       |          currency := CASE WHEN user_id % 2 = 0 THEN 'USD' ELSE 'KES' END)))
+       |      WHEN event_type = 'purchase' THEN to_json(struct_pack(
+       |        completedTimestamp := strftime(make_timestamp((epoch_ms(ts) // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S'),
+       |        transferState := 'COMMITTED'))
+       |      END AS payload
+       |  FROM events)
+       |SELECT user_id AS transfer_key,
+       |  ${pick(chan, jx("$.payer.partyIdInfo.partyIdentifier"), "''")} AS payer_party_id,
+       |  ${pick(chan, jx("$.payer.partyIdInfo.partyIdType"), "''")} AS payer_id_type,
+       |  ${pick(chan, jx("$.payee.partyIdInfo.partyIdentifier"), "''")} AS payee_party_id,
+       |  ${pick(chan, jx("$.payee.partyIdInfo.partyIdType"), "''")} AS payee_id_type,
+       |  COALESCE(CAST(CAST(${pick(chan, s"CAST(${jx("$.amount.amount")} AS DECIMAL(18,2))", "NULL")} AS DECIMAL(38,2)) AS VARCHAR), '') AS amount,
+       |  ${pick(chan, jx("$.amount.currency"), "''")} AS currency,
+       |  ${pick(resp, s"epoch_ms(strptime(${jx("$.completedTimestamp")}, '%Y-%m-%dT%H:%M:%S'))", "-1")} AS completed_ms,
+       |  ${pick(resp, jx("$.transferState"), "''")} AS transfer_state
+       |FROM src GROUP BY user_id ORDER BY transfer_key""".stripMargin
+  }
+
   /** Static per-process configuration (the reference's application.yml
     * `bpmn.processes` list: each process id carries its payment
     * direction, consumed by Inflight*Manager.*Started). Dimension
@@ -561,6 +675,7 @@ object ImporterCore {
     "imp_tenant_split" -> (impTenantSplit _),
     "imp_parent_remap" -> (impParentRemap _),
     "imp_entity_transfers" -> (impEntityTransfers _),
+    "imp_entity_wide" -> (impEntityWide _),
     "imp_entity_txnreq" -> (impEntityTxnreq _),
     "imp_entity_batches" -> (impEntityBatches _),
     "imp_direction" -> (impDirection _),
@@ -577,6 +692,7 @@ object ImporterCore {
     "imp_tenant_split" -> impTenantSplitSql,
     "imp_parent_remap" -> impParentRemapSql,
     "imp_entity_transfers" -> impEntityTransfersSql,
+    "imp_entity_wide" -> impEntityWideSql,
     "imp_entity_txnreq" -> impEntityTxnreqSql,
     "imp_entity_batches" -> impEntityBatchesSql,
     "imp_direction" -> impDirectionSql,

@@ -50,6 +50,14 @@ object QueueHub {
   def slice(subject: String, from: Long, until: Long): Seq[(Long, Long, String)] = {
     val b = buf(subject)
     b.synchronized {
+      // slice runs inside executor-side PartitionReaders; the hub is a
+      // driver-JVM singleton, so on any non-local master the executor's
+      // hub is empty — fail with the contract, not an index error
+      require(b.size() >= until,
+        s"graft-queue subject '$subject' has ${b.size()} messages but offsets " +
+          s"[$from, $until) were planned — the hub is per-JVM, so this source " +
+          "only supports local[*] masters (swap QueueHub for a real broker " +
+          "client to go distributed)")
       (from until until).map { i =>
         val (ts, m) = b.get(i.toInt)
         (i, ts, m)

@@ -18,6 +18,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermark timeout bounds state for instances whose association
   * never arrives (flushed to a dead-letter marker — the reference
   * leaks these in TempDocumentStore; bounding is the 100 TB fix).
+  *
+  * State bound: O(instances active within the idle horizon). Timeout
+  * drops the whole key — association included — so records of an
+  * instance idle past the horizon re-buffer and eventually
+  * dead-letter rather than pinning per-instance state forever.
   */
 object OutOfOrder {
 
@@ -38,17 +43,16 @@ object OutOfOrder {
   def update(key: Long, recs: Iterator[StreamImport.Rec],
       state: GroupState[BufferSt]): Iterator[Routed] = {
     if (state.hasTimedOut) {
-      // instance idle past the horizon. An ESTABLISHED association is
-      // kept (O(1) state — dropping it would mis-route later records
-      // of a known instance to dead-letter); only un-associated
-      // buffers flush to dead-letter and drop. The reference's
-      // TempDocumentStore keeps orphan buffers forever — that
-      // unbounded growth is what this timeout fixes.
+      // instance idle past the horizon: drop ALL state — established
+      // associations included — so retained state is O(instances
+      // active within the horizon), not O(instances ever seen). A
+      // record arriving after its instance's horizon re-buffers
+      // awaiting a fresh association and dead-letters at the next
+      // horizon; the trade is explicit (keeping associations forever
+      // is the reference's TempDocumentStore leak, the thing this
+      // timeout exists to fix). Un-associated buffers flush to the
+      // dead-letter route on the way out.
       val st = state.getOption.getOrElse(BufferSt(None, Nil, 0L))
-      if (st.assoc.isDefined) {
-        state.update(st.copy(buffered = Nil))
-        return Iterator.empty
-      }
       state.remove()
       return st.buffered.reverseIterator.map(Routed(_, key, DeadLetter))
     }

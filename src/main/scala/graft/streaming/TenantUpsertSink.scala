@@ -10,29 +10,51 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * body is a JDBC MERGE per tenant partition (same contract:
   * idempotent by key, latest batch wins).
   *
-  * Crash safety: generations + an atomically-renamed pointer file.
-  * Each upsert writes a NEW generation directory (anti-join current on
-  * the key, union the batch, `partitionBy(tenant)`), then swings
-  * `_CURRENT` via write-temp + rename (atomic on POSIX). A crash at
-  * any point leaves the previous pointer valid and the previous
-  * generation intact, so re-running the batch converges — the
-  * idempotency the reference gets from JPA merge semantics. Stale
-  * generations are pruned best-effort after the swing.
+  * Layout: generation directories (`gen-NNN` each holding
+  * `tenant=T` parquet partitions) plus an atomically-renamed
+  * `_CURRENT` MANIFEST mapping each tenant to
+  * the generation holding its current rows. An upsert rewrites ONLY
+  * the tenants present in the batch — per-batch cost is O(touched
+  * tenants' rows), not O(table): untouched tenants keep pointing at
+  * their existing generation and their files are never re-written
+  * (the JDBC-MERGE cost contract this sink stands in for). A crash at
+  * any point leaves the previous manifest valid and every generation
+  * it references intact, so re-running the batch converges.
+  * Generations no longer referenced by any tenant are pruned
+  * best-effort after the manifest swing.
+  *
+  * Concurrency contract: SINGLE WRITER, and readers must fully
+  * consume (or checkpoint) a [[readCurrent]] frame before the next
+  * upsert — the frame is a lazy plan over generation files that an
+  * upsert may prune once no manifest entry references them.
+  * (StreamImport.runPipeline localCheckpoints its read-back for
+  * exactly this reason.)
   */
 object TenantUpsertSink {
 
   private val Pointer = "_CURRENT"
 
-  /** The table's current contents (empty frame semantics are the
-    * caller's concern: returns None before the first upsert).
+  /** The table's current contents (None before the first upsert). See
+    * the class doc for the reader contract.
     */
   def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
-    currentGen(tableDir).map(g => spark.read.parquet(s"$tableDir/$g"))
+    currentManifest(tableDir).map { m =>
+      m.groupBy(_._2).map { case (gen, entries) =>
+        spark.read
+          .option("basePath", s"$tableDir/$gen")
+          .parquet(entries.keys.toSeq.sorted.map(t => s"$tableDir/$gen/tenant=$t"): _*)
+      }.reduce(_ unionByName _)
+    }
 
-  private def currentGen(tableDir: String): Option[String] = {
+  /** tenant → generation holding that tenant's current rows. */
+  private def currentManifest(tableDir: String): Option[Map[String, String]] = {
     val p = new java.io.File(tableDir, Pointer)
-    if (p.exists()) Some(new String(java.nio.file.Files.readAllBytes(p.toPath)).trim)
-    else None
+    if (!p.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p.toPath))
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('=')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap)
   }
 
   def upsert(tableDir: String, batch: DataFrame, key: String): Unit = {
@@ -42,28 +64,44 @@ object TenantUpsertSink {
     // there is also nothing to change — skip
     if (batch.isEmpty) return
     new java.io.File(tableDir).mkdirs()
-    val merged = readCurrent(spark, tableDir) match {
-      case Some(existing) =>
-        existing.join(batch.select(key).distinct(), Seq(key), "left_anti")
+    val manifest = currentManifest(tableDir).getOrElse(Map.empty)
+    // the batch's tenant set: a routing dimension (bounded — the
+    // reference's RoutingDataSource holds one DataSource per tenant),
+    // so the driver-side collect is over a handful of values
+    val touched = batch.select("tenant").distinct()
+      .collect().map(_.getString(0)).toSet
+    val existingTouched = touched.intersect(manifest.keySet)
+    val merged =
+      if (existingTouched.isEmpty) batch
+      else {
+        val current = existingTouched.groupBy(manifest).map { case (gen, tenants) =>
+          spark.read
+            .option("basePath", s"$tableDir/$gen")
+            .parquet(tenants.toSeq.sorted.map(t => s"$tableDir/$gen/tenant=$t"): _*)
+        }.reduce(_ unionByName _)
+        current.join(batch.select(key).distinct(), Seq(key), "left_anti")
           .unionByName(batch)
-      case None => batch
-    }
+      }
     val gen = s"gen-${System.nanoTime()}"
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy("tenant")
       .parquet(s"$tableDir/$gen")
-    // atomic pointer swing: write tmp, rename over _CURRENT
+    // atomic manifest swing: untouched tenants keep their generation,
+    // touched tenants move to the new one
+    val next = manifest ++ touched.map(_ -> gen)
     val tmp = new java.io.File(tableDir, s"$Pointer.tmp")
-    java.nio.file.Files.write(tmp.toPath, gen.getBytes)
+    java.nio.file.Files.write(tmp.toPath,
+      next.toSeq.sorted.map { case (t, g) => s"$t=$g" }.mkString("\n").getBytes)
     java.nio.file.Files.move(tmp.toPath, new java.io.File(tableDir, Pointer).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // best-effort prune of EVERY unreferenced generation — not just
-    // the one superseded now: a crash between gen write and pointer
-    // swing orphans a directory that no later upsert would otherwise
-    // reclaim (single-writer, so nothing else can hold a stale gen).
+    // best-effort prune of every generation no manifest entry
+    // references — including orphans from a crash between gen write
+    // and swing (single-writer, so nothing else can hold a stale gen)
+    val referenced = next.values.toSet
     new java.io.File(tableDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-") && f.getName != gen)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
+        !referenced.contains(f.getName))
       .foreach(delete)
   }
 

@@ -13,17 +13,22 @@ class ImporterCoreSpec extends SparkSpec {
     assert(df.count() == total)
   }
 
-  test("imp_var_dedup keeps exactly one earliest row per (user, name)") {
+  test("imp_var_dedup replays the reference append guard (strictly increasing ts)") {
     val df = ImporterCore.impVarDedup(spark, sfDir)
-    assert(df.groupBy("user_id", "name").count().filter(col("count") > 1).count() == 0)
-    // first-write-wins: surviving ts is the min of the group
-    val mins = Tables.events(spark, sfDir)
+    // per (user, name): survivors' timestamps strictly increase in
+    // arrival (event_id) order — processVariable drops ts <= existing
+    val byKey = df.collect().groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("name")))
+    byKey.foreach { case (k, rs) =>
+      val tss = rs.sortBy(_.getAs[Long]("event_id")).map(_.getAs[Long]("ts_ms")).toSeq
+      assert(tss.zip(tss.tail).forall { case (a, b) => a < b },
+        s"non-increasing survivor ts for $k: $tss")
+    }
+    // the first-arriving record of every (user, name) always survives
+    val firsts = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("click", "view", "purchase"))
       .groupBy(col("user_id"), col("event_type").as("name"))
-      .agg(min("ts_ms").as("min_ms"))
-    val bad = df.join(mins, Seq("user_id", "name"))
-      .filter(col("first_ms") =!= col("min_ms")).count()
-    assert(bad == 0)
+      .agg(min("event_id").as("event_id"))
+    assert(firsts.join(df, Seq("user_id", "name", "event_id"), "left_anti").count() == 0)
   }
 
   test("tenant split takes everything after the FIRST dash (multi-dash ids)") {

@@ -89,7 +89,21 @@ class StreamingSpec extends SparkSpec {
     val b1 = Seq((1L, "t1", "v1"), (2L, "t2", "v1")).toDF("transfer_key", "tenant", "payload")
     val b2 = Seq((2L, "t2", "v2"), (3L, "t3", "v1")).toDF("transfer_key", "tenant", "payload")
     TenantUpsertSink.upsert(dir, b1, "transfer_key")
+    // snapshot tenant t1's files: b2 does not touch t1, so the
+    // partition-pruned rewrite must leave these EXACT files in place
+    def tenantFiles(t: String): Map[String, Seq[Byte]] = {
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_CURRENT"))).linesIterator
+        .map { l => val i = l.lastIndexOf('='); l.substring(0, i) -> l.substring(i + 1) }.toMap
+      val pdir = new java.io.File(dir, s"${manifest(t)}/tenant=$t")
+      pdir.listFiles().filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getAbsolutePath -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val t1Before = tenantFiles("t1")
+    assert(t1Before.nonEmpty)
     TenantUpsertSink.upsert(dir, b2, "transfer_key")
+    assert(tenantFiles("t1") == t1Before,
+      "untouched tenant t1 was rewritten by an upsert that never mentioned it")
     val out = TenantUpsertSink.readCurrent(spark, dir).get.orderBy("transfer_key")
       .collect().map(r => (r.getAs[Long]("transfer_key"), r.getAs[String]("payload")))
     assert(out.toSeq == Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
