@@ -665,6 +665,78 @@ object ImporterCore {
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS completed
       |FROM events GROUP BY user_id ORDER BY batch_key""".stripMargin
 
+  /** TransferDetail composite (entity/transfer/TransferDetail.java:9-17:
+    * one Transfer plus its full Task list and Variable list — the
+    * read-side detail row the operations UI fetches per transfer).
+    * Lists flatten to portable columns: a count and a
+    * deterministically-sorted joined rendering (`elem:intent#recordkey`
+    * / `name=value#recordkey`; the zero-padded record key makes string
+    * order equal numeric order, so both engines sort identically).
+    *
+    * Scale posture: per-instance list size is bounded by workflow
+    * length (the reference serves these lists in ONE api response per
+    * transfer — inherently small), so collect_list per key is safe;
+    * all three aggregations and both joins hash on the same instance
+    * key, so the joins reuse the groupBys' partitioning instead of
+    * adding shuffles.
+    */
+  def impTransferDetail(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val t = transfers(spark, dir).select("transfer_key", "tenant", "status")
+    val taskAgg = Tables.events(spark, dir)
+      .select(col("user_id"),
+        format_string("%s:%s#%020d", col("event_type"),
+          when(k < 50, "CREATED").otherwise("COMPLETED"), col("event_id")).as("s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast(LongType).as("task_count"),
+        array_join(array_sort(collect_list(col("s"))), ",").as("tasks"))
+    val varAgg = Tables.events(spark, dir)
+      .filter(col("event_type").isin(VarTypes: _*))
+      .select(col("user_id"),
+        format_string("%s=%s#%020d", col("event_type"),
+          moneyStr(dec2(col("value"))), col("event_id")).as("s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast(LongType).as("var_count"),
+        array_join(array_sort(collect_list(col("s"))), ",").as("vars"))
+    t.join(taskAgg, t("transfer_key") === taskAgg("user_id"), "left")
+      .join(varAgg, t("transfer_key") === varAgg("user_id"), "left")
+      .select(t("transfer_key"), t("tenant"), t("status"),
+        coalesce(col("task_count"), lit(0L)).as("task_count"),
+        coalesce(col("tasks"), lit("")).as("tasks"),
+        coalesce(col("var_count"), lit(0L)).as("var_count"),
+        coalesce(col("vars"), lit("")).as("vars"))
+      .orderBy("transfer_key")
+  }
+
+  def impTransferDetailSql: String =
+    s"""WITH t AS (
+       |$transfersSqlCte),
+       |ta AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS task_count,
+       |    string_agg(s, ',' ORDER BY s) AS tasks
+       |  FROM (SELECT user_id,
+       |      printf('%s:%s#%020d', event_type,
+       |        CASE WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) < 50
+       |             THEN 'CREATED' ELSE 'COMPLETED' END,
+       |        event_id) AS s
+       |    FROM events)
+       |  GROUP BY user_id),
+       |va AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS var_count,
+       |    string_agg(s, ',' ORDER BY s) AS vars
+       |  FROM (SELECT user_id,
+       |      printf('%s=%s#%020d', event_type,
+       |        CAST(CAST(value AS DECIMAL(38,2)) AS VARCHAR), event_id) AS s
+       |    FROM events WHERE event_type IN ('click','view','purchase'))
+       |  GROUP BY user_id)
+       |SELECT t.transfer_key, t.tenant, t.status,
+       |  COALESCE(ta.task_count, 0) AS task_count, COALESCE(ta.tasks, '') AS tasks,
+       |  COALESCE(va.var_count, 0) AS var_count, COALESCE(va.vars, '') AS vars
+       |FROM t
+       |LEFT JOIN ta ON t.transfer_key = ta.user_id
+       |LEFT JOIN va ON t.transfer_key = va.user_id
+       |ORDER BY t.transfer_key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "imp_parse_route" -> (impParseRoute _),
     "imp_var_dedup" -> (impVarDedup _),
@@ -678,6 +750,7 @@ object ImporterCore {
     "imp_entity_wide" -> (impEntityWide _),
     "imp_entity_txnreq" -> (impEntityTxnreq _),
     "imp_entity_batches" -> (impEntityBatches _),
+    "imp_transfer_detail" -> (impTransferDetail _),
     "imp_direction" -> (impDirection _),
     "imp_variables" -> (impVariables _),
     "imp_tasks" -> (impTasks _))
@@ -695,6 +768,7 @@ object ImporterCore {
     "imp_entity_wide" -> impEntityWideSql,
     "imp_entity_txnreq" -> impEntityTxnreqSql,
     "imp_entity_batches" -> impEntityBatchesSql,
+    "imp_transfer_detail" -> impTransferDetailSql,
     "imp_direction" -> impDirectionSql,
     "imp_variables" -> impVariablesSql,
     "imp_tasks" -> impTasksSql)

@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,19 +13,26 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample as partition-batched
   * transforms — the Scala equivalent of a `mapInPandas` batch UDF.
   *
-  * The container has no image/audio codecs, so THE DECODE STEP IS A
-  * STUB: `decodeStub` produces deterministic fake frames from the
-  * payload bytes. Everything around it — schema, binary column
-  * handling, partition batching, feature shape, checksums — is real
-  * and spec-tested; swapping `decodeStub` for a JNI/FFmpeg decoder
-  * changes no plumbing.
+  * The decode step is REAL for `png` rows: payloads are genuine PNG
+  * streams (encoded with the pure-JVM `javax.imageio` codec, no
+  * native libs) and `decodePng` runs `ImageIO.read` and derives frame
+  * features from the actual decoded pixels — tamper with a payload
+  * byte and the features change or the decode fails loudly. Formats
+  * with no pure-JVM codec in this container (jpeg/wav/mp4) still go
+  * through `decodeStub`, which fakes frames deterministically from
+  * the payload bytes; swapping it for a JNI/FFmpeg decoder changes no
+  * plumbing.
   *
   * Scale posture: payloads never leave their partition (mapPartitions,
-  * no shuffle until the final presentation agg); feature extraction is
-  * embarrassingly parallel; metadata travels as a struct column so
-  * pruning works when only meta is queried.
+  * no shuffle until the final presentation agg); decode is
+  * embarrassingly parallel and the mapPartitions boundary is where a
+  * real codec amortizes init; metadata travels as a struct column so
+  * pruning works when only meta is queried. `ImageIO`'s disk cache is
+  * off — executor-side decode stays in-memory.
   */
 object Multimodal {
+
+  ImageIO.setUseCache(false)
 
   case class MediaMeta(format: String, width: Int, height: Int, n_frames: Int)
   case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
@@ -29,10 +40,40 @@ object Multimodal {
 
   private val Formats = Array("jpeg", "png", "wav", "mp4")
 
+  /** Deterministic pixel pattern seeded by the doc's md5: the image a
+    * png row's payload encodes. Channel mix keeps every pixel
+    * dependent on the seed bytes so a decode that ignores the payload
+    * cannot reproduce the features.
+    */
+  private[graft] def synthesizeImage(seed: Array[Byte], w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val r = seed(i % seed.length) & 0xff
+        val g = seed((i * 7 + 3) % seed.length) & 0xff
+        val b = (x * 31 + y * 17) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic media attached to each document (the
-    * test corpus ships no binaries): payload bytes derive from the
-    * doc's md5, metadata from the doc id. Stands in for a real
-    * `binary` + struct column pair read from parquet/lance.
+    * test corpus ships no binaries): png rows carry a real encoded
+    * PNG of the seed-derived pixel pattern; other formats carry raw
+    * seed repetitions. Stands in for a `binary` + struct column pair
+    * read from parquet/lance.
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -40,21 +81,48 @@ object Multimodal {
       .select(col("doc_id"), md5(col("text")).cast("binary").as("seed"))
       .as[(Long, Array[Byte])]
       .map { case (id, seed) =>
-        val reps = 1 + (id % 8).toInt
-        val payload = Array.fill(reps)(seed).flatten
-        MediaRow(id, payload,
-          MediaMeta(Formats((id % 4).toInt), 16 << (id % 3).toInt,
-            16 << (id % 3).toInt, 1 + (id % 5).toInt))
+        val format = Formats((id % 4).toInt)
+        val side = 16 << (id % 3).toInt
+        val meta = MediaMeta(format, side, side, 1 + (id % 5).toInt)
+        val payload =
+          if (format == "png") encodePng(synthesizeImage(seed, side, side))
+          else {
+            val reps = 1 + (id % 8).toInt
+            Array.fill(reps)(seed).flatten
+          }
+        MediaRow(id, payload, meta)
       }
   }
 
-  /** STUB — deterministic fake decoder. A real implementation decodes
-    * `payload` per `meta.format` and emits `meta.n_frames` sampled
-    * frames of `width*height` pixels; this fake derives an 8-float
-    * feature per frame from the payload bytes so the downstream
-    * plumbing is fully exercised and reproducible.
+  /** REAL decode for png payloads: `ImageIO.read` the compressed
+    * stream, then per sampled frame (a horizontal band) extract 8
+    * luminance taps from the decoded pixels. Features depend on the
+    * actual pixel data — a corrupted payload fails the decode with a
+    * descriptive error instead of producing plausible frames.
     */
-  private[operators] def decodeStub(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] =
+  private[graft] def decodePng(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null,
+      s"graft-mm: payload is not a decodable PNG stream (meta ${meta.width}x${meta.height})")
+    Array.tabulate(meta.n_frames) { f =>
+      val y = f * img.getHeight / meta.n_frames
+      Array.tabulate(8) { i =>
+        val x = i * img.getWidth / 8
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        (lum - 128).toFloat / 128f
+      }
+    }
+  }
+
+  /** STUB for formats without a pure-JVM codec in this container
+    * (jpeg/wav/mp4): derives an 8-float feature per frame from the
+    * payload bytes so the downstream plumbing is fully exercised and
+    * reproducible. A real implementation decodes per `meta.format`
+    * and emits `meta.n_frames` sampled frames of `width*height`
+    * pixels.
+    */
+  private[graft] def decodeStub(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] =
     Array.tabulate(meta.n_frames) { f =>
       Array.tabulate(8) { i =>
         val b = payload((f * 8 + i) % payload.length) & 0xff
@@ -62,27 +130,38 @@ object Multimodal {
       }
     }
 
+  private[graft] def decodeFrames(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] =
+    meta.format match {
+      case "png" => decodePng(payload, meta)
+      case _     => decodeStub(payload, meta)
+    }
+
+  private[graft] def frameChecksum(feat: Array[Float]): Long =
+    feat.foldLeft(1469598103934665603L) { (acc, f) =>
+      (acc ^ java.lang.Float.floatToIntBits(f)) * 1099511628211L
+    }
+
   /** Frame features, partition-batched: the mapPartitions boundary is
-    * where a real decoder would amortize codec init per partition
-    * (exactly what mapInPandas gives Python UDFs).
+    * where a real decoder amortizes codec init per partition (exactly
+    * what mapInPandas gives Python UDFs).
     */
   def features(spark: SparkSession, dir: String): Dataset[FrameFeature] = {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions { rows =>
-      // per-partition "codec" init would go here
+      // per-partition codec init goes here (ImageIO readers are
+      // created per call; heavier codecs would be cached in this scope)
       rows.flatMap { r =>
-        decodeStub(r.payload, r.meta).zipWithIndex.map { case (feat, idx) =>
-          val checksum = feat.foldLeft(1469598103934665603L) { (acc, f) =>
-            (acc ^ java.lang.Float.floatToIntBits(f)) * 1099511628211L
-          }
-          FrameFeature(r.doc_id, idx, feat.length, checksum)
+        decodeFrames(r.payload, r.meta).zipWithIndex.map { case (feat, idx) =>
+          FrameFeature(r.doc_id, idx, feat.length, frameChecksum(feat))
         }
       }
     }
   }
 
-  /** Driver-visible pipeline result (rows-only check — the decode is
-    * stubbed, so no SQL oracle is claimed): one row per sampled frame.
+  /** Driver-visible pipeline result (rows-only check — the non-png
+    * decode arms are stubbed, so no SQL oracle is claimed; the png arm
+    * is pinned by a known-image checksum spec): one row per sampled
+    * frame.
     */
   def mmPipeline(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir).toDF()

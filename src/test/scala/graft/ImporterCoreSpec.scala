@@ -133,4 +133,20 @@ class ImporterCoreSpec extends SparkSpec {
     val between = Specs.qSpecsBetween(spark, sfDir)
     assert(between.filter(col("started_ms") < 1704672000000L).count() == 0)
   }
+
+  test("imp_transfer_detail: one row per transfer, lists complete and sorted") {
+    val detail = ImporterCore.impTransferDetail(spark, sfDir).collect()
+    val transfers = ImporterCore.impEntityTransfers(spark, sfDir).collect()
+    assert(detail.length == transfers.length)
+    // every event is a task row; n_events from the entity is the bound
+    val nEvents = transfers.map(r => r.getAs[Long]("transfer_key") -> r.getAs[Long]("n_events")).toMap
+    detail.foreach { r =>
+      val key = r.getAs[Long]("transfer_key")
+      assert(r.getAs[Long]("task_count") == nEvents(key))
+      val tasks = r.getAs[String]("tasks").split(",")
+      assert(tasks.length == r.getAs[Long]("task_count"))
+      assert(tasks.sorted.sameElements(tasks), s"task list not sorted for $key")
+      assert(r.getAs[Long]("var_count") <= r.getAs[Long]("task_count"))
+    }
+  }
 }

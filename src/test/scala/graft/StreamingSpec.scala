@@ -169,4 +169,52 @@ class StreamingSpec extends SparkSpec {
     byDoc.foreach { case (id, rows) => assert(rows.length == 1 + (id % 5).toInt) }
     assert(f1.forall(_.getAs[Int]("dim") == 8))
   }
+
+  test("mm png decode: codec roundtrip is pixel-exact and features come from decoded pixels") {
+    import Multimodal._
+    val seed = java.security.MessageDigest.getInstance("MD5").digest("graft-known-seed".getBytes("UTF-8"))
+    val img = synthesizeImage(seed, 16, 16)
+    val png = encodePng(img)
+    // 1. it is a real PNG stream (magic bytes) and the codec roundtrip is lossless
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff))
+    // 2. features equal an INDEPENDENT computation from the pixel formula —
+    //    never touching the codec — so decode provably recovers the pixels
+    val meta = MediaMeta("png", 16, 16, 2)
+    val got = decodeFrames(png, meta)
+    val expected = Array.tabulate(2) { f =>
+      val y = f * 16 / 2
+      Array.tabulate(8) { i =>
+        val x = i * 16 / 8
+        val idx = y * 16 + x
+        val r = seed(idx % seed.length) & 0xff
+        val g = seed((idx * 7 + 3) % seed.length) & 0xff
+        val b = (x * 31 + y * 17) & 0xff
+        ((r * 299 + g * 587 + b * 114) / 1000 - 128).toFloat / 128f
+      }
+    }
+    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    // 3. known-image checksum pin (regression guard on formula + fold)
+    assert(frameChecksum(got(0)) == 9180221312646271459L)
+    // 4. a corrupted payload fails loudly instead of producing frames
+    val bad = png.clone(); bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x7f).toByte
+    intercept[Exception](decodeFrames(bad, meta))
+    // 5. the pipeline's png rows (doc_id % 4 == 1) carry pixel-derived
+    //    checksums — recompute one end-to-end from the document text
+    val doc = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 === 1).select("doc_id", "text").head()
+    val id = doc.getAs[Long]("doc_id")
+    // spark md5() yields the hex STRING; cast-to-binary gives its utf8 bytes
+    val dSeed = java.security.MessageDigest.getInstance("MD5")
+      .digest(doc.getAs[String]("text").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.getBytes("UTF-8")
+    val side = 16 << (id % 3).toInt
+    val dMeta = MediaMeta("png", side, side, 1 + (id % 5).toInt)
+    val want = decodePng(encodePng(synthesizeImage(dSeed, side, side)), dMeta).map(frameChecksum)
+    val rows = Multimodal.mmPipeline(spark, sfDir)
+      .filter(col("doc_id") === id).orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.toSeq)
+  }
 }
