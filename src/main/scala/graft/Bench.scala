@@ -16,7 +16,13 @@ object Bench {
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () })
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional isolation filter (comma-separated names): lets a slow
+    // query be re-timed alone, outside sweep order — full sweep when unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column and keeps the final sort
       // in the plan — count() would let Catalyst prune the aggregates

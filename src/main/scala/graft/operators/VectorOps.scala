@@ -143,19 +143,37 @@ object VectorOps {
        |  $bandSelects)""".stripMargin
   }
 
-  /** Exact top-k cosine neighbors, brute force: the correctness
-    * baseline. Corpus × corpus with self excluded; at scale the query
-    * side is the bounded set and `ann_lsh` is the path.
+  /** The brute-force contract: query side must be BOUNDED (the corpus
+    * side streams). Enforced, not just documented — `annBruteforceFor`
+    * refuses a query side above this ceiling instead of silently
+    * planning an all-pairs join that only a toy corpus survives.
     */
-  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val v = quantized(spark, dir)
-    val joined = v.as("a").join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+  val MaxBruteforceQueries = 100000L
+
+  /** Exact top-k cosine neighbors of each `queries` row within
+    * `corpus`, brute force: the correctness baseline. The query-side
+    * cardinality guard is one count over the (already materialized)
+    * bounded side; past the ceiling the scale paths are `annLsh` /
+    * `annIvf`.
+    */
+  def annBruteforceFor(queries: DataFrame, corpus: DataFrame, k: Int,
+      maxQueries: Long = MaxBruteforceQueries): DataFrame = {
+    val n = queries.count()
+    require(n <= maxQueries,
+      s"graft-ann: brute-force query side has $n rows (> $maxQueries); " +
+        "an all-pairs scan at this size is not the intended plan — use annLsh/annIvf")
+    val joined = queries.as("a").join(corpus.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
     val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
-    val topk = joined.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
+  }
+
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val topk = annBruteforceFor(v, v, 5)
     graft.Scratch.seal(topk, v).orderBy("q_id", "rnk")
   }
 

@@ -59,50 +59,57 @@ object TenantUpsertSink {
 
   def upsert(tableDir: String, batch: DataFrame, key: String): Unit = {
     val spark = batch.sparkSession
-    // an empty batch would write a generation with ZERO parquet files
-    // (only _SUCCESS) and poison every later schema-inferring read;
-    // there is also nothing to change — skip
-    if (batch.isEmpty) return
-    new java.io.File(tableDir).mkdirs()
-    val manifest = currentManifest(tableDir).getOrElse(Map.empty)
-    // the batch's tenant set: a routing dimension (bounded — the
-    // reference's RoutingDataSource holds one DataSource per tenant),
-    // so the driver-side collect is over a handful of values
-    val touched = batch.select("tenant").distinct()
-      .collect().map(_.getString(0)).toSet
-    val existingTouched = touched.intersect(manifest.keySet)
-    val merged =
-      if (existingTouched.isEmpty) batch
-      else {
-        val current = existingTouched.groupBy(manifest).map { case (gen, tenants) =>
-          spark.read
-            .option("basePath", s"$tableDir/$gen")
-            .parquet(tenants.toSeq.sorted.map(t => s"$tableDir/$gen/tenant=$t"): _*)
-        }.reduce(_ unionByName _)
-        current.join(batch.select(key).distinct(), Seq(key), "left_anti")
-          .unionByName(batch)
-      }
-    val gen = s"gen-${System.nanoTime()}"
-    merged.write.mode(SaveMode.Overwrite)
-      .partitionBy("tenant")
-      .parquet(s"$tableDir/$gen")
-    // atomic manifest swing: untouched tenants keep their generation,
-    // touched tenants move to the new one
-    val next = manifest ++ touched.map(_ -> gen)
-    val tmp = new java.io.File(tableDir, s"$Pointer.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      next.toSeq.sorted.map { case (t, g) => s"$t=$g" }.mkString("\n").getBytes)
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(tableDir, Pointer).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // best-effort prune of every generation no manifest entry
-    // references — including orphans from a crash between gen write
-    // and swing (single-writer, so nothing else can hold a stale gen)
-    val referenced = next.values.toSet
-    new java.io.File(tableDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
-        !referenced.contains(f.getName))
-      .foreach(delete)
+    // every action inside foreachBatch RE-RUNS the micro-batch plan
+    // (a stateful fold here) — cache it so the emptiness probe, the
+    // tenant routing collect and the generation write all reuse ONE
+    // evaluation
+    batch.persist()
+    try {
+      // an empty batch would write a generation with ZERO parquet files
+      // (only _SUCCESS) and poison every later schema-inferring read;
+      // there is also nothing to change — skip
+      if (batch.isEmpty) return
+      new java.io.File(tableDir).mkdirs()
+      val manifest = currentManifest(tableDir).getOrElse(Map.empty)
+      // the batch's tenant set: a routing dimension (bounded — the
+      // reference's RoutingDataSource holds one DataSource per tenant),
+      // so the driver-side collect is over a handful of values
+      val touched = batch.select("tenant").distinct()
+        .collect().map(_.getString(0)).toSet
+      val existingTouched = touched.intersect(manifest.keySet)
+      val merged =
+        if (existingTouched.isEmpty) batch
+        else {
+          val current = existingTouched.groupBy(manifest).map { case (gen, tenants) =>
+            spark.read
+              .option("basePath", s"$tableDir/$gen")
+              .parquet(tenants.toSeq.sorted.map(t => s"$tableDir/$gen/tenant=$t"): _*)
+          }.reduce(_ unionByName _)
+          current.join(batch.select(key).distinct(), Seq(key), "left_anti")
+            .unionByName(batch)
+        }
+      val gen = s"gen-${System.nanoTime()}"
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy("tenant")
+        .parquet(s"$tableDir/$gen")
+      // atomic manifest swing: untouched tenants keep their generation,
+      // touched tenants move to the new one
+      val next = manifest ++ touched.map(_ -> gen)
+      val tmp = new java.io.File(tableDir, s"$Pointer.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        next.toSeq.sorted.map { case (t, g) => s"$t=$g" }.mkString("\n").getBytes)
+      java.nio.file.Files.move(tmp.toPath, new java.io.File(tableDir, Pointer).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // best-effort prune of every generation no manifest entry
+      // references — including orphans from a crash between gen write
+      // and swing (single-writer, so nothing else can hold a stale gen)
+      val referenced = next.values.toSet
+      new java.io.File(tableDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
+          !referenced.contains(f.getName))
+        .foreach(delete)
+    } finally batch.unpersist()
   }
 
   private def delete(f: java.io.File): Unit = if (f.exists()) {

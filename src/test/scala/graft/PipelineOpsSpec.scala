@@ -96,6 +96,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ranks.filter(size(col("r")) =!= 5).count() == 0)
   }
 
+  test("ann_bruteforce refuses an over-ceiling query side") {
+    val v = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(1 AS BIGINT))").as("q"), lit(64L).as("n2"))
+    val e = intercept[IllegalArgumentException](
+      VectorOps.annBruteforceFor(v, v, 5, maxQueries = 3))
+    assert(e.getMessage.contains("annLsh"))
+  }
+
   test("ann_lsh results are a subset-quality approximation of brute force") {
     val bf = VectorOps.annBruteforce(spark, sfDir)
       .filter(col("rnk") === 1).select(col("q_id"), col("score_e6").as("bf_score"))
