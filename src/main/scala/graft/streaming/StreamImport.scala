@@ -265,6 +265,110 @@ object StreamImport {
         "total_transactions", "ongoing", "failed", "completed")
       .orderBy("batch_key")
 
+  // ------------------------------------------------------------- Wide
+
+  /** Streaming wide-entity state: last write per variable class
+    * (channelRequest / transferResponse-CREATE) by the (ts, event_id)
+    * pair — impEntityWide's arg-max picks, folded incrementally.
+    */
+  case class WideSt(chanTs: Long, chanId: Long, payerPartyId: String,
+    payerIdType: String, payeePartyId: String, payeeIdType: String,
+    amount: String, currency: String,
+    respTs: Long, respId: Long, completedMs: Long, transferState: String)
+
+  private val EmptyWideSt = WideSt(Long.MinValue, Long.MinValue, "", "", "",
+    "", "", "", Long.MinValue, Long.MinValue, -1L, "")
+
+  /** tenant is carried for the sink's partition routing and dropped
+    * from the oracle-checked projection (the batch entity has none).
+    */
+  case class WideRow(transfer_key: Long, tenant: String,
+    payer_party_id: String, payer_id_type: String,
+    payee_party_id: String, payee_id_type: String,
+    amount: String, currency: String, completed_ms: Long,
+    transfer_state: String)
+
+  // Jackson ships on Spark's classpath; ObjectMapper.readTree is
+  // thread-safe after construction
+  private lazy val json = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private val WideTsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
+  private def amountStr(v: Double): String =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+
+  /** Per-record nested-payload round-trip: SYNTHESIZE the variable's
+    * JSON document, then parse it back and extract multi-level paths
+    * (JSON Pointer) — the streaming mirror of the batch side's
+    * to_json/from_json, so the stream path also exercises real JSON
+    * parsing per record, like the reference's VariableParser.
+    */
+  private def foldWide(st: WideSt, r: Rec): WideSt = r.event_type match {
+    case "signup" if isAfter(r.ts_ms, r.event_id, st.chanTs, st.chanId) =>
+      val root = json.createObjectNode()
+      root.putObject("payer").putObject("partyIdInfo")
+        .put("partyIdType", "MSISDN")
+        .put("partyIdentifier", "277" + (r.user_id % 100))
+      root.putObject("payee").putObject("partyIdInfo")
+        .put("partyIdType", "ACCOUNT_ID")
+        .put("partyIdentifier", "acct-" + (r.user_id % 50))
+      root.putObject("amount")
+        .put("amount", amountStr(r.value))
+        .put("currency", if (r.user_id % 2 == 0) "USD" else "KES")
+      val doc = json.readTree(json.writeValueAsString(root))
+      st.copy(chanTs = r.ts_ms, chanId = r.event_id,
+        payerPartyId = doc.at("/payer/partyIdInfo/partyIdentifier").asText(),
+        payerIdType = doc.at("/payer/partyIdInfo/partyIdType").asText(),
+        payeePartyId = doc.at("/payee/partyIdInfo/partyIdentifier").asText(),
+        payeeIdType = doc.at("/payee/partyIdInfo/partyIdType").asText(),
+        amount = doc.at("/amount/amount").asText(),
+        currency = doc.at("/amount/currency").asText())
+    case "purchase" if isAfter(r.ts_ms, r.event_id, st.respTs, st.respId) =>
+      val root = json.createObjectNode()
+      root.put("completedTimestamp", WideTsFmt.format(
+        java.time.Instant.ofEpochMilli(r.ts_ms).atOffset(java.time.ZoneOffset.UTC)))
+      root.put("transferState", "COMMITTED")
+      val doc = json.readTree(json.writeValueAsString(root))
+      val parsedMs = java.time.LocalDateTime
+        .parse(doc.at("/completedTimestamp").asText(), WideTsFmt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      st.copy(respTs = r.ts_ms, respId = r.event_id,
+        completedMs = parsedMs,
+        transferState = doc.at("/transferState").asText())
+    case _ => st
+  }
+
+  def updateWide(key: Long, recs: Iterator[Rec], state: GroupState[WideSt]): Iterator[WideRow] = {
+    val st = recs.foldLeft(state.getOption.getOrElse(EmptyWideSt))(foldWide)
+    state.update(st)
+    Iterator.single(WideRow(
+      transfer_key = key,
+      tenant = "t" + (key % 10),
+      payer_party_id = st.payerPartyId, payer_id_type = st.payerIdType,
+      payee_party_id = st.payeePartyId, payee_id_type = st.payeeIdType,
+      amount = st.amount, currency = st.currency,
+      completed_ms = st.completedMs, transfer_state = st.transferState))
+  }
+
+  def wideStream(events: DataFrame): Dataset[WideRow] = {
+    import events.sparkSession.implicits._
+    toRecs(events)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateWide)
+  }
+
+  /** Streaming wide-entity materialization — same oracle as the batch
+    * imp_entity_wide (nested-JSON extraction semantics included).
+    */
+  def runWideToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events => wideStream(events).toDF(), "transfer_key")
+      .select("transfer_key", "payer_party_id", "payer_id_type",
+        "payee_party_id", "payee_id_type", "amount", "currency",
+        "completed_ms", "transfer_state")
+      .orderBy("transfer_key")
+
   // --------------------------------------------------------- plumbing
 
   /** Shared end-to-end runner: stream the sf dir's events file through
@@ -321,11 +425,13 @@ object StreamImport {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_import" -> (runToCompletion _),
     "stream_txnreq" -> (runTxnreqToCompletion _),
-    "stream_batches" -> (runBatchesToCompletion _))
+    "stream_batches" -> (runBatchesToCompletion _),
+    "stream_wide" -> (runWideToCompletion _))
 
   /** Streaming paths answer the SAME oracles as the batch entities. */
   def oracles: Map[String, String] = Map(
     "stream_import" -> graft.operators.ImporterCore.impEntityTransfersSql,
     "stream_txnreq" -> graft.operators.ImporterCore.impEntityTxnreqSql,
-    "stream_batches" -> graft.operators.ImporterCore.impEntityBatchesSql)
+    "stream_batches" -> graft.operators.ImporterCore.impEntityBatchesSql,
+    "stream_wide" -> graft.operators.ImporterCore.impEntityWideSql)
 }

@@ -83,6 +83,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_wide: out-of-order arrivals keep the last-write nested-JSON picks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    val shuffled = new scala.util.Random(13).shuffle(recs.toVector)
+    val stream = MemoryStream[StreamImport.Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_wide_").toString + "/t"
+    val q = StreamImport.wideStream(stream.toDF()).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_widechk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "transfer_key")
+      }
+      .start()
+    shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val cols = Seq("transfer_key", "payer_party_id", "payer_id_type",
+      "payee_party_id", "payee_id_type", "amount", "currency",
+      "completed_ms", "transfer_state")
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select(cols.map(col): _*).orderBy("transfer_key").collect()
+    val batch = ImporterCore.impEntityWide(spark, sfDir)
+      .select(cols.map(col): _*).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"key ${s.get(0)}: stream=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("upsert sink: latest batch wins per key, tenant partitions routed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert2_").toString + "/t"
