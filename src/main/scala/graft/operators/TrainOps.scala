@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-data assembly operators a 100 TB pipeline runs after
+  * filtering/dedup: deterministic stratified sampling and
+  * token-budget sequence packing. Both are pure column arithmetic +
+  * one bounded-width window — no collect, no unbounded state, and the
+  * sampling decision is a pure function of the doc id (re-runs and
+  * backfills pick the SAME rows, the property ad-hoc `rand()`
+  * sampling loses).
+  */
+object TrainOps {
+
+  /** Spark/DuckDB-portable 60-bit hash of a salted doc id. */
+  private def saltedHash(salt: String) =
+    s"graft_hash60(concat('$salt', CAST(doc_id AS STRING)))"
+
+  private def saltedHashDuck(salt: String) =
+    s"CAST(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('$salt', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+  // quality stratum: the same rule as TextOps.textQuality's bucket
+  // (mid-length prose with sane stopword density) — inlined so the
+  // sampler is self-contained
+  private val stratumExpr =
+    """CASE WHEN len BETWEEN 30 AND 400 AND 10000 * n_stop DIV len BETWEEN 100 AND 3000
+      |     THEN 'good' ELSE 'low' END""".stripMargin
+  private val stratumDuck =
+    """CASE WHEN len BETWEEN 30 AND 400 AND 10000 * n_stop // len BETWEEN 100 AND 3000
+      |     THEN 'good' ELSE 'low' END""".stripMargin
+
+  /** Stratified downsampling with per-stratum keep rates (keep 80% of
+    * 'good' prose, 10% of 'low') decided by hash bucket, not rand():
+    * deterministic, seedable via the salt, and exactly reproducible in
+    * the oracle. Row-local — no shuffle before the presentation sort.
+    */
+  def pipeSample(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("len", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("n_stop",
+        size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))
+      .withColumn("stratum", expr(stratumExpr))
+      .withColumn("h_e4", expr(s"${saltedHash("smp|")} % 10000"))
+      .filter((col("stratum") === "good" && col("h_e4") < 8000) ||
+        (col("stratum") === "low" && col("h_e4") < 1000))
+      .select(col("doc_id"), col("stratum"), col("h_e4"))
+      .orderBy("doc_id")
+  }
+
+  def pipeSampleSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS len,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    $stratumDuck AS stratum,
+       |    ${saltedHashDuck("smp|")} % 10000 AS h_e4
+       |  FROM q)
+       |SELECT doc_id, stratum, h_e4 FROM s
+       |WHERE (stratum = 'good' AND h_e4 < 8000)
+       |   OR (stratum = 'low' AND h_e4 < 1000)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing: assign each doc to a token-budget bin (the
+    * pre-tokenization pass that turns a filtered corpus into
+    * fixed-length training sequences). Docs are hash-sharded, then
+    * greedily packed IN DOC-ID ORDER within their shard by running
+    * token cumsum — bin = tokens-before DIV budget (the streaming
+    * packer's split rule; a doc straddling a boundary starts its bin).
+    *
+    * Scale posture: the only non-row-local step is a window
+    * partitioned by shard — parallelism = shard count (set it to
+    * O(cores×executors) at scale), never a global single-partition
+    * sort. Shard assignment is the same portable salted hash as the
+    * sampler, so packing is reproducible run-to-run.
+    */
+  def pipePack(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val budget = 512L
+    val shards = 8L
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("tok"))
+      .withColumn("shard", expr(s"${saltedHash("pack|")} % $shards"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("tok"),
+        (col("cum") - col("tok")).as("tok_before"),
+        expr(s"(cum - tok) DIV $budget").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  def pipePackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS tok,
+       |    ${saltedHashDuck("pack|")} % 8 AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, tok,
+       |    SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT doc_id, shard, tok,
+       |  CAST(cum - tok AS BIGINT) AS tok_before,
+       |  CAST((cum - tok) // 512 AS BIGINT) AS bin
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_sample" -> (pipeSample _),
+    "pipe_pack" -> (pipePack _))
+
+  def oracles: Map[String, String] = Map(
+    "pipe_sample" -> pipeSampleSql,
+    "pipe_pack" -> pipePackSql)
+}

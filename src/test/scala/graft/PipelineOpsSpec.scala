@@ -96,6 +96,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ranks.filter(size(col("r")) =!= 5).count() == 0)
   }
 
+  test("pipe_sample is deterministic and stratum-rate-shaped; pipe_pack bins respect the cumsum rule") {
+    import graft.operators.TrainOps
+    val s1 = TrainOps.pipeSample(spark, sfDir).collect()
+    val s2 = TrainOps.pipeSample(spark, sfDir).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq, "sampling must be reproducible")
+    // every kept row is under its stratum's rate threshold
+    s1.foreach { r =>
+      val cap = if (r.getAs[String]("stratum") == "good") 8000L else 1000L
+      assert(r.getAs[Long]("h_e4") < cap)
+    }
+    val p = TrainOps.pipePack(spark, sfDir).collect()
+    assert(p.length == Tables.documents(spark, sfDir).count())
+    // within a shard, docs in doc-id order have non-decreasing bins and
+    // tok_before consistent with the running cumsum
+    p.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("tok_before") == cum)
+        assert(r.getAs[Long]("bin") == cum / 512)
+        cum += r.getAs[Long]("tok")
+      }
+    }
+  }
+
   test("ann_bruteforce refuses an over-ceiling query side") {
     val v = Tables.embeddings(spark, sfDir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(1 AS BIGINT))").as("q"), lit(64L).as("n2"))
