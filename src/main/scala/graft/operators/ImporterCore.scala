@@ -673,38 +673,37 @@ object ImporterCore {
     * / `name=value#recordkey`; the zero-padded record key makes string
     * order equal numeric order, so both engines sort identically).
     *
-    * Scale posture: per-instance list size is bounded by workflow
-    * length (the reference serves these lists in ONE api response per
-    * transfer — inherently small), so collect_list per key is safe;
-    * all three aggregations and both joins hash on the same instance
-    * key, so the joins reuse the groupBys' partitioning instead of
-    * adding shuffles.
+    * Scale posture: ONE shuffled groupBy on the instance key —
+    * `collect_list` skips nulls, so the task list, the variable list
+    * (a conditional projection) and the status flags all fold in the
+    * same pass; no joins, one scan of events. Per-instance list size
+    * is bounded by workflow length (the reference serves these lists
+    * in ONE api response per transfer — inherently small), so
+    * collect_list per key is safe.
     */
   def impTransferDetail(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
-    val t = transfers(spark, dir).select("transfer_key", "tenant", "status")
-    val taskAgg = Tables.events(spark, dir)
-      .select(col("user_id"),
-        format_string("%s:%s#%020d", col("event_type"),
-          when(k < 50, "CREATED").otherwise("COMPLETED"), col("event_id")).as("s"))
-      .groupBy("user_id")
-      .agg(count(lit(1)).cast(LongType).as("task_count"),
-        array_join(array_sort(collect_list(col("s"))), ",").as("tasks"))
-    val varAgg = Tables.events(spark, dir)
-      .filter(col("event_type").isin(VarTypes: _*))
-      .select(col("user_id"),
-        format_string("%s=%s#%020d", col("event_type"),
-          moneyStr(dec2(col("value"))), col("event_id")).as("s"))
-      .groupBy("user_id")
-      .agg(count(lit(1)).cast(LongType).as("var_count"),
-        array_join(array_sort(collect_list(col("s"))), ",").as("vars"))
-    t.join(taskAgg, t("transfer_key") === taskAgg("user_id"), "left")
-      .join(varAgg, t("transfer_key") === varAgg("user_id"), "left")
-      .select(t("transfer_key"), t("tenant"), t("status"),
-        coalesce(col("task_count"), lit(0L)).as("task_count"),
-        coalesce(col("tasks"), lit("")).as("tasks"),
-        coalesce(col("var_count"), lit(0L)).as("var_count"),
-        coalesce(col("vars"), lit("")).as("vars"))
+    val isVar = col("event_type").isin(VarTypes: _*)
+    val isFatal = col("event_type") === "error" && k >= 90
+    val taskS = format_string("%s:%s#%020d", col("event_type"),
+      when(k < 50, "CREATED").otherwise("COMPLETED"), col("event_id"))
+    val varS = format_string("%s=%s#%020d", col("event_type"),
+      moneyStr(dec2(col("value"))), col("event_id"))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(isFatal, 1).otherwise(0)).as("_failed"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("_completed"),
+        count(lit(1)).cast(LongType).as("task_count"),
+        array_join(array_sort(collect_list(taskS)), ",").as("tasks"),
+        count(when(isVar, 1)).cast(LongType).as("var_count"),
+        array_join(array_sort(collect_list(when(isVar, varS))), ",").as("vars"))
+      .select(col("user_id").as("transfer_key"),
+        concat(lit("t"), (col("user_id") % 10).cast(LongType)).as("tenant"),
+        when(col("_failed") === 1, "FAILED")
+          .when(col("_completed") === 1, "COMPLETED")
+          .otherwise("IN_PROGRESS").as("status"),
+        col("task_count"), col("tasks"), col("var_count"), col("vars"))
       .orderBy("transfer_key")
   }
 
