@@ -135,7 +135,14 @@ class ImporterCoreSpec extends SparkSpec {
   }
 
   test("imp_transfer_detail: one row per transfer, lists complete and sorted") {
-    val detail = ImporterCore.impTransferDetail(spark, sfDir).collect()
+    val df = ImporterCore.impTransferDetail(spark, sfDir)
+    val detail = df.collect()
+    // the composite folds in ONE shuffled groupBy (no joins, one scan);
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // only the final plan section
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles")
     val transfers = ImporterCore.impEntityTransfers(spark, sfDir).collect()
     assert(detail.length == transfers.length)
     // every event is a task row; n_events from the entity is the bound
