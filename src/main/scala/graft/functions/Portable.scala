@@ -17,6 +17,14 @@ object Portable {
     * DuckDB side: `CAST('0x' || substring(md5(s),1,15) AS UBIGINT)`.
     */
 
+  /** THE canonical DuckDB rendering of that 60-bit hash for an
+    * arbitrary SQL string expression — every oracle must use this one
+    * formulation (15 hex digits < 2^60 fits BIGINT directly), kept in
+    * sync with the native Spark expression.
+    */
+  def hash60Duck(x: String): String =
+    s"CAST(CONCAT('0x', SUBSTRING(md5($x),1,15)) AS BIGINT)"
+
   /** Double → exact decimal(18,2); both engines round half-up here. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 

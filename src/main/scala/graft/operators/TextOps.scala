@@ -36,9 +36,9 @@ object TextOps {
     */
   private def hxAll(x: String): String = s"graft_hash60_all($x)"
 
-  /** DuckDB rendering of the same hash. */
+  /** DuckDB rendering of the same hash (canonical form in Portable). */
   private def hxDuck(x: String): String =
-    s"CAST(CONCAT('0x', SUBSTRING(md5($x),1,15)) AS BIGINT)"
+    graft.functions.Portable.hash60Duck(x)
 
   /** w-token shingles of the space-tokenized text, as a Spark SQL
     * expression producing array<string>. Short docs yield one partial

@@ -22,7 +22,7 @@ object TrainOps {
     s"graft_hash60(concat('$salt', CAST(doc_id AS STRING)))"
 
   private def saltedHashDuck(salt: String) =
-    s"CAST(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('$salt', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)"
+    graft.functions.Portable.hash60Duck(s"CONCAT('$salt', CAST(doc_id AS VARCHAR))")
 
   // quality stratum: the same rule as TextOps.textQuality's bucket
   // (mid-length prose with sane stopword density) — inlined so the
@@ -82,19 +82,23 @@ object TrainOps {
     * sort. Shard assignment is the same portable salted hash as the
     * sampler, so packing is reproducible run-to-run.
     */
+  /** Shared by BOTH the Spark plan and the oracle SQL — a change here
+    * re-derives the two renderings together (they must agree bin-for-bin).
+    */
+  val PackBudget = 512L
+  val PackShards = 8L
+
   def pipePack(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val budget = 512L
-    val shards = 8L
     val w = Window.partitionBy("shard").orderBy("doc_id")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("tok"))
-      .withColumn("shard", expr(s"${saltedHash("pack|")} % $shards"))
+      .withColumn("shard", expr(s"${saltedHash("pack|")} % $PackShards"))
       .withColumn("cum", sum(col("tok")).over(w))
       .select(col("doc_id"), col("shard"), col("tok"),
         (col("cum") - col("tok")).as("tok_before"),
-        expr(s"(cum - tok) DIV $budget").as("bin"))
+        expr(s"(cum - tok) DIV $PackBudget").as("bin"))
       .orderBy("doc_id")
   }
 
@@ -102,7 +106,7 @@ object TrainOps {
     s"""WITH t AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text,' ')) AS BIGINT) AS tok,
-       |    ${saltedHashDuck("pack|")} % 8 AS shard
+       |    ${saltedHashDuck("pack|")} % $PackShards AS shard
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, shard, tok,
@@ -111,7 +115,7 @@ object TrainOps {
        |  FROM t)
        |SELECT doc_id, shard, tok,
        |  CAST(cum - tok AS BIGINT) AS tok_before,
-       |  CAST((cum - tok) // 512 AS BIGINT) AS bin
+       |  CAST((cum - tok) // $PackBudget AS BIGINT) AS bin
        |FROM c ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

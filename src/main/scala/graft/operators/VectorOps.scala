@@ -158,9 +158,13 @@ object VectorOps {
     */
   def annBruteforceFor(queries: DataFrame, corpus: DataFrame, k: Int,
       maxQueries: Long = MaxBruteforceQueries): DataFrame = {
-    val n = queries.count()
+    // bounded probe: counting under a limit short-circuits once
+    // maxQueries+1 rows exist, so an un-materialized over-ceiling
+    // query side is rejected without ever being fully evaluated
+    val probe = math.min(maxQueries + 1, Int.MaxValue.toLong).toInt
+    val n = queries.limit(probe).count()
     require(n <= maxQueries,
-      s"graft-ann: brute-force query side has $n rows (> $maxQueries); " +
+      s"graft-ann: brute-force query side has > $maxQueries rows; " +
         "an all-pairs scan at this size is not the intended plan — use annLsh/annIvf")
     val joined = queries.as("a").join(corpus.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),

@@ -19,10 +19,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * never arrives (flushed to a dead-letter marker — the reference
   * leaks these in TempDocumentStore; bounding is the 100 TB fix).
   *
-  * State bound: O(instances active within the idle horizon). Timeout
-  * drops the whole key — association included — so records of an
-  * instance idle past the horizon re-buffer and eventually
-  * dead-letter rather than pinning per-instance state forever.
+  * State bound: two-tier idle horizon. UNASSOCIATED keys (the
+  * reference's leak source — orphan buffers) expire after
+  * [[OrphanHorizonMs]] and flush to dead-letter. ASSOCIATED keys hold
+  * only a constant-size association, so they get the much longer
+  * [[AssocHorizonMs]] before being dropped — state stays
+  * O(instances active within a day), while a sparse-but-alive
+  * instance (idle hours between records) keeps routing correctly
+  * instead of being silently dead-lettered. Records arriving after
+  * even the long horizon re-buffer and eventually dead-letter —
+  * bounded beats the reference's keep-forever TempDocumentStore.
   */
 object OutOfOrder {
 
@@ -37,21 +43,31 @@ object OutOfOrder {
   /** Per-key orphan buffer cap; overflow spills to dead-letter. */
   val MaxBuffer = 1000
 
+  /** Idle horizon for keys still awaiting their association: these
+    * hold a growing buffer, so they expire fast.
+    */
+  val OrphanHorizonMs: Long = 60L * 60 * 1000
+
+  /** Idle horizon for keys whose association arrived: constant-size
+    * state, so retention is cheap — expire only after a day idle.
+    */
+  val AssocHorizonMs: Long = 24L * 60 * 60 * 1000
+
   /** Association payload a signup record carries. */
   def assocOf(userId: Long): String = s"proc-t${userId % 10}"
 
   def update(key: Long, recs: Iterator[StreamImport.Rec],
       state: GroupState[BufferSt]): Iterator[Routed] = {
     if (state.hasTimedOut) {
-      // instance idle past the horizon: drop ALL state — established
-      // associations included — so retained state is O(instances
-      // active within the horizon), not O(instances ever seen). A
-      // record arriving after its instance's horizon re-buffers
+      // idle past the key's horizon: drop ALL state — retained state
+      // is O(instances active within their horizon), not O(instances
+      // ever seen). A record arriving after the drop re-buffers
       // awaiting a fresh association and dead-letters at the next
       // horizon; the trade is explicit (keeping associations forever
       // is the reference's TempDocumentStore leak, the thing this
-      // timeout exists to fix). Un-associated buffers flush to the
-      // dead-letter route on the way out.
+      // timeout exists to fix), and the long associated-key horizon
+      // makes it rare. Un-associated buffers flush to the dead-letter
+      // route on the way out.
       val st = state.getOption.getOrElse(BufferSt(None, Nil, 0L))
       state.remove()
       return st.buffered.reverseIterator.map(Routed(_, key, DeadLetter))
@@ -83,10 +99,12 @@ object OutOfOrder {
       }
     }
     state.update(st)
-    // idle horizon: one hour of EVENT time past the newest record for
-    // this key (never at-or-below the watermark, which Spark rejects)
+    // idle horizon in EVENT time past the newest record for this key,
+    // tiered by whether the key still buffers (never at-or-below the
+    // watermark, which Spark rejects)
+    val horizon = if (st.assoc.isDefined) AssocHorizonMs else OrphanHorizonMs
     state.setTimeoutTimestamp(
-      math.max(st.maxTs + 60L * 60 * 1000, state.getCurrentWatermarkMs() + 60L * 1000))
+      math.max(st.maxTs + horizon, state.getCurrentWatermarkMs() + 60L * 1000))
     out.result().iterator
   }
 

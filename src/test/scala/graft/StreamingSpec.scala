@@ -192,6 +192,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("src_out_of_order: associated keys survive multi-hour idle gaps (two-tier horizon)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val stream = MemoryStream[Rec]
+    val q = OutOfOrder.routed(stream.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ooo_tier")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ooo_tier_chk_").toString)
+      .start()
+    stream.addData(mkRec(1, t0, 7, "signup")) // association established
+    q.processAllAvailable()
+    // another key's event pushes the watermark past t0 + 1h
+    stream.addData(mkRec(2, t0 + 2 * 3600 * 1000L, 5, "signup"))
+    q.processAllAvailable()
+    // under a single 1 h horizon user 7 would have been dropped here and
+    // this click would buffer then dead-letter; the long associated-key
+    // horizon keeps the instance routable across the idle gap
+    stream.addData(mkRec(3, t0 + 2 * 3600 * 1000L + 1, 7, "click"))
+    q.processAllAvailable()
+    val out = spark.table("ooo_tier").filter(col("event_id") === 3).collect()
+    assert(out.map(_.getAs[String]("process_id")).toSeq == Seq("proc-t7"))
+    q.stop()
+  }
+
   test("mm_pipeline: one row per sampled frame, deterministic checksums, no shuffle before agg") {
     val f1 = Multimodal.mmPipeline(spark, sfDir).collect()
     val f2 = Multimodal.mmPipeline(spark, sfDir).collect()
