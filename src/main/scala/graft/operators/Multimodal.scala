@@ -13,15 +13,15 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample as partition-batched
   * transforms — the Scala equivalent of a `mapInPandas` batch UDF.
   *
-  * The decode step is REAL for `png` rows: payloads are genuine PNG
-  * streams (encoded with the pure-JVM `javax.imageio` codec, no
-  * native libs) and `decodePng` runs `ImageIO.read` and derives frame
-  * features from the actual decoded pixels — tamper with a payload
-  * byte and the features change or the decode fails loudly. Formats
-  * with no pure-JVM codec in this container (jpeg/wav/mp4) still go
-  * through `decodeStub`, which fakes frames deterministically from
-  * the payload bytes; swapping it for a JNI/FFmpeg decoder changes no
-  * plumbing.
+  * The decode step is REAL for image rows: `png` and `jpeg` payloads
+  * are genuine encoded streams (the pure-JVM `javax.imageio` codecs,
+  * no native libs) and `decodeImage` runs `ImageIO.read`, deriving
+  * frame features from the actual decoded pixels — png roundtrips
+  * pixel-exact, jpeg is honestly lossy (features come from what the
+  * codec reconstructs). Formats with no pure-JVM codec in this
+  * container (wav/mp4) still go through `decodeStub`, which fakes
+  * frames deterministically from the payload bytes; swapping it for
+  * an FFmpeg decoder changes no plumbing.
   *
   * Scale posture: payloads never leave their partition (mapPartitions,
   * no shuffle until the final presentation agg); decode is
@@ -63,9 +63,12 @@ object Multimodal {
     img
   }
 
-  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] =
+    encodeImage(img, "png")
+
+  private[graft] def encodeImage(img: BufferedImage, format: String): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    require(ImageIO.write(img, format, out), s"graft-mm: no JVM writer for $format")
     out.toByteArray
   }
 
@@ -85,7 +88,8 @@ object Multimodal {
         val side = 16 << (id % 3).toInt
         val meta = MediaMeta(format, side, side, 1 + (id % 5).toInt)
         val payload =
-          if (format == "png") encodePng(synthesizeImage(seed, side, side))
+          if (format == "png" || format == "jpeg")
+            encodeImage(synthesizeImage(seed, side, side), format)
           else {
             val reps = 1 + (id % 8).toInt
             Array.fill(reps)(seed).flatten
@@ -94,16 +98,17 @@ object Multimodal {
       }
   }
 
-  /** REAL decode for png payloads: `ImageIO.read` the compressed
-    * stream, then per sampled frame (a horizontal band) extract 8
-    * luminance taps from the decoded pixels. Features depend on the
-    * actual pixel data — a corrupted payload fails the decode with a
-    * descriptive error instead of producing plausible frames.
+  /** REAL decode for image payloads (png lossless, jpeg lossy):
+    * `ImageIO.read` the compressed stream, then per sampled frame (a
+    * horizontal band) extract 8 luminance taps from the decoded
+    * pixels. Features depend on the actual pixel data — a corrupted
+    * stream the codec rejects fails with a descriptive error instead
+    * of producing plausible frames.
     */
-  private[graft] def decodePng(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] = {
+  private[graft] def decodeImage(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null,
-      s"graft-mm: payload is not a decodable PNG stream (meta ${meta.width}x${meta.height})")
+      s"graft-mm: payload is not a decodable ${meta.format} stream (meta ${meta.width}x${meta.height})")
     Array.tabulate(meta.n_frames) { f =>
       val y = f * img.getHeight / meta.n_frames
       Array.tabulate(8) { i =>
@@ -116,8 +121,8 @@ object Multimodal {
   }
 
   /** STUB for formats without a pure-JVM codec in this container
-    * (jpeg/wav/mp4): derives an 8-float feature per frame from the
-    * payload bytes so the downstream plumbing is fully exercised and
+    * (wav/mp4): derives an 8-float feature per frame from the payload
+    * bytes so the downstream plumbing is fully exercised and
     * reproducible. A real implementation decodes per `meta.format`
     * and emits `meta.n_frames` sampled frames of `width*height`
     * pixels.
@@ -132,8 +137,8 @@ object Multimodal {
 
   private[graft] def decodeFrames(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] =
     meta.format match {
-      case "png" => decodePng(payload, meta)
-      case _     => decodeStub(payload, meta)
+      case "png" | "jpeg" => decodeImage(payload, meta)
+      case _              => decodeStub(payload, meta)
     }
 
   private[graft] def frameChecksum(feat: Array[Float]): Long =
@@ -158,10 +163,10 @@ object Multimodal {
     }
   }
 
-  /** Driver-visible pipeline result (rows-only check — the non-png
-    * decode arms are stubbed, so no SQL oracle is claimed; the png arm
-    * is pinned by a known-image checksum spec): one row per sampled
-    * frame.
+  /** Driver-visible pipeline result (rows-only check — the wav/mp4
+    * decode arms are stubbed, so no SQL oracle is claimed; the real
+    * png/jpeg arms are pinned by roundtrip + known-checksum specs):
+    * one row per sampled frame.
     */
   def mmPipeline(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir).toDF()

@@ -270,9 +270,31 @@ class StreamingSpec extends SparkSpec {
       .map("%02x".format(_)).mkString.getBytes("UTF-8")
     val side = 16 << (id % 3).toInt
     val dMeta = MediaMeta("png", side, side, 1 + (id % 5).toInt)
-    val want = decodePng(encodePng(synthesizeImage(dSeed, side, side)), dMeta).map(frameChecksum)
+    val want = decodeImage(encodePng(synthesizeImage(dSeed, side, side)), dMeta).map(frameChecksum)
     val rows = Multimodal.mmPipeline(spark, sfDir)
       .filter(col("doc_id") === id).orderBy("frame_idx").collect()
     assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.toSeq)
+  }
+
+  test("mm jpeg decode: features come from the (lossy) codec reconstruction, not the stub") {
+    import Multimodal._
+    // jpeg rows are doc_id % 4 == 0
+    val doc = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 === 0).select("doc_id", "text").head()
+    val id = doc.getAs[Long]("doc_id")
+    val seed = java.security.MessageDigest.getInstance("MD5")
+      .digest(doc.getAs[String]("text").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.getBytes("UTF-8")
+    val side = 16 << (id % 3).toInt
+    val meta = MediaMeta("jpeg", side, side, 1 + (id % 5).toInt)
+    val payload = encodeImage(synthesizeImage(seed, side, side), "jpeg")
+    // real JFIF stream
+    assert((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+    val want = decodeImage(payload, meta).map(frameChecksum)
+    val rows = Multimodal.mmPipeline(spark, sfDir)
+      .filter(col("doc_id") === id).orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.toSeq)
+    // and the real decode differs from what the byte-stub would fake
+    assert(want.toSeq != decodeStub(payload, meta).map(frameChecksum).toSeq)
   }
 }
