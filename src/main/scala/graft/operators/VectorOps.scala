@@ -95,27 +95,36 @@ object VectorOps {
        |    SELECT vec_id, q, ${dotDuck("q", "q")} AS n2 FROM q0) t
        |  WHERE n2 > 0)""".stripMargin
 
-  /** LSH bucket keys: per band, the 4 sign bits of the hyperplane dot
+  /** LSH bucket keys: per band, the sign bits of the hyperplane dot
     * products — row-local, then exploded to (band_idx, bucket).
+    *
+    * Band geometry is a SCALE knob: expected candidate pairs per band
+    * are ~n²/2^bits, so the 4-bit default (pinned by the oracles at
+    * test SF) is for small corpora — at 100 TB set bitsPerBand to
+    * 16-24 (the md5-derived planes exist for any index, and the plan
+    * shape is identical). Recall falls as bands narrow; compensate
+    * with more bands.
     */
-  private def bucketed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bucketed(spark: SparkSession, dir: String,
+      bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame = {
     val q = quantized(spark, dir)
-    val withBits = (0 until Planes).foldLeft(q) { (d, j) =>
+    val nPlanes = bands * bitsPerBand
+    val withBits = (0 until nPlanes).foldLeft(q) { (d, j) =>
       d.withColumn(s"bit$j",
         expr(s"IF(${dotExpr("q", planeExpr(j))} >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"))
     }
-    val withBuckets = (0 until Bands).foldLeft(withBits) { (d, b) =>
-      val bits = (0 until BitsPerBand)
-        .map(k => s"shiftleft(bit${b * BitsPerBand + k}, $k)").mkString(" + ")
+    val withBuckets = (0 until bands).foldLeft(withBits) { (d, b) =>
+      val bits = (0 until bitsPerBand)
+        .map(k => s"shiftleft(bit${b * bitsPerBand + k}, $k)").mkString(" + ")
       d.withColumn(s"bucket$b", expr(bits))
     }
-    // materialized once: quantization + 16 hyperplane dots feed both
+    // materialized once: quantization + the hyperplane dots feed both
     // self-join sides of ann_lsh / dedup_embed; the quantized frame is
     // subsumed by this one and released immediately
     graft.Scratch.seal(
       withBuckets.select(col("vec_id"), col("q"), col("n2"),
-        explode(expr(s"map_from_arrays(sequence(0, ${Bands - 1}), " +
-          s"array(${(0 until Bands).map(b => s"bucket$b").mkString(",")}))")))
+        explode(expr(s"map_from_arrays(sequence(0, ${bands - 1}), " +
+          s"array(${(0 until bands).map(b => s"bucket$b").mkString(",")}))")))
         .toDF("vec_id", "q", "n2", "band_idx", "bucket"),
       q)
   }
@@ -197,8 +206,17 @@ object VectorOps {
     * id tie-breaks) — so it carries a full oracle reproducing the
     * bucketing AND the ranking, like dedup_embed.
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = bucketed(spark, dir)
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshWith(spark, dir, Bands, BitsPerBand)
+
+  /** ann_lsh with explicit band geometry — the scale entry point (see
+    * [[bucketed]]'s knob note). The default geometry keeps the full
+    * oracle; other geometries are spec-checked against the exact
+    * baseline's quality bound.
+    */
+  def annLshWith(spark: SparkSession, dir: String,
+      bands: Int, bitsPerBand: Int, k: Int = 3): DataFrame = {
+    val b = bucketed(spark, dir, bands, bitsPerBand)
     val cands = b.as("a").join(b.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.bucket") === col("b.bucket") &&
@@ -208,7 +226,7 @@ object VectorOps {
       .distinct()
     val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
     val topk = cands.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
     graft.Scratch.seal(topk, b).orderBy("q_id", "rnk")
   }

@@ -139,6 +139,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ann_lsh alternate band geometry (2x8-bit) still bounded by the exact baseline") {
+    val bf = VectorOps.annBruteforce(spark, sfDir)
+      .filter(col("rnk") === 1).select(col("q_id"), col("score_e6").as("bf_score"))
+    val lsh = VectorOps.annLshWith(spark, sfDir, bands = 2, bitsPerBand = 8)
+      .filter(col("rnk") === 1).select(col("q_id"), col("score_e6").as("lsh_score"))
+    assert(lsh.count() > 0)
+    val bad = bf.join(lsh, "q_id").filter(col("lsh_score") > col("bf_score")).count()
+    assert(bad == 0)
+  }
+
   test("dedup_embed pairs all meet the cosine threshold and are canonical") {
     val d = VectorOps.dedupEmbed(spark, sfDir)
     assert(d.filter(col("score_e6") < 400000).count() == 0)
