@@ -290,9 +290,10 @@ object VectorOps {
     * assignments separately per side would re-run the crossJoin +
     * window twice).
     */
-  private def cellAssignments(spark: SparkSession, dir: String): DataFrame = {
+  private def cellAssignments(spark: SparkSession, dir: String,
+      cells: Int, probes: Int): DataFrame = {
     val v = quantized(spark, dir)
-    val cents = v.filter(col("vec_id") < IvfCells)
+    val cents = v.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
     val scored = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("n2"), col("cent_id"),
@@ -301,12 +302,22 @@ object VectorOps {
     // subsumes the quantized frame (assignment rows carry q, n2)
     graft.Scratch.seal(
       scored.withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= IvfProbes),
+        .filter(col("crnk") <= probes),
       v)
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = cellAssignments(spark, dir)
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, IvfCells, IvfProbes)
+
+  /** ann_ivf with explicit cell/probe counts — the scale knob (cells
+    * grows with corpus size so each cell's slice stays
+    * executor-sized; recall tunes with probes). The default geometry
+    * keeps the full oracle; the centroid side stays a broadcast of
+    * `cells` rows.
+    */
+  def annIvfWith(spark: SparkSession, dir: String,
+      cells: Int, probes: Int, k: Int = 3): DataFrame = {
+    val assigned = cellAssignments(spark, dir, cells, probes)
     val corpus = assigned.filter(col("crnk") === 1)
       .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
         col("cent_id").as("cell"))
@@ -320,7 +331,7 @@ object VectorOps {
       .distinct()
     val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
     val topk = cands.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
     graft.Scratch.seal(topk, assigned).orderBy("q_id", "rnk")
   }

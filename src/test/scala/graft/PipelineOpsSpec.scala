@@ -149,6 +149,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ann_ivf alternate geometry (32 cells, 4 probes) still bounded by the exact baseline") {
+    val bf = VectorOps.annBruteforce(spark, sfDir)
+      .filter(col("rnk") === 1).select(col("q_id"), col("score_e6").as("bf_score"))
+    val ivf = VectorOps.annIvfWith(spark, sfDir, cells = 32, probes = 4)
+      .filter(col("rnk") === 1).select(col("q_id"), col("score_e6").as("ivf_score"))
+    assert(ivf.count() > 0)
+    val bad = bf.join(ivf, "q_id").filter(col("ivf_score") > col("bf_score")).count()
+    assert(bad == 0)
+  }
+
   test("dedup_embed pairs all meet the cosine threshold and are canonical") {
     val d = VectorOps.dedupEmbed(spark, sfDir)
     assert(d.filter(col("score_e6") < 400000).count() == 0)
