@@ -14,7 +14,8 @@ object Portable {
     * [[graft.functions.Hash60]] (native expression, bit-identical to
     * `conv(substring(md5(s),1,15),16,10)`); register via
     * [[GraftFunctions.register]] and use `expr("graft_hash60(x)")`.
-    * DuckDB side: `CAST('0x' || substring(md5(s),1,15) AS UBIGINT)`.
+    * DuckDB side: use [[hash60Duck]] below — and ONLY it (an ad-hoc
+    * UBIGINT rendering reintroduces the unsigned-modulo trap).
     */
 
   /** THE canonical DuckDB rendering of that 60-bit hash for an

@@ -73,10 +73,10 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media attached to each document (the
-    * test corpus ships no binaries): png rows carry a real encoded
-    * PNG of the seed-derived pixel pattern; other formats carry raw
-    * seed repetitions. Stands in for a `binary` + struct column pair
-    * read from parquet/lance.
+    * test corpus ships no binaries): png and jpeg rows carry REAL
+    * encoded streams of the seed-derived pixel pattern; the codec-less
+    * formats (wav/mp4) carry raw seed repetitions. Stands in for a
+    * `binary` + struct column pair read from parquet/lance.
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._

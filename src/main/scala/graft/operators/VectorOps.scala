@@ -27,9 +27,11 @@ import org.apache.spark.sql.types.LongType
 object VectorOps {
 
   private val Dim = 64
-  private val Planes = 16   // 4 bands × 4 sign bits
   private val Bands = 4
   private val BitsPerBand = 4
+  // derived, never set independently: the oracle CTE iterates it and
+  // the Spark path computes bands*bitsPerBand — one source of truth
+  private val Planes = Bands * BitsPerBand
 
   /** Spark-side quantized vector: array<bigint>. */
   private val quantExpr =
@@ -169,9 +171,12 @@ object VectorOps {
       maxQueries: Long = MaxBruteforceQueries): DataFrame = {
     // bounded probe: counting under a limit short-circuits once
     // maxQueries+1 rows exist, so an un-materialized over-ceiling
-    // query side is rejected without ever being fully evaluated
-    val probe = math.min(maxQueries + 1, Int.MaxValue.toLong).toInt
-    val n = queries.limit(probe).count()
+    // query side is rejected without ever being fully evaluated; a
+    // ceiling too large for the limit operator falls back to the
+    // exact count (clamping would make the guard vacuous there)
+    val n =
+      if (maxQueries < Int.MaxValue) queries.limit(maxQueries.toInt + 1).count()
+      else queries.count()
     require(n <= maxQueries,
       s"graft-ann: brute-force query side has > $maxQueries rows; " +
         "an all-pairs scan at this size is not the intended plan — use annLsh/annIvf")

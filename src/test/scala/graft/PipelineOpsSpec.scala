@@ -115,7 +115,7 @@ class PipelineOpsSpec extends SparkSpec {
       var cum = 0L
       ordered.foreach { r =>
         assert(r.getAs[Long]("tok_before") == cum)
-        assert(r.getAs[Long]("bin") == cum / 512)
+        assert(r.getAs[Long]("bin") == cum / TrainOps.PackBudget)
         cum += r.getAs[Long]("tok")
       }
     }
