@@ -285,7 +285,20 @@ object TextOps {
   /** Candidate pair graph (un-sorted) — consumed by dedupMinhash and
     * the component-closure operator.
     */
-  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidatesWith(spark, dir, bandRows = 2)
+
+  /** Candidate graph with explicit rows-per-band — the minhash scale
+    * knob (LSH theory: match probability per band is j^bandRows for
+    * Jaccard j, so more rows per band = stricter candidates = smaller
+    * self-join at the cost of recall; fewer rows = provable SUPERSET
+    * of candidates, spec-checked). The 2-row default keeps the full
+    * oracle. bandRows must divide the signature length k=8.
+    */
+  def minhashCandidatesWith(spark: SparkSession, dir: String, bandRows: Int): DataFrame = {
+    require(MinhashK % bandRows == 0,
+      s"graft-minhash: bandRows=$bandRows must divide the signature length $MinhashK")
+    val nBands = MinhashK / bandRows
     GraftFunctions.register(spark)
     // Shingles are md5-hashed ONCE; the k=8 minhash variants are the
     // affine pseudo-permutations (A_i*h + B_i) mod 2^31-1 computed by
@@ -295,13 +308,16 @@ object TextOps {
       .withColumn("mhs", expr(
         s"graft_minhash8(${hxAll(s"array_distinct(${shinglesExpr(5)})")})"))
     val bands = withSigs.select(col("doc_id") +:
-      (0 until MinhashK / 2).map(j =>
-        expr(hx(s"concat(mhs[${2 * j}], '_', mhs[${2 * j + 1}])")).as(s"band$j")): _*)
+      (0 until nBands).map { j =>
+        val parts = (0 until bandRows)
+          .map(r => s"mhs[${j * bandRows + r}]").mkString(", '_', ")
+        expr(hx(s"concat($parts)")).as(s"band$j")
+      }: _*)
     // sigs + bands materialize once — the self-join consumes this
     // frame on both sides
     val exploded = graft.Scratch.cp(bands.select(col("doc_id"),
-      explode(expr(s"map_from_arrays(sequence(0, ${MinhashK / 2 - 1}), " +
-        s"array(${(0 until MinhashK / 2).map(j => s"band$j").mkString(",")}))")))
+      explode(expr(s"map_from_arrays(sequence(0, ${nBands - 1}), " +
+        s"array(${(0 until nBands).map(j => s"band$j").mkString(",")}))")))
       .toDF("doc_id", "band_idx", "band_key"))
     val cand = exploded.as("a").join(exploded.as("b"),
       col("a.band_idx") === col("b.band_idx") &&

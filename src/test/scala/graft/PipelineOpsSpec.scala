@@ -139,6 +139,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("minhash 1-row bands are a candidate SUPERSET of the default 2-row bands") {
+    // if a pair agrees on band (mh_{2j}, mh_{2j+1}) it agrees on rows
+    // 2j and 2j+1 individually — so loosening bandRows can only add
+    // candidates, never lose one
+    def pairs(rows: Int) = TextOps.minhashCandidatesWith(spark, sfDir, rows)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = pairs(1)
+    val default = pairs(2)
+    assert(default.subsetOf(loose),
+      s"default-band pairs missing from 1-row bands: ${(default -- loose).take(3)}")
+    assert(loose.size >= default.size)
+  }
+
   test("ann_lsh alternate band geometry (2x8-bit) still bounded by the exact baseline") {
     val bf = VectorOps.annBruteforce(spark, sfDir)
       .filter(col("rnk") === 1).select(col("q_id"), col("score_e6").as("bf_score"))
