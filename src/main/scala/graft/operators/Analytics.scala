@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.LongType
   *
   * Scale posture: every query is a declarative DataFrame plan — filters
   * and projections reach the parquet scan, aggregates get map-side
-  * partial combine, dimension joins are explicit `broadcast()`s so the
-  * only shuffles left are the ones the data genuinely requires.
+  * partial combine. `broadcast()` hints are reserved for FIXED-SIZE
+  * dims (nation=25, region=5 rows at every SF); any side that scales
+  * with the corpus (customer, supplier, …) is left unhinted so AQE
+  * picks broadcast at small SF and a shuffled join at 100 TB.
   */
 object Analytics {
 
@@ -57,15 +59,18 @@ object Analytics {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, agg, top-10.
-    * customer is broadcast (small dim); orders⋈lineitem shuffles on
-    * orderkey once and the groupBy reuses that partitioning.
+    * customer SCALES with the corpus (150k rows × SF), so its join
+    * strategy is left to AQE: at test SF the runtime stats pick a
+    * broadcast, at 100 TB the same plan degrades gracefully to a
+    * shuffled join instead of a driver OOM. orders⋈lineitem shuffles
+    * on orderkey once and the groupBy reuses that partitioning.
     */
   def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1995-03-15"))
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1995-03-15"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(money4Str(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))).as("revenue"))
       .select(
@@ -91,8 +96,10 @@ object Analytics {
       |ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** TPC-H Q5 shape: 5-way star join. All dims broadcast — the plan has
-    * exactly one shuffle (the final groupBy on n_name).
+  /** TPC-H Q5 shape: 5-way star join. nation and region are FIXED-SIZE
+    * dims (25 / 5 rows at every SF) and stay force-broadcast; customer
+    * and supplier scale with the corpus, so their strategies are
+    * AQE-decided — broadcast at test SF, shuffled join at 100 TB.
     */
   def q5Regional(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -102,8 +109,8 @@ object Analytics {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

@@ -57,7 +57,19 @@ object ImporterCore {
 
   private def ordKey: Column = struct(col("ts_ms"), col("event_id"))
 
-  private def ordKeySql = "printf('%020d%020d', epoch_ms(ts), event_id)"
+  /** Oracle-side rendering of [[ordKey]]. The zero-padded fixed-width
+    * printf is order-preserving ONLY for non-negative inputs (a '-'
+    * sign sorts before digits and breaks lexicographic-equals-numeric
+    * silently), while Spark's struct ordering handles negatives fine —
+    * so the oracle CHECKs non-negativity loudly (DuckDB `error()`):
+    * a future corpus with negative ts/ids fails the gate instead of
+    * mis-ranking.
+    */
+  private def ordKeySqlOf(ms: String, id: String): String =
+    s"CASE WHEN $ms < 0 OR $id < 0 THEN error('graft oracle: negative ordering key') " +
+      s"ELSE printf('%020d%020d', $ms, $id) END"
+
+  private def ordKeySql = ordKeySqlOf("epoch_ms(ts)", "event_id")
 
   /** JSON payload extraction + record-type routing
     * (NatsConsumer.listen:39-106: route on $.valueType, drop
@@ -415,21 +427,33 @@ object ImporterCore {
       |FROM events ORDER BY record_key""".stripMargin
 
   /** Wide Transfer materialization with NESTED-JSON payload
-    * extraction — the reference's multi-level JsonPath pivot
-    * (VariableParser.java:50 `channelRequest` →
-    * parseChannelRequest:200-211 reading
-    * `$.payer.partyIdInfo.partyIdentifier` / `$.amount.amount` as
-    * BigDecimal; VariableParser.java:46 `transferResponse-CREATE` →
-    * parseTransferResponse:174-183 parsing `$.completedTimestamp`
-    * with OperatorUtils.dateFormat `yyyy-MM-dd'T'HH:mm:ss`).
+    * extraction — the reference's multi-level JsonPath pivot, four
+    * registry entries deep (VariableParser.java:41-50):
+    *
+    *   - `channelRequest` (:50 → parseChannelRequest:200-211) reads
+    *     `$.payer.partyIdInfo.partyIdentifier` / `$.amount.amount` as
+    *     BigDecimal — carried by signup records.
+    *   - `transferResponse-CREATE` (:46 → parseTransferResponse:
+    *     174-183) parses `$.completedTimestamp` with
+    *     OperatorUtils.dateFormat `yyyy-MM-dd'T'HH:mm:ss` — purchase.
+    *   - `transferResponse-PREPARE` (:45 →
+    *     parseTransferResponsePrepare:189-198) writes the SAME
+    *     completedAt field as CREATE, so completed_ms is last-write
+    *     ACROSS both response classes — click records.
+    *   - `localQuoteResponse` (:41 →
+    *     parseTransferLocalQuoteResponse:155-166) is DIRECTION-ROUTED:
+    *     `$.fspFee.amount` (BigDecimal), `$.fspFee.currency` and
+    *     `$.quoteCode` land in the payee_* columns when the transfer's
+    *     direction is INCOMING and in the payer_* columns otherwise —
+    *     view records; direction is the instance's static per-process
+    *     config (application.yml), stood in by user_id parity.
     *
     * The events corpus carries flat payloads, so each engine
     * synthesizes the nested variable payloads row-locally from the
     * record (both build their own JSON — the gate compares EXTRACTION
-    * semantics: multi-level paths, decimal amounts, parsed
-    * timestamps). signup records carry the channelRequest, purchase
-    * records the transferResponse-CREATE; last write per variable
-    * name wins, ordered by (ts, event_id).
+    * semantics: multi-level paths, decimal amounts/fees, parsed
+    * timestamps, direction routing). Last write per variable name
+    * wins, ordered by (ts, event_id).
     *
     * Plan shape: JSON synth + ONE from_json per record class are
     * row-local; the pivot is a single shuffled groupBy on the
@@ -450,6 +474,13 @@ object ImporterCore {
     val respSchema = StructType(Seq(
       StructField("completedTimestamp", StringType),
       StructField("transferState", StringType)))
+    val quoteSchema = StructType(Seq(
+      StructField("fspFee", StructType(Seq(
+        StructField("amount", StringType),
+        StructField("currency", StringType)))),
+      StructField("quoteCode", StringType)))
+    val prepSchema = StructType(Seq(
+      StructField("completedTimestamp", StringType)))
     val chanJson = to_json(struct(
       struct(struct(lit("MSISDN").as("partyIdType"),
         concat(lit("277"), (col("user_id") % 100).cast(LongType)).as("partyIdentifier")).as("partyIdInfo")).as("payer"),
@@ -460,11 +491,29 @@ object ImporterCore {
     val respJson = to_json(struct(
       date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss").as("completedTimestamp"),
       lit("COMMITTED").as("transferState")))
+    val quoteJson = to_json(struct(
+      struct(dec2(col("value")).cast(org.apache.spark.sql.types.StringType).as("amount"),
+        when(col("event_id") % 2 === 0, "USD").otherwise("TZS").as("currency")).as("fspFee"),
+      concat(lit("LQ-"), (col("event_id") % 1000).cast(LongType)).as("quoteCode")))
+    val prepJson = to_json(struct(
+      date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss").as("completedTimestamp")))
     val isChan = col("event_type") === "signup"
     val isResp = col("event_type") === "purchase"
+    val isQuote = col("event_type") === "view"
+    val isPrep = col("event_type") === "click"
+    // direction stand-in for the per-process static config the
+    // reference routes localQuoteResponse on (Inflight*Manager sets it
+    // once at instance start)
+    val incoming = col("user_id") % 2 === 0
     val parsed = Tables.events(spark, dir)
       .withColumn("chan", when(isChan, from_json(chanJson, chanSchema)))
       .withColumn("resp", when(isResp, from_json(respJson, respSchema)))
+      .withColumn("quote", when(isQuote, from_json(quoteJson, quoteSchema)))
+      .withColumn("prep", when(isPrep, from_json(prepJson, prepSchema)))
+    val feeDec = col("quote.fspFee.amount").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    // completedTimestamp comes from whichever response class wrote last
+    val completedStr = when(isResp, col("resp.completedTimestamp"))
+      .otherwise(col("prep.completedTimestamp"))
     parsed.groupBy(col("user_id"))
       .agg(
         coalesce(lastBy(isChan, col("chan.payer.partyIdInfo.partyIdentifier"), ordKey), lit("")).as("payer_party_id"),
@@ -473,27 +522,44 @@ object ImporterCore {
         coalesce(lastBy(isChan, col("chan.payee.partyIdInfo.partyIdType"), ordKey), lit("")).as("payee_id_type"),
         coalesce(moneyStr(lastBy(isChan, col("chan.amount.amount").cast(org.apache.spark.sql.types.DecimalType(18, 2)), ordKey)), lit("")).as("amount"),
         coalesce(lastBy(isChan, col("chan.amount.currency"), ordKey), lit("")).as("currency"),
-        coalesce(lastBy(isResp,
-          unix_millis(to_timestamp(col("resp.completedTimestamp"), "yyyy-MM-dd'T'HH:mm:ss")), ordKey), lit(-1L)).as("completed_ms"),
-        coalesce(lastBy(isResp, col("resp.transferState"), ordKey), lit("")).as("transfer_state"))
+        coalesce(lastBy(isResp || isPrep,
+          unix_millis(to_timestamp(completedStr, "yyyy-MM-dd'T'HH:mm:ss")), ordKey), lit(-1L)).as("completed_ms"),
+        coalesce(lastBy(isResp, col("resp.transferState"), ordKey), lit("")).as("transfer_state"),
+        coalesce(moneyStr(lastBy(isQuote && !incoming, feeDec, ordKey)), lit("")).as("payer_fee"),
+        coalesce(lastBy(isQuote && !incoming, col("quote.fspFee.currency"), ordKey), lit("")).as("payer_fee_currency"),
+        coalesce(lastBy(isQuote && !incoming, col("quote.quoteCode"), ordKey), lit("")).as("payer_quote_code"),
+        coalesce(moneyStr(lastBy(isQuote && incoming, feeDec, ordKey)), lit("")).as("payee_fee"),
+        coalesce(lastBy(isQuote && incoming, col("quote.fspFee.currency"), ordKey), lit("")).as("payee_fee_currency"),
+        coalesce(lastBy(isQuote && incoming, col("quote.quoteCode"), ordKey), lit("")).as("payee_quote_code"))
       .select(col("user_id").as("transfer_key"),
         col("payer_party_id"), col("payer_id_type"),
         col("payee_party_id"), col("payee_id_type"),
-        col("amount"), col("currency"), col("completed_ms"), col("transfer_state"))
+        col("amount"), col("currency"), col("completed_ms"), col("transfer_state"),
+        col("payer_fee"), col("payer_fee_currency"), col("payer_quote_code"),
+        col("payee_fee"), col("payee_fee_currency"), col("payee_quote_code"))
       .orderBy("transfer_key")
   }
 
   def impEntityWideSql: String = {
     def pick(cond: String, value: String, default: String): String =
       s"""COALESCE(arg_max(CASE WHEN $cond THEN $value END,
-         |                 CASE WHEN $cond THEN printf('%020d%020d', ms, event_id) END), $default)""".stripMargin
+         |                 CASE WHEN $cond THEN ${ordKeySqlOf("ms", "event_id")} END), $default)""".stripMargin
     val chan = "var_name = 'channelRequest'"
     val resp = "var_name = 'transferResponse-CREATE'"
+    val anyResp = "var_name IN ('transferResponse-CREATE', 'transferResponse-PREPARE')"
+    // direction routing (parseTransferLocalQuoteResponse:155-166):
+    // INCOMING → payee_* columns, OUTGOING → payer_*
+    val quoteIn = "var_name = 'localQuoteResponse' AND user_id % 2 = 0"
+    val quoteOut = "var_name = 'localQuoteResponse' AND user_id % 2 <> 0"
     def jx(path: String) = s"json_extract_string(payload, '$path')"
+    def feePick(cond: String): String =
+      s"COALESCE(CAST(CAST(${pick(cond, s"CAST(${jx("$.fspFee.amount")} AS DECIMAL(18,2))", "NULL")} AS DECIMAL(38,2)) AS VARCHAR), '')"
     s"""WITH src AS (
        |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
        |    CASE WHEN event_type = 'signup' THEN 'channelRequest'
-       |         WHEN event_type = 'purchase' THEN 'transferResponse-CREATE' END AS var_name,
+       |         WHEN event_type = 'purchase' THEN 'transferResponse-CREATE'
+       |         WHEN event_type = 'click' THEN 'transferResponse-PREPARE'
+       |         WHEN event_type = 'view' THEN 'localQuoteResponse' END AS var_name,
        |    CASE WHEN event_type = 'signup' THEN to_json(struct_pack(
        |        payer := struct_pack(partyIdInfo := struct_pack(partyIdType := 'MSISDN',
        |          partyIdentifier := CONCAT('277', CAST(user_id % 100 AS VARCHAR)))),
@@ -504,6 +570,12 @@ object ImporterCore {
        |      WHEN event_type = 'purchase' THEN to_json(struct_pack(
        |        completedTimestamp := strftime(make_timestamp((epoch_ms(ts) // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S'),
        |        transferState := 'COMMITTED'))
+       |      WHEN event_type = 'click' THEN to_json(struct_pack(
+       |        completedTimestamp := strftime(make_timestamp((epoch_ms(ts) // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S')))
+       |      WHEN event_type = 'view' THEN to_json(struct_pack(
+       |        fspFee := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+       |          currency := CASE WHEN event_id % 2 = 0 THEN 'USD' ELSE 'TZS' END),
+       |        quoteCode := CONCAT('LQ-', CAST(event_id % 1000 AS VARCHAR))))
        |      END AS payload
        |  FROM events)
        |SELECT user_id AS transfer_key,
@@ -513,8 +585,14 @@ object ImporterCore {
        |  ${pick(chan, jx("$.payee.partyIdInfo.partyIdType"), "''")} AS payee_id_type,
        |  COALESCE(CAST(CAST(${pick(chan, s"CAST(${jx("$.amount.amount")} AS DECIMAL(18,2))", "NULL")} AS DECIMAL(38,2)) AS VARCHAR), '') AS amount,
        |  ${pick(chan, jx("$.amount.currency"), "''")} AS currency,
-       |  ${pick(resp, s"epoch_ms(strptime(${jx("$.completedTimestamp")}, '%Y-%m-%dT%H:%M:%S'))", "-1")} AS completed_ms,
-       |  ${pick(resp, jx("$.transferState"), "''")} AS transfer_state
+       |  ${pick(anyResp, s"epoch_ms(strptime(${jx("$.completedTimestamp")}, '%Y-%m-%dT%H:%M:%S'))", "-1")} AS completed_ms,
+       |  ${pick(resp, jx("$.transferState"), "''")} AS transfer_state,
+       |  ${feePick(quoteOut)} AS payer_fee,
+       |  ${pick(quoteOut, jx("$.fspFee.currency"), "''")} AS payer_fee_currency,
+       |  ${pick(quoteOut, jx("$.quoteCode"), "''")} AS payer_quote_code,
+       |  ${feePick(quoteIn)} AS payee_fee,
+       |  ${pick(quoteIn, jx("$.fspFee.currency"), "''")} AS payee_fee_currency,
+       |  ${pick(quoteIn, jx("$.quoteCode"), "''")} AS payee_quote_code
        |FROM src GROUP BY user_id ORDER BY transfer_key""".stripMargin
   }
 
@@ -567,6 +645,15 @@ object ImporterCore {
     * request-failed only when fatal (non-fatal errors carry no
     * signal, like parseTransactionRequestFailed's "true"-only write).
     * All five reference states are reachable.
+    *
+    * Scalar column breadth (VariableParser.java:71-83): `authType`
+    * from the transactionRequest record (:71; parseTransactionRequest
+    * :268-269 defaults a null authenticationType to NONE) — carried
+    * here by signup; `partyLookupFspId` → payer_dfsp_id (:73) —
+    * view; `initiatorFspId` → payee_dfsp_id (:74) is
+    * DIRECTION-GUARDED (parseInitiatorFspId:285-289 writes only when
+    * the request's direction is OUTGOING, odd user_id in the gate's
+    * parity stand-in) — click. All last-write-wins by (ts, event_id).
     */
   def impEntityTxnreq(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
@@ -579,6 +666,8 @@ object ImporterCore {
         .when(col("event_type") === "purchase", when(fatal, "FAILED").otherwise("ACCEPTED"))
         .when(col("event_type") === "error" && fatal, "FAILED")
         .otherwise(lit(null))
+    val authType = when(k % 3 === 0, "NONE").when(k % 3 === 1, "OTP").otherwise("BIO")
+    val outgoing = col("user_id") % 2 =!= 0
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(
@@ -586,18 +675,25 @@ object ImporterCore {
         coalesce(min(when(col("event_type") === "signup", col("ts_ms"))), lit(-1L)).as("started_ms"),
         coalesce(max(when(col("event_type") === "purchase", col("ts_ms"))), lit(-1L)).as("completed_ms"),
         coalesce(moneyStr(sum(when(col("event_type") === "purchase", dec2(col("value"))))), lit("")).as("amount"),
+        coalesce(lastBy(col("event_type") === "signup", authType, ordKey), lit("NONE")).as("auth_type"),
+        coalesce(lastBy(col("event_type") === "view",
+          concat(lit("dfsp-"), (k % 10).cast(LongType)), ordKey), lit("")).as("payer_dfsp_id"),
+        coalesce(lastBy(col("event_type") === "click" && outgoing,
+          concat(lit("fsp-"), (k % 10).cast(LongType)), ordKey), lit("")).as("payee_dfsp_id"),
         count(lit(1)).cast(LongType).as("n_events"))
       .select(
         col("user_id").as("txn_key"),
         concat(lit("t"), (col("user_id") % 10).cast(LongType)).as("tenant"),
         col("state"), col("started_ms"), col("completed_ms"),
-        col("amount"), col("n_events"))
+        col("amount"), col("auth_type"), col("payer_dfsp_id"),
+        col("payee_dfsp_id"), col("n_events"))
       .orderBy("txn_key")
   }
 
   def impEntityTxnreqSql: String =
     s"""WITH sig AS (
        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value,
+       |    CAST(json_extract_string(props,'$$.k') AS BIGINT) AS k,
        |    CASE WHEN event_type = 'signup' THEN 'RECEIVED'
        |         WHEN event_type = 'view' THEN
        |           CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED' ELSE 'RECEIVED' END
@@ -613,10 +709,17 @@ object ImporterCore {
        |SELECT user_id AS txn_key,
        |  CONCAT('t', CAST(user_id % 10 AS VARCHAR)) AS tenant,
        |  COALESCE(arg_max(CASE WHEN signal IS NOT NULL THEN signal END,
-       |                   CASE WHEN signal IS NOT NULL THEN printf('%020d%020d', ms, event_id) END), 'IN_PROGRESS') AS state,
+       |                   CASE WHEN signal IS NOT NULL THEN ${ordKeySqlOf("ms", "event_id")} END), 'IN_PROGRESS') AS state,
        |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN ms END), -1) AS started_ms,
        |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN ms END), -1) AS completed_ms,
        |  COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS VARCHAR), '') AS amount,
+       |  COALESCE(arg_max(CASE WHEN event_type = 'signup' THEN
+       |      (CASE WHEN k % 3 = 0 THEN 'NONE' WHEN k % 3 = 1 THEN 'OTP' ELSE 'BIO' END) END,
+       |    CASE WHEN event_type = 'signup' THEN ${ordKeySqlOf("ms", "event_id")} END), 'NONE') AS auth_type,
+       |  COALESCE(arg_max(CASE WHEN event_type = 'view' THEN CONCAT('dfsp-', CAST(k % 10 AS VARCHAR)) END,
+       |    CASE WHEN event_type = 'view' THEN ${ordKeySqlOf("ms", "event_id")} END), '') AS payer_dfsp_id,
+       |  COALESCE(arg_max(CASE WHEN event_type = 'click' AND user_id % 2 <> 0 THEN CONCAT('fsp-', CAST(k % 10 AS VARCHAR)) END,
+       |    CASE WHEN event_type = 'click' AND user_id % 2 <> 0 THEN ${ordKeySqlOf("ms", "event_id")} END), '') AS payee_dfsp_id,
        |  COUNT(*) AS n_events
        |FROM sig GROUP BY user_id ORDER BY txn_key""".stripMargin
 

@@ -137,16 +137,29 @@ object StreamImport {
 
   /** TransactionRequest streaming state: LAST-WRITE-WINS on the state
     * signal (every state-carrying record overwrites; latest ord wins —
-    * ImporterCore.impEntityTxnreq's arg-max, folded incrementally).
+    * ImporterCore.impEntityTxnreq's arg-max, folded incrementally),
+    * plus the scalar registry columns (VariableParser.java:71-83):
+    * authType / payerDfspId / payeeDfspId, each with its own
+    * last-write mark.
     */
   case class TxnSt(state: String, stateTs: Long, stateId: Long, started: Long,
-    completed: Long, amountE2: Long, hasAmount: Boolean, n: Long)
+    completed: Long, amountE2: Long, hasAmount: Boolean,
+    auth: String, authTs: Long, authId: Long,
+    payerDfsp: String, payerDfspTs: Long, payerDfspId_ : Long,
+    payeeDfsp: String, payeeDfspTs: Long, payeeDfspId_ : Long,
+    n: Long)
 
   private val EmptyTxnSt = TxnSt("IN_PROGRESS", Long.MinValue, Long.MinValue,
-    Long.MaxValue, Long.MinValue, 0L, hasAmount = false, 0L)
+    Long.MaxValue, Long.MinValue, 0L, hasAmount = false,
+    "NONE", Long.MinValue, Long.MinValue,
+    "", Long.MinValue, Long.MinValue,
+    "", Long.MinValue, Long.MinValue,
+    0L)
 
   case class TxnRow(txn_key: Long, tenant: String, state: String,
-    started_ms: Long, completed_ms: Long, amount: String, n_events: Long)
+    started_ms: Long, completed_ms: Long, amount: String,
+    auth_type: String, payer_dfsp_id: String, payee_dfsp_id: String,
+    n_events: Long)
 
   private def txnSignal(r: Rec): Option[String] = {
     val fatal = r.k >= 90
@@ -169,8 +182,27 @@ object StreamImport {
       if (isAfter(r.ts_ms, r.event_id, s.stateTs, s.stateId))
         s = s.copy(state = sig, stateTs = r.ts_ms, stateId = r.event_id)
     }
-    if (r.event_type == "signup")
+    if (r.event_type == "signup") {
       s = s.copy(started = math.min(s.started, r.ts_ms))
+      // authType (VariableParser:71; parseTransactionRequest:268-269
+      // NONE default) — last write wins
+      if (isAfter(r.ts_ms, r.event_id, s.authTs, s.authId)) {
+        val m = r.k % 3
+        val a = if (m == 0) "NONE" else if (m == 1) "OTP" else "BIO"
+        s = s.copy(auth = a, authTs = r.ts_ms, authId = r.event_id)
+      }
+    }
+    if (r.event_type == "view" &&
+        isAfter(r.ts_ms, r.event_id, s.payerDfspTs, s.payerDfspId_))
+      // partyLookupFspId → payerDfspId (VariableParser:73)
+      s = s.copy(payerDfsp = "dfsp-" + (r.k % 10),
+        payerDfspTs = r.ts_ms, payerDfspId_ = r.event_id)
+    if (r.event_type == "click" && r.user_id % 2 != 0 &&
+        isAfter(r.ts_ms, r.event_id, s.payeeDfspTs, s.payeeDfspId_))
+      // initiatorFspId → payeeDfspId, OUTGOING-only
+      // (parseInitiatorFspId:285-289)
+      s = s.copy(payeeDfsp = "fsp-" + (r.k % 10),
+        payeeDfspTs = r.ts_ms, payeeDfspId_ = r.event_id)
     if (r.event_type == "purchase")
       s = s.copy(completed = math.max(s.completed, r.ts_ms),
         amountE2 = s.amountE2 + cents(r.value), hasAmount = true)
@@ -187,6 +219,9 @@ object StreamImport {
       started_ms = if (st.started == Long.MaxValue) -1L else st.started,
       completed_ms = if (st.completed == Long.MinValue) -1L else st.completed,
       amount = if (st.hasAmount) java.math.BigDecimal.valueOf(st.amountE2, 2).toPlainString else "",
+      auth_type = st.auth,
+      payer_dfsp_id = st.payerDfsp,
+      payee_dfsp_id = st.payeeDfsp,
       n_events = st.n))
   }
 
@@ -203,7 +238,7 @@ object StreamImport {
   def runTxnreqToCompletion(spark: SparkSession, dir: String): DataFrame =
     runPipeline(spark, dir, events => txnreqStream(events).toDF(), "txn_key")
       .select("txn_key", "tenant", "state", "started_ms", "completed_ms",
-        "amount", "n_events")
+        "amount", "auth_type", "payer_dfsp_id", "payee_dfsp_id", "n_events")
       .orderBy("txn_key")
 
   // ------------------------------------------------------------ Batch
@@ -267,17 +302,28 @@ object StreamImport {
 
   // ------------------------------------------------------------- Wide
 
-  /** Streaming wide-entity state: last write per variable class
-    * (channelRequest / transferResponse-CREATE) by the (ts, event_id)
-    * pair — impEntityWide's arg-max picks, folded incrementally.
+  /** Streaming wide-entity state: last write per variable class by the
+    * (ts, event_id) pair — impEntityWide's arg-max picks, folded
+    * incrementally across all four registry classes
+    * (VariableParser.java:41-50). completedMs carries its own
+    * last-write mark (cmplTs/cmplId) separate from transferState's
+    * (stateTs/stateId) because BOTH transferResponse-CREATE and
+    * transferResponse-PREPARE write completedAt (:174-183, :189-198)
+    * while only CREATE carries a transferState.
     */
   case class WideSt(chanTs: Long, chanId: Long, payerPartyId: String,
     payerIdType: String, payeePartyId: String, payeeIdType: String,
     amount: String, currency: String,
-    respTs: Long, respId: Long, completedMs: Long, transferState: String)
+    stateTs: Long, stateId: Long, transferState: String,
+    cmplTs: Long, cmplId: Long, completedMs: Long,
+    quoteTs: Long, quoteId: Long, fee: String, feeCurrency: String,
+    quoteCode: String)
 
   private val EmptyWideSt = WideSt(Long.MinValue, Long.MinValue, "", "", "",
-    "", "", "", Long.MinValue, Long.MinValue, -1L, "")
+    "", "", "",
+    Long.MinValue, Long.MinValue, "",
+    Long.MinValue, Long.MinValue, -1L,
+    Long.MinValue, Long.MinValue, "", "", "")
 
   /** tenant is carried for the sink's partition routing and dropped
     * from the oracle-checked projection (the batch entity has none).
@@ -286,7 +332,9 @@ object StreamImport {
     payer_party_id: String, payer_id_type: String,
     payee_party_id: String, payee_id_type: String,
     amount: String, currency: String, completed_ms: Long,
-    transfer_state: String)
+    transfer_state: String,
+    payer_fee: String, payer_fee_currency: String, payer_quote_code: String,
+    payee_fee: String, payee_fee_currency: String, payee_quote_code: String)
 
   // Jackson ships on Spark's classpath; ObjectMapper.readTree is
   // thread-safe after construction
@@ -305,6 +353,22 @@ object StreamImport {
     * to_json/from_json, so the stream path also exercises real JSON
     * parsing per record, like the reference's VariableParser.
     */
+  /** Parse a synthesized `transferResponse-*` document and return the
+    * epoch-millis of its completedTimestamp (both CREATE and PREPARE
+    * carry one — VariableParser:174-183 / :189-198).
+    */
+  private def completedOf(r: Rec, withState: Boolean): (Long, String) = {
+    val root = json.createObjectNode()
+    root.put("completedTimestamp", WideTsFmt.format(
+      java.time.Instant.ofEpochMilli(r.ts_ms).atOffset(java.time.ZoneOffset.UTC)))
+    if (withState) root.put("transferState", "COMMITTED")
+    val doc = json.readTree(json.writeValueAsString(root))
+    val parsedMs = java.time.LocalDateTime
+      .parse(doc.at("/completedTimestamp").asText(), WideTsFmt)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    (parsedMs, doc.at("/transferState").asText())
+  }
+
   private def foldWide(st: WideSt, r: Rec): WideSt = r.event_type match {
     case "signup" if isAfter(r.ts_ms, r.event_id, st.chanTs, st.chanId) =>
       val root = json.createObjectNode()
@@ -325,31 +389,58 @@ object StreamImport {
         payeeIdType = doc.at("/payee/partyIdInfo/partyIdType").asText(),
         amount = doc.at("/amount/amount").asText(),
         currency = doc.at("/amount/currency").asText())
-    case "purchase" if isAfter(r.ts_ms, r.event_id, st.respTs, st.respId) =>
+    case "purchase" =>
+      // transferResponse-CREATE: transferState last-write on its own
+      // mark, completedAt on the shared CREATE+PREPARE mark
+      var s = st
+      if (isAfter(r.ts_ms, r.event_id, s.stateTs, s.stateId)) {
+        val (_, state) = completedOf(r, withState = true)
+        s = s.copy(stateTs = r.ts_ms, stateId = r.event_id, transferState = state)
+      }
+      if (isAfter(r.ts_ms, r.event_id, s.cmplTs, s.cmplId)) {
+        val (ms, _) = completedOf(r, withState = true)
+        s = s.copy(cmplTs = r.ts_ms, cmplId = r.event_id, completedMs = ms)
+      }
+      s
+    case "click" if isAfter(r.ts_ms, r.event_id, st.cmplTs, st.cmplId) =>
+      // transferResponse-PREPARE: writes the same completedAt field
+      val (ms, _) = completedOf(r, withState = false)
+      st.copy(cmplTs = r.ts_ms, cmplId = r.event_id, completedMs = ms)
+    case "view" if isAfter(r.ts_ms, r.event_id, st.quoteTs, st.quoteId) =>
+      // localQuoteResponse: fee/currency/quoteCode, direction-routed at
+      // render (direction is static per instance)
       val root = json.createObjectNode()
-      root.put("completedTimestamp", WideTsFmt.format(
-        java.time.Instant.ofEpochMilli(r.ts_ms).atOffset(java.time.ZoneOffset.UTC)))
-      root.put("transferState", "COMMITTED")
+      root.putObject("fspFee")
+        .put("amount", amountStr(r.value))
+        .put("currency", if (r.event_id % 2 == 0) "USD" else "TZS")
+      root.put("quoteCode", "LQ-" + (r.event_id % 1000))
       val doc = json.readTree(json.writeValueAsString(root))
-      val parsedMs = java.time.LocalDateTime
-        .parse(doc.at("/completedTimestamp").asText(), WideTsFmt)
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      st.copy(respTs = r.ts_ms, respId = r.event_id,
-        completedMs = parsedMs,
-        transferState = doc.at("/transferState").asText())
+      st.copy(quoteTs = r.ts_ms, quoteId = r.event_id,
+        fee = doc.at("/fspFee/amount").asText(),
+        feeCurrency = doc.at("/fspFee/currency").asText(),
+        quoteCode = doc.at("/quoteCode").asText())
     case _ => st
   }
 
   def updateWide(key: Long, recs: Iterator[Rec], state: GroupState[WideSt]): Iterator[WideRow] = {
     val st = recs.foldLeft(state.getOption.getOrElse(EmptyWideSt))(foldWide)
     state.update(st)
+    // direction routing (parseTransferLocalQuoteResponse:155-166):
+    // INCOMING (even key) → payee_* columns, OUTGOING → payer_*
+    val incoming = key % 2 == 0
     Iterator.single(WideRow(
       transfer_key = key,
       tenant = "t" + (key % 10),
       payer_party_id = st.payerPartyId, payer_id_type = st.payerIdType,
       payee_party_id = st.payeePartyId, payee_id_type = st.payeeIdType,
       amount = st.amount, currency = st.currency,
-      completed_ms = st.completedMs, transfer_state = st.transferState))
+      completed_ms = st.completedMs, transfer_state = st.transferState,
+      payer_fee = if (incoming) "" else st.fee,
+      payer_fee_currency = if (incoming) "" else st.feeCurrency,
+      payer_quote_code = if (incoming) "" else st.quoteCode,
+      payee_fee = if (incoming) st.fee else "",
+      payee_fee_currency = if (incoming) st.feeCurrency else "",
+      payee_quote_code = if (incoming) st.quoteCode else ""))
   }
 
   def wideStream(events: DataFrame): Dataset[WideRow] = {
@@ -366,7 +457,9 @@ object StreamImport {
     runPipeline(spark, dir, events => wideStream(events).toDF(), "transfer_key")
       .select("transfer_key", "payer_party_id", "payer_id_type",
         "payee_party_id", "payee_id_type", "amount", "currency",
-        "completed_ms", "transfer_state")
+        "completed_ms", "transfer_state",
+        "payer_fee", "payer_fee_currency", "payer_quote_code",
+        "payee_fee", "payee_fee_currency", "payee_quote_code")
       .orderBy("transfer_key")
 
   // --------------------------------------------------------- plumbing

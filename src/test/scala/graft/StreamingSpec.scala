@@ -71,11 +71,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     }
     q.stop()
+    val txnCols = Seq("txn_key", "state", "started_ms", "completed_ms", "amount",
+      "auth_type", "payer_dfsp_id", "payee_dfsp_id", "n_events")
     val streamed = graft.streaming.TenantUpsertSink.readCurrent(spark, sinkDir).get
-      .select("txn_key", "state", "started_ms", "completed_ms", "amount", "n_events")
+      .select(txnCols.map(col): _*)
       .orderBy("txn_key").collect()
     val batch = ImporterCore.impEntityTxnreq(spark, sfDir)
-      .select("txn_key", "state", "started_ms", "completed_ms", "amount", "n_events")
+      .select(txnCols.map(col): _*)
       .collect()
     assert(streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) =>
@@ -105,7 +107,9 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val cols = Seq("transfer_key", "payer_party_id", "payer_id_type",
       "payee_party_id", "payee_id_type", "amount", "currency",
-      "completed_ms", "transfer_state")
+      "completed_ms", "transfer_state",
+      "payer_fee", "payer_fee_currency", "payer_quote_code",
+      "payee_fee", "payee_fee_currency", "payee_quote_code")
     val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
       .select(cols.map(col): _*).orderBy("transfer_key").collect()
     val batch = ImporterCore.impEntityWide(spark, sfDir)
