@@ -28,11 +28,45 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Freeing is safe only for frames that are never read again: a
   * localCheckpoint's lineage is gone, so unpersist deletes the data,
   * not a cache of it.
+  *
+  * CONCURRENCY CONTRACT: [[releaseAll]] sweeps the WHOLE JVM's tracked
+  * checkpoints, so it belongs to single-threaded drivers (one graft
+  * operator in flight at a time — Bench, Verify, a sequential
+  * notebook). A consumer running graft operators CONCURRENTLY in one
+  * session must not call it (it would free another query's live
+  * blocks mid-read and fail that query's collect with missing-block
+  * recomputation errors); each thread wraps its operator in
+  * [[scoped]] instead, which frees exactly the checkpoints created in
+  * that dynamic extent — consume the result before the scope closes.
   */
 object Scratch {
 
   private val live = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]())
+
+  /** Innermost [[scoped]] sets per thread (checkpoint creation is
+    * driver-side, so the creating thread is the scoping thread).
+    */
+  private val scopes = new ThreadLocal[List[java.util.Set[RDD[_]]]] {
+    override def initialValue(): List[java.util.Set[RDD[_]]] = Nil
+  }
+
+  /** Run `body` in a checkpoint scope: every [[cp]]/[[seal]] on this
+    * thread inside it is freed when the scope closes — the
+    * concurrency-safe alternative to [[releaseAll]] (see class doc).
+    * The scope's result must be fully consumed (collected/written)
+    * before this returns it.
+    */
+  def scoped[T](body: => T): T = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]())
+    scopes.set(s :: scopes.get)
+    try body
+    finally {
+      scopes.set(scopes.get.tail)
+      s.forEach { r => r.unpersist(blocking = false); live.remove(r) }
+    }
+  }
 
   /** The checkpointed RDDs a materialized frame reads from. */
   private def leafRdds(df: DataFrame): Seq[RDD[_]] =
@@ -40,10 +74,14 @@ object Scratch {
       case lr: LogicalRDD => lr.rdd
     }
 
-  /** Eager localCheckpoint, tracked for release. */
+  /** Eager localCheckpoint, tracked for release (and by the innermost
+    * [[scoped]] block on this thread, if any).
+    */
   def cp(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint(eager = true)
-    leafRdds(out).foreach(live.add)
+    val leaves = leafRdds(out)
+    leaves.foreach(live.add)
+    scopes.get.headOption.foreach(s => leaves.foreach(s.add))
     out
   }
 
@@ -66,9 +104,11 @@ object Scratch {
     out
   }
 
-  /** Session-level sweep: release every tracked checkpoint. Call when
-    * all frames previously returned by graft operators are fully
-    * consumed (e.g. between bench queries).
+  /** Session-level sweep: release every tracked checkpoint JVM-WIDE.
+    * Call only from a single-threaded driver, when all frames
+    * previously returned by graft operators are fully consumed (e.g.
+    * between bench queries) — see the class concurrency contract;
+    * concurrent consumers use [[scoped]] instead.
     */
   def releaseAll(): Unit = {
     val it = live.iterator()

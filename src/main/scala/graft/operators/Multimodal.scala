@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample as partition-batched
   * transforms — the Scala equivalent of a `mapInPandas` batch UDF.
   *
-  * The decode step is REAL for image rows: `png` and `jpeg` payloads
-  * are genuine encoded streams (the pure-JVM `javax.imageio` codecs,
-  * no native libs) and `decodeImage` runs `ImageIO.read`, deriving
-  * frame features from the actual decoded pixels — png roundtrips
-  * pixel-exact, jpeg is honestly lossy (features come from what the
-  * codec reconstructs). Formats with no pure-JVM codec in this
-  * container (wav/mp4) still go through `decodeStub`, which fakes
+  * The decode step is REAL for image and audio rows: `png` and `jpeg`
+  * payloads are genuine encoded streams (the pure-JVM `javax.imageio`
+  * codecs, no native libs) and `decodeImage` runs `ImageIO.read`,
+  * deriving frame features from the actual decoded pixels — png
+  * roundtrips pixel-exact, jpeg is honestly lossy (features come from
+  * what the codec reconstructs). `wav` payloads are genuine RIFF/PCM
+  * streams written and read back through `javax.sound.sampled.
+  * AudioSystem` (also pure-JVM), with frame features tapped from the
+  * decoded 16-bit samples. The one format with no JVM codec in this
+  * container (mp4) still goes through `decodeStub`, which fakes
   * frames deterministically from the payload bytes; swapping it for
   * an FFmpeg decoder changes no plumbing.
   *
@@ -72,11 +75,51 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic PCM waveform seeded by the doc's md5: the audio a
+    * wav row's payload encodes. Every 16-bit sample mixes two seed
+    * bytes, so a decode that ignores the payload cannot reproduce the
+    * features.
+    */
+  private[graft] def synthesizeWaveform(seed: Array[Byte], n: Int): Array[Short] =
+    Array.tabulate(n) { i =>
+      // index mixed in (like the image's coordinate channel) so tap
+      // strides that are multiples of the seed length don't alias to a
+      // constant sample
+      val hi = (seed(i % seed.length) ^ (i * 31)) & 0xff
+      val lo = (seed((i * 5 + 1) % seed.length) ^ (i * 17)) & 0xff
+      (((hi << 8) | lo) - 32768).toShort
+    }
+
+  private val WavSampleRate = 8000f
+
+  /** Encode PCM16 mono samples as a genuine RIFF/WAVE stream via the
+    * JDK's own audio file writer.
+    */
+  private[graft] def encodeWav(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavSampleRate, 16, 1, true, false) // PCM signed, little-endian
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic media attached to each document (the
     * test corpus ships no binaries): png and jpeg rows carry REAL
-    * encoded streams of the seed-derived pixel pattern; the codec-less
-    * formats (wav/mp4) carry raw seed repetitions. Stands in for a
-    * `binary` + struct column pair read from parquet/lance.
+    * encoded image streams of the seed-derived pixel pattern, wav rows
+    * a REAL RIFF/PCM stream of the seed-derived waveform; the
+    * remaining codec-less format (mp4) carries raw seed repetitions.
+    * Stands in for a `binary` + struct column pair read from
+    * parquet/lance.
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -87,13 +130,16 @@ object Multimodal {
         val format = Formats((id % 4).toInt)
         val side = 16 << (id % 3).toInt
         val meta = MediaMeta(format, side, side, 1 + (id % 5).toInt)
-        val payload =
-          if (format == "png" || format == "jpeg")
+        val payload = format match {
+          case "png" | "jpeg" =>
             encodeImage(synthesizeImage(seed, side, side), format)
-          else {
+          case "wav" =>
+            // sample count plays the pixel-count role: width*height
+            encodeWav(synthesizeWaveform(seed, side * side))
+          case _ =>
             val reps = 1 + (id % 8).toInt
             Array.fill(reps)(seed).flatten
-          }
+        }
         MediaRow(id, payload, meta)
       }
   }
@@ -120,9 +166,43 @@ object Multimodal {
     }
   }
 
-  /** STUB for formats without a pure-JVM codec in this container
-    * (wav/mp4): derives an 8-float feature per frame from the payload
-    * bytes so the downstream plumbing is fully exercised and
+  /** REAL decode for wav payloads: `AudioSystem.getAudioInputStream`
+    * parses the RIFF container and hands back the PCM16 stream; per
+    * sampled frame (a band of the sample sequence) extract 8
+    * amplitude taps from the decoded samples, normalized to [-1, 1).
+    * A stream the parser rejects (corrupt RIFF header) fails with a
+    * descriptive error instead of producing plausible frames.
+    */
+  private[graft] def decodeWav(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"graft-mm: payload is not a decodable wav stream (meta ${meta.width}x${meta.height})", e)
+      }
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"graft-mm: unexpected wav format $fmt")
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    require(n > 0, "graft-mm: empty wav stream")
+    val samples = Array.tabulate(n) { i =>
+      (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+    }
+    Array.tabulate(meta.n_frames) { f =>
+      val start = f * n / meta.n_frames
+      val band = math.max(n / meta.n_frames, 1)
+      Array.tabulate(8) { i =>
+        samples(math.min(start + i * band / 8, n - 1)) / 32768f
+      }
+    }
+  }
+
+  /** STUB for the one format without a pure-JVM codec in this
+    * container (mp4): derives an 8-float feature per frame from the
+    * payload bytes so the downstream plumbing is fully exercised and
     * reproducible. A real implementation decodes per `meta.format`
     * and emits `meta.n_frames` sampled frames of `width*height`
     * pixels.
@@ -138,6 +218,7 @@ object Multimodal {
   private[graft] def decodeFrames(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] =
     meta.format match {
       case "png" | "jpeg" => decodeImage(payload, meta)
+      case "wav"          => decodeWav(payload, meta)
       case _              => decodeStub(payload, meta)
     }
 
@@ -163,10 +244,10 @@ object Multimodal {
     }
   }
 
-  /** Driver-visible pipeline result (rows-only check — the wav/mp4
-    * decode arms are stubbed, so no SQL oracle is claimed; the real
-    * png/jpeg arms are pinned by roundtrip + known-checksum specs):
-    * one row per sampled frame.
+  /** Driver-visible pipeline result (rows-only check — the mp4
+    * decode arm is stubbed, so no SQL oracle is claimed; the real
+    * png/jpeg/wav arms are pinned by roundtrip + known-checksum
+    * specs): one row per sampled frame.
     */
   def mmPipeline(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir).toDF()

@@ -29,10 +29,35 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * upsert may prune once no manifest entry references them.
   * (StreamImport.runPipeline localCheckpoints its read-back for
   * exactly this reason.)
+  *
+  * Tenant contract: `tenant` MUST be a stable function of the key —
+  * the same key may never arrive under two different tenants, in one
+  * batch or across batches. This mirrors the reference, where tenant
+  * derives from the instance's bpmnProcessId (NatsConsumer.java:73-75)
+  * and an instance never changes process: a moved key would leave its
+  * old row alive in the untouched tenant's partition (this sink
+  * rewrites only touched tenants — finding the old row would cost
+  * O(table) per batch, exactly what the manifest design avoids, and a
+  * per-tenant JDBC MERGE has the same blind spot). Each upsert
+  * ASSERTS the within-batch half of the contract (one tenant per key)
+  * so a violating producer fails loudly at the boundary instead of
+  * corrupting reads later.
+  *
+  * Tenant values are escaped with Spark's own partition-path escaping
+  * when paths and manifest lines are built, so tenants containing
+  * '/', '=', '%' or spaces round-trip through `partitionBy` and the
+  * manifest identically.
   */
 object TenantUpsertSink {
 
   private val Pointer = "_CURRENT"
+
+  /** Spark's partition-directory escaping (what `partitionBy` itself
+    * writes) — manifest keys and path fragments store the ESCAPED
+    * form so they always name the directory that exists on disk.
+    */
+  private def esc(tenant: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(tenant)
 
   /** The table's current contents (None before the first upsert). See
     * the class doc for the reader contract.
@@ -75,7 +100,16 @@ object TenantUpsertSink {
       // reference's RoutingDataSource holds one DataSource per tenant),
       // so the driver-side collect is over a handful of values
       val touched = batch.select("tenant").distinct()
-        .collect().map(_.getString(0)).toSet
+        .collect().map(_.getString(0)).map(esc).toSet
+      // within-batch half of the tenant-stability contract (class
+      // doc): a key under two tenants here proves the producer's
+      // tenant is not a function of the key — fail before writing
+      val movedKeys = batch.select(key, "tenant").distinct()
+        .groupBy(key).count().filter(org.apache.spark.sql.functions.col("count") > 1)
+        .limit(1).collect()
+      require(movedKeys.isEmpty,
+        s"TenantUpsertSink: key ${movedKeys.headOption.map(_.get(0))} arrived under multiple " +
+          "tenants in one batch — tenant must be a stable function of the key (see class doc)")
       val existingTouched = touched.intersect(manifest.keySet)
       val merged =
         if (existingTouched.isEmpty) batch
@@ -93,7 +127,7 @@ object TenantUpsertSink {
         .partitionBy("tenant")
         .parquet(s"$tableDir/$gen")
       // atomic manifest swing: untouched tenants keep their generation,
-      // touched tenants move to the new one
+      // touched tenants move to the new one (keys already escaped)
       val next = manifest ++ touched.map(_ -> gen)
       val tmp = new java.io.File(tableDir, s"$Pointer.tmp")
       java.nio.file.Files.write(tmp.toPath,
