@@ -23,13 +23,27 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
+      // ---- per-query isolation, all OUTSIDE the timing ----
+      // round 1's leak was Scratch blocks; what remained in round 2 was
+      // ~2-4× sweep-order drift from shuffle-file/GC residue of EARLIER
+      // queries. Quiesce before each measurement: release scratch,
+      // drop cached plans, and force a GC cycle so the ContextCleaner
+      // reclaims dead shuffle files — then run the query in a FRESH
+      // child session (own SQL conf/cache/temp state, shared executors
+      // and file-listing warmup).
+      Scratch.releaseAll()
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(150) // let the async cleaner drain
+      val session = spark.newSession()
+      functions.GraftFunctions.register(session)
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column and keeps the final sort
       // in the plan — count() would let Catalyst prune the aggregates
       // and EliminateSorts drop the orderBy, timing a fraction of the
       // real query
       val ok = try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+        fn(session, sfDir).write.mode("overwrite").format("noop").save(); true
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -38,13 +52,10 @@ object Bench {
       }
       // a failed query reports -1, never its time-to-crash
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // per-query scratch scope: release the query's materialized
-      // checkpoints OUTSIDE its timing — round 1 measured a 15× tail
-      // inflation from leaked blocks contaminating later queries
-      Scratch.releaseAll()
-      spark.catalog.clearCache()
       name -> elapsed
     }
+    // the last query's scratch blocks
+    Scratch.releaseAll()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -281,25 +281,54 @@ object VectorOps {
        |ORDER BY a_id, b_id""".stripMargin
 
   /** IVF-style ANN: the second scale path. Vectors partition into C
-    * coarse cells (here: nearest of C deterministic seed centroids —
-    * a k-means iteration would refine them; seeds keep the oracle
-    * exact); queries probe their `nprobe` nearest cells and rank only
-    * those candidates. The centroid table is broadcast (C rows); the
-    * candidate join is cell-bounded, never n².
+    * coarse cells; queries probe their `nprobe` nearest cells and rank
+    * only those candidates. Cells start from C deterministic seed
+    * centroids (the first C vectors) and are refined by ONE Lloyd
+    * step — broadcast seeds → assign every vector → per-cell
+    * ELEMENT-WISE INTEGER MEAN as the new centroid — which keeps the
+    * whole index oracle-expressible (integer sums are exact on both
+    * engines, floor-of-mean is deterministic) while making the cells
+    * data-adaptive instead of hostage to the first C rows. The
+    * centroid table is broadcast (≤ C rows) at every stage; the
+    * candidate join is cell-bounded, never n². At 100 TB the Lloyd
+    * pass runs once per index build (its shuffle is rows×dim keyed by
+    * (cell, dim) — linear, one pass) or on a sample; more iterations
+    * compose the same step.
     */
   private val IvfCells = 16
   private val IvfProbes = 2
 
-  /** One pass: top-`IvfProbes` cells per vector, materialized — the
-    * corpus side is the crnk=1 filter of the SAME frame (computing
-    * assignments separately per side would re-run the crossJoin +
-    * window twice).
-    */
-  private def cellAssignments(spark: SparkSession, dir: String,
-      cells: Int, probes: Int): DataFrame = {
-    val v = quantized(spark, dir)
-    val cents = v.filter(col("vec_id") < cells)
+  /** Seed centroids refined by `iters` Lloyd steps (0 = raw seeds). */
+  private def refinedCentroids(v: DataFrame, cells: Int, iters: Int): DataFrame = {
+    var cents = v.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
+    for (_ <- 0 until iters) {
+      val scored = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("cent_id"),
+          expr(scoreE6(dotExpr("q", "cq"), "n2", "cn2")).as("cscore"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id"))
+      val assign = scored.withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") === 1)
+      cents = assign
+        .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg(expr("CAST(FLOOR(SUM(x) / COUNT(*)) AS BIGINT)").as("m"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cq"))
+        .withColumn("cn2", expr(dotExpr("cq", "cq")))
+        .filter(col("cn2") > 0)
+    }
+    cents
+  }
+
+  /** One pass: top-`probes` cells per vector against the refined
+    * centroids, materialized — the corpus side is the crnk=1 filter of
+    * the SAME frame (computing assignments separately per side would
+    * re-run the scoring + window twice).
+    */
+  private def cellAssignmentsOf(v: DataFrame,
+      cells: Int, probes: Int, lloydIters: Int): DataFrame = {
+    val cents = refinedCentroids(v, cells, lloydIters)
     val scored = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("n2"), col("cent_id"),
         expr(scoreE6(dotExpr("q", "cq"), "n2", "cn2")).as("cscore"))
@@ -316,13 +345,21 @@ object VectorOps {
 
   /** ann_ivf with explicit cell/probe counts — the scale knob (cells
     * grows with corpus size so each cell's slice stays
-    * executor-sized; recall tunes with probes). The default geometry
-    * keeps the full oracle; the centroid side stays a broadcast of
-    * `cells` rows.
+    * executor-sized; recall tunes with probes and Lloyd iterations).
+    * The default geometry keeps the full oracle; the centroid side
+    * stays a broadcast of `cells` rows.
     */
   def annIvfWith(spark: SparkSession, dir: String,
-      cells: Int, probes: Int, k: Int = 3): DataFrame = {
-    val assigned = cellAssignments(spark, dir, cells, probes)
+      cells: Int, probes: Int, k: Int = 3, lloydIters: Int = 1): DataFrame =
+    annIvfOf(quantized(spark, dir), cells, probes, k, lloydIters)
+
+  /** ann_ivf over an externally supplied quantized frame (vec_id, q,
+    * n2) — consumed (and released) by this call; the recall spec feeds
+    * synthetic clustered corpora through it.
+    */
+  def annIvfOf(v: DataFrame,
+      cells: Int, probes: Int, k: Int, lloydIters: Int): DataFrame = {
+    val assigned = cellAssignmentsOf(v, cells, probes, lloydIters)
     val corpus = assigned.filter(col("crnk") === 1)
       .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
         col("cent_id").as("cell"))
@@ -343,8 +380,26 @@ object VectorOps {
 
   def annIvfSql: String =
     s"""WITH $quantizedDuckCte,
-       |cents AS (
+       |seeds AS (
        |  SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM qv WHERE vec_id < $IvfCells),
+       |sassign AS (
+       |  SELECT vec_id, q, cent_id FROM (
+       |    SELECT v.vec_id, v.q, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |    FROM qv v CROSS JOIN seeds c) t
+       |  WHERE crnk = 1),
+       |rm AS (
+       |  SELECT cent_id, p.pos AS pos,
+       |    CAST(FLOOR(SUM(q[p.pos + 1]) / COUNT(*)) AS BIGINT) AS m
+       |  FROM sassign, range(0, $Dim) p(pos)
+       |  GROUP BY cent_id, p.pos),
+       |cents0 AS (
+       |  SELECT cent_id, list(m ORDER BY pos) AS cq FROM rm GROUP BY cent_id),
+       |cents AS (
+       |  SELECT * FROM (
+       |    SELECT cent_id, cq, ${dotDuck("cq", "cq")} AS cn2 FROM cents0) t
+       |  WHERE cn2 > 0),
        |assign AS (
        |  SELECT v.vec_id, v.q, v.n2, c.cent_id,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id

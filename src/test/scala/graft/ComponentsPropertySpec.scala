@@ -18,6 +18,18 @@ class ComponentsPropertySpec extends SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
+  test("pointer doubling: a 200-node path (diameter 199) converges inside the round cap") {
+    import spark.implicits._
+    val n = 200
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // plain O(diameter) propagation would need 199 rounds and trip the
+    // MaxRounds=50 loud failure; the shortcut closes in O(log d)
+    val got = Components.connectedComponents(nodes, edges).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 0L), "every node must collapse to component 0")
+  }
+
   test("connectedComponents matches union-find on 15 seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

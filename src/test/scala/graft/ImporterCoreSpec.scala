@@ -134,6 +134,44 @@ class ImporterCoreSpec extends SparkSpec {
     assert(between.filter(col("started_ms") < 1704672000000L).count() == 0)
   }
 
+  test("specs predicates reach a parquet-backed entity scan as PushedFilters") {
+    // q_specs_* filter a derived aggregate, so nothing can reach a
+    // scan there; the reference's Specification→WHERE pushdown claim
+    // is about STORED entities — materialize the transfers entity as
+    // its parquet table and assert the composed predicates land in
+    // the scan node
+    val dir = java.nio.file.Files.createTempDirectory("graft_specs_pd_").toString
+    ImporterCore.transfers(spark, sfDir).write.mode("overwrite").parquet(dir)
+    val entity = spark.read.parquet(dir)
+    val q = Specs.query(entity,
+      Specs.between("started_ms", lit(1704672000000L), lit(1705881600000L)),
+      Specs.matchEq("status", lit("COMPLETED")))
+    q.collect()
+    // toString truncates metadata lists at 100 chars — formatted
+    // explain renders PushedFilters in full
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters"), s"no pushdown section in:\n$plan")
+    for (want <- Seq(
+      "GreaterThanOrEqual(started_ms,1704672000000)",
+      "LessThanOrEqual(started_ms,1705881600000)",
+      "EqualTo(status,COMPLETED)"))
+      assert(plan.contains(want), s"missing pushed filter $want in:\n$plan")
+    // and the scan prunes to exactly the referenced columns once a
+    // narrow projection is asked for
+    val narrow = Specs.query(entity, Specs.matchEq("status", lit("COMPLETED")))
+      .select("transfer_key")
+    narrow.collect()
+    val nplan = narrow.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(nplan.contains("ReadSchema: struct<transfer_key:bigint,status:string>"),
+      s"column pruning missing in:\n$nplan")
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("imp_transfer_detail: one row per transfer, lists complete and sorted") {
     val df = ImporterCore.impTransferDetail(spark, sfDir)
     val detail = df.collect()

@@ -172,6 +172,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ann_ivf Lloyd refinement lifts recall over raw seed centroids on a clustered corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 4 well-separated clusters in 16 dims; the 4 SEED vectors
+    // (vec_id < cells) all sit in cluster 0 — the worst case the
+    // first-C-rows seeding can hit. One Lloyd step must pull the
+    // cell centroids toward the actual clusters.
+    val dim = 16
+    val clusters = 4
+    val n = 160
+    def emb(id: Long): Array[Double] = {
+      val c = if (id < clusters) 0 else (id % clusters).toInt
+      Array.tabulate(dim) { d =>
+        val base = if (d / (dim / clusters) == c) 1.0 else 0.0
+        val noise = (((id * 1103515245L + d * 12345L) % 1000L) - 500L) / 500.0 * 0.3
+        base + noise
+      }
+    }
+    def quantFrame() = {
+      val df = (0L until n.toLong).map(i => (i, emb(i))).toDF("vec_id", "embedding")
+      df.withColumn("q", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+        .withColumn("n2", expr("long_dot(q, q)"))
+        .filter(col("n2") > 0)
+        .select("vec_id", "q", "n2")
+    }
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(VectorOps.annBruteforceFor(quantFrame(), quantFrame(), 3))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, ex) =>
+        approx.get(q).map(_.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+      }.sum / exact.size
+    val seedRecall = recall(topSets(VectorOps.annIvfOf(quantFrame(), clusters, 1, 3, lloydIters = 0)))
+    val lloydRecall = recall(topSets(VectorOps.annIvfOf(quantFrame(), clusters, 1, 3, lloydIters = 1)))
+    assert(lloydRecall > seedRecall,
+      s"one Lloyd step should lift recall: seeds=$seedRecall lloyd=$lloydRecall")
+    assert(lloydRecall >= 0.95, s"refined cells should be near-exact here: $lloydRecall")
+  }
+
   test("dedup_embed pairs all meet the cosine threshold and are canonical") {
     val d = VectorOps.dedupEmbed(spark, sfDir)
     assert(d.filter(col("score_e6") < 400000).count() == 0)
