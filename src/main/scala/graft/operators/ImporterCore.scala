@@ -447,6 +447,12 @@ object ImporterCore {
     *     direction is INCOMING and in the payer_* columns otherwise —
     *     view records; direction is the instance's static per-process
     *     config (application.yml), stood in by user_id parity.
+    *   - `errorInformation` (:51-52) is a DUAL parser: it stores the
+    *     raw string (parseErrorInformation:213-215) AND feeds the same
+    *     value to parseTransferCreateFailed:185-187, whose "false"
+    *     means book-funds success → status COMPLETED, anything else →
+    *     FAILED, last write wins — error records (fatal payloads carry
+    *     an error string, non-fatal the 'false' marker).
     *
     * The events corpus carries flat payloads, so each engine
     * synthesizes the nested variable payloads row-locally from the
@@ -501,6 +507,12 @@ object ImporterCore {
     val isResp = col("event_type") === "purchase"
     val isQuote = col("event_type") === "view"
     val isPrep = col("event_type") === "click"
+    val isErr = col("event_type") === "error"
+    val kPayload = get_json_object(col("props"), "$.k").cast(LongType)
+    // errorInformation's raw string value: an error string for fatal
+    // payloads, the reference's "false" book-funds-success marker
+    // otherwise
+    val errStr = when(kPayload >= 90, concat(lit("err-"), kPayload)).otherwise("false")
     // direction stand-in for the per-process static config the
     // reference routes localQuoteResponse on (Inflight*Manager sets it
     // once at instance start)
@@ -530,13 +542,18 @@ object ImporterCore {
         coalesce(lastBy(isQuote && !incoming, col("quote.quoteCode"), ordKey), lit("")).as("payer_quote_code"),
         coalesce(moneyStr(lastBy(isQuote && incoming, feeDec, ordKey)), lit("")).as("payee_fee"),
         coalesce(lastBy(isQuote && incoming, col("quote.fspFee.currency"), ordKey), lit("")).as("payee_fee_currency"),
-        coalesce(lastBy(isQuote && incoming, col("quote.quoteCode"), ordKey), lit("")).as("payee_quote_code"))
+        coalesce(lastBy(isQuote && incoming, col("quote.quoteCode"), ordKey), lit("")).as("payee_quote_code"),
+        coalesce(lastBy(isErr, errStr, ordKey), lit("")).as("error_information"),
+        coalesce(lastBy(isErr,
+          when(errStr === "false", "COMPLETED").otherwise("FAILED"), ordKey),
+          lit("IN_PROGRESS")).as("status"))
       .select(col("user_id").as("transfer_key"),
         col("payer_party_id"), col("payer_id_type"),
         col("payee_party_id"), col("payee_id_type"),
         col("amount"), col("currency"), col("completed_ms"), col("transfer_state"),
         col("payer_fee"), col("payer_fee_currency"), col("payer_quote_code"),
-        col("payee_fee"), col("payee_fee_currency"), col("payee_quote_code"))
+        col("payee_fee"), col("payee_fee_currency"), col("payee_quote_code"),
+        col("error_information"), col("status"))
       .orderBy("transfer_key")
   }
 
@@ -551,6 +568,7 @@ object ImporterCore {
     // INCOMING → payee_* columns, OUTGOING → payer_*
     val quoteIn = "var_name = 'localQuoteResponse' AND user_id % 2 = 0"
     val quoteOut = "var_name = 'localQuoteResponse' AND user_id % 2 <> 0"
+    val err = "var_name = 'errorInformation'"
     def jx(path: String) = s"json_extract_string(payload, '$path')"
     def feePick(cond: String): String =
       s"COALESCE(CAST(CAST(${pick(cond, s"CAST(${jx("$.fspFee.amount")} AS DECIMAL(18,2))", "NULL")} AS DECIMAL(38,2)) AS VARCHAR), '')"
@@ -559,7 +577,8 @@ object ImporterCore {
        |    CASE WHEN event_type = 'signup' THEN 'channelRequest'
        |         WHEN event_type = 'purchase' THEN 'transferResponse-CREATE'
        |         WHEN event_type = 'click' THEN 'transferResponse-PREPARE'
-       |         WHEN event_type = 'view' THEN 'localQuoteResponse' END AS var_name,
+       |         WHEN event_type = 'view' THEN 'localQuoteResponse'
+       |         WHEN event_type = 'error' THEN 'errorInformation' END AS var_name,
        |    CASE WHEN event_type = 'signup' THEN to_json(struct_pack(
        |        payer := struct_pack(partyIdInfo := struct_pack(partyIdType := 'MSISDN',
        |          partyIdentifier := CONCAT('277', CAST(user_id % 100 AS VARCHAR)))),
@@ -576,6 +595,10 @@ object ImporterCore {
        |        fspFee := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
        |          currency := CASE WHEN event_id % 2 = 0 THEN 'USD' ELSE 'TZS' END),
        |        quoteCode := CONCAT('LQ-', CAST(event_id % 1000 AS VARCHAR))))
+       |      WHEN event_type = 'error' THEN to_json(
+       |        CASE WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 90
+       |             THEN CONCAT('err-', CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) AS VARCHAR))
+       |             ELSE 'false' END)
        |      END AS payload
        |  FROM events)
        |SELECT user_id AS transfer_key,
@@ -592,7 +615,9 @@ object ImporterCore {
        |  ${pick(quoteOut, jx("$.quoteCode"), "''")} AS payer_quote_code,
        |  ${feePick(quoteIn)} AS payee_fee,
        |  ${pick(quoteIn, jx("$.fspFee.currency"), "''")} AS payee_fee_currency,
-       |  ${pick(quoteIn, jx("$.quoteCode"), "''")} AS payee_quote_code
+       |  ${pick(quoteIn, jx("$.quoteCode"), "''")} AS payee_quote_code,
+       |  ${pick(err, jx("$"), "''")} AS error_information,
+       |  ${pick(err, s"CASE WHEN ${jx("$")} = 'false' THEN 'COMPLETED' ELSE 'FAILED' END", "'IN_PROGRESS'")} AS status
        |FROM src GROUP BY user_id ORDER BY transfer_key""".stripMargin
   }
 
@@ -727,10 +752,14 @@ object ImporterCore {
     * startedAt set once / completedAt from the end record, plus the
     * progress counters the operations UI reads (totalTransactions /
     * ongoing / failed / completed) and the payload-derived metadata
-    * strings (batchId, requestId). Counter semantics over the events
-    * stream: sub-transactions are the click/view/purchase records;
-    * failed counts fatal errors; completed counts purchases; ongoing
-    * is the remainder.
+    * strings of the batch parser registry — batchId (:88),
+    * requestFile (`fileName` :89), requestId (:90), note (:91), the
+    * string columns last-write-wins like every registry write.
+    * Counter semantics over the events stream: sub-transactions are
+    * the click/view/purchase records; failed counts fatal errors;
+    * completed counts purchases; ongoing is the remainder. The
+    * fileName variable rides signup (the batch registration record),
+    * note rides view.
     */
   def impEntityBatches(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
@@ -742,11 +771,16 @@ object ImporterCore {
         coalesce(max(when(col("event_type") === "purchase", col("ts_ms"))), lit(-1L)).as("completed_ms"),
         sum(when(isTxn, 1L).otherwise(0L)).cast(LongType).as("total_transactions"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast(LongType).as("completed"),
-        sum(when(col("event_type") === "error" && k >= 90, 1L).otherwise(0L)).cast(LongType).as("failed"))
+        sum(when(col("event_type") === "error" && k >= 90, 1L).otherwise(0L)).cast(LongType).as("failed"),
+        coalesce(lastBy(col("event_type") === "signup",
+          concat(lit("f-"), k, lit(".csv")), ordKey), lit("")).as("request_file"),
+        coalesce(lastBy(col("event_type") === "view",
+          concat(lit("note-"), (k % 5).cast(LongType)), ordKey), lit("")).as("note"))
       .select(
         col("user_id").as("batch_key"),
         concat(lit("b"), (col("user_id") % 20).cast(LongType)).as("batch_id"),
         concat(lit("req-"), col("user_id")).as("request_id"),
+        col("request_file"), col("note"),
         col("started_ms"), col("completed_ms"),
         col("total_transactions"),
         greatest(col("total_transactions") - col("completed"), lit(0L)).as("ongoing"),
@@ -755,18 +789,25 @@ object ImporterCore {
   }
 
   def impEntityBatchesSql: String =
-    """SELECT user_id AS batch_key,
-      |  CONCAT('b', CAST(user_id % 20 AS VARCHAR)) AS batch_id,
-      |  CONCAT('req-', CAST(user_id AS VARCHAR)) AS request_id,
-      |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END), -1) AS started_ms,
-      |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END), -1) AS completed_ms,
-      |  CAST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS total_transactions,
-      |  CAST(GREATEST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END)
-      |    - SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) AS ongoing,
-      |  CAST(SUM(CASE WHEN event_type = 'error'
-      |        AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS failed,
-      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS completed
-      |FROM events GROUP BY user_id ORDER BY batch_key""".stripMargin
+    s"""WITH b AS (
+       |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events)
+       |SELECT user_id AS batch_key,
+       |  CONCAT('b', CAST(user_id % 20 AS VARCHAR)) AS batch_id,
+       |  CONCAT('req-', CAST(user_id AS VARCHAR)) AS request_id,
+       |  COALESCE(arg_max(CASE WHEN event_type = 'signup' THEN CONCAT('f-', CAST(k AS VARCHAR), '.csv') END,
+       |    CASE WHEN event_type = 'signup' THEN ${ordKeySqlOf("ms", "event_id")} END), '') AS request_file,
+       |  COALESCE(arg_max(CASE WHEN event_type = 'view' THEN CONCAT('note-', CAST(k % 5 AS VARCHAR)) END,
+       |    CASE WHEN event_type = 'view' THEN ${ordKeySqlOf("ms", "event_id")} END), '') AS note,
+       |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN ms END), -1) AS started_ms,
+       |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN ms END), -1) AS completed_ms,
+       |  CAST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS total_transactions,
+       |  CAST(GREATEST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END)
+       |    - SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) AS ongoing,
+       |  CAST(SUM(CASE WHEN event_type = 'error' AND k >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS completed
+       |FROM b GROUP BY user_id ORDER BY batch_key""".stripMargin
 
   /** TransferDetail composite (entity/transfer/TransferDetail.java:9-17:
     * one Transfer plus its full Task list and Variable list — the

@@ -243,25 +243,40 @@ object StreamImport {
 
   // ------------------------------------------------------------ Batch
 
-  /** Batch entity streaming state: pure counters + lifecycle
-    * (InflightBatchManager semantics — all order-insensitive).
+  /** Batch entity streaming state: counters + lifecycle
+    * (InflightBatchManager semantics — all order-insensitive) plus
+    * the registry's metadata strings (batchParsers:88-91: requestFile
+    * from `fileName`, note) with their own last-write marks.
     */
   case class BatchSt(started: Long, completed: Long, total: Long,
-    done: Long, failed: Long)
+    done: Long, failed: Long,
+    reqFile: String, reqFileTs: Long, reqFileId: Long,
+    note: String, noteTs: Long, noteId: Long)
 
-  private val EmptyBatchSt = BatchSt(Long.MaxValue, Long.MinValue, 0L, 0L, 0L)
+  private val EmptyBatchSt = BatchSt(Long.MaxValue, Long.MinValue, 0L, 0L, 0L,
+    "", Long.MinValue, Long.MinValue, "", Long.MinValue, Long.MinValue)
 
   case class BatchRow(batch_key: Long, batch_id: String, request_id: String,
+    request_file: String, note: String,
     started_ms: Long, completed_ms: Long, total_transactions: Long,
     ongoing: Long, failed: Long, completed: Long)
 
   private def foldBatch(st: BatchSt, r: Rec): BatchSt = {
     var s = st
     r.event_type match {
-      case "signup" => s = s.copy(started = math.min(s.started, r.ts_ms))
+      case "signup" =>
+        s = s.copy(started = math.min(s.started, r.ts_ms))
+        if (isAfter(r.ts_ms, r.event_id, s.reqFileTs, s.reqFileId))
+          s = s.copy(reqFile = s"f-${r.k}.csv",
+            reqFileTs = r.ts_ms, reqFileId = r.event_id)
       case "purchase" => s = s.copy(completed = math.max(s.completed, r.ts_ms),
         total = s.total + 1, done = s.done + 1)
-      case "click" | "view" => s = s.copy(total = s.total + 1)
+      case "view" =>
+        s = s.copy(total = s.total + 1)
+        if (isAfter(r.ts_ms, r.event_id, s.noteTs, s.noteId))
+          s = s.copy(note = "note-" + (r.k % 5),
+            noteTs = r.ts_ms, noteId = r.event_id)
+      case "click" => s = s.copy(total = s.total + 1)
       case "error" => if (r.k >= 90) s = s.copy(failed = s.failed + 1)
       case _ => ()
     }
@@ -275,6 +290,8 @@ object StreamImport {
       batch_key = key,
       batch_id = "b" + (key % 20),
       request_id = s"req-$key",
+      request_file = st.reqFile,
+      note = st.note,
       started_ms = if (st.started == Long.MaxValue) -1L else st.started,
       completed_ms = if (st.completed == Long.MinValue) -1L else st.completed,
       total_transactions = st.total,
@@ -296,7 +313,8 @@ object StreamImport {
   def runBatchesToCompletion(spark: SparkSession, dir: String): DataFrame =
     runPipeline(spark, dir, events => batchesStream(events).toDF()
       .withColumn("tenant", concat(lit("t"), col("batch_key") % 10)), "batch_key")
-      .select("batch_key", "batch_id", "request_id", "started_ms", "completed_ms",
+      .select("batch_key", "batch_id", "request_id", "request_file", "note",
+        "started_ms", "completed_ms",
         "total_transactions", "ongoing", "failed", "completed")
       .orderBy("batch_key")
 
@@ -317,13 +335,15 @@ object StreamImport {
     stateTs: Long, stateId: Long, transferState: String,
     cmplTs: Long, cmplId: Long, completedMs: Long,
     quoteTs: Long, quoteId: Long, fee: String, feeCurrency: String,
-    quoteCode: String)
+    quoteCode: String,
+    errTs: Long, errId: Long, errorInformation: String, status: String)
 
   private val EmptyWideSt = WideSt(Long.MinValue, Long.MinValue, "", "", "",
     "", "", "",
     Long.MinValue, Long.MinValue, "",
     Long.MinValue, Long.MinValue, -1L,
-    Long.MinValue, Long.MinValue, "", "", "")
+    Long.MinValue, Long.MinValue, "", "", "",
+    Long.MinValue, Long.MinValue, "", "IN_PROGRESS")
 
   /** tenant is carried for the sink's partition routing and dropped
     * from the oracle-checked projection (the batch entity has none).
@@ -334,7 +354,8 @@ object StreamImport {
     amount: String, currency: String, completed_ms: Long,
     transfer_state: String,
     payer_fee: String, payer_fee_currency: String, payer_quote_code: String,
-    payee_fee: String, payee_fee_currency: String, payee_quote_code: String)
+    payee_fee: String, payee_fee_currency: String, payee_quote_code: String,
+    error_information: String, status: String)
 
   // Jackson ships on Spark's classpath; ObjectMapper.readTree is
   // thread-safe after construction
@@ -419,6 +440,14 @@ object StreamImport {
         fee = doc.at("/fspFee/amount").asText(),
         feeCurrency = doc.at("/fspFee/currency").asText(),
         quoteCode = doc.at("/quoteCode").asText())
+    case "error" if isAfter(r.ts_ms, r.event_id, st.errTs, st.errId) =>
+      // errorInformation dual parser (VariableParser:51-52): store the
+      // raw string AND run the transferCreateFailed state write
+      // ("false" = book-funds success → COMPLETED, else FAILED)
+      val raw = if (r.k >= 90) s"err-${r.k}" else "false"
+      st.copy(errTs = r.ts_ms, errId = r.event_id,
+        errorInformation = raw,
+        status = if (raw == "false") "COMPLETED" else "FAILED")
     case _ => st
   }
 
@@ -440,7 +469,9 @@ object StreamImport {
       payer_quote_code = if (incoming) "" else st.quoteCode,
       payee_fee = if (incoming) st.fee else "",
       payee_fee_currency = if (incoming) st.feeCurrency else "",
-      payee_quote_code = if (incoming) st.quoteCode else ""))
+      payee_quote_code = if (incoming) st.quoteCode else "",
+      error_information = st.errorInformation,
+      status = st.status))
   }
 
   def wideStream(events: DataFrame): Dataset[WideRow] = {
@@ -459,7 +490,8 @@ object StreamImport {
         "payee_party_id", "payee_id_type", "amount", "currency",
         "completed_ms", "transfer_state",
         "payer_fee", "payer_fee_currency", "payer_quote_code",
-        "payee_fee", "payee_fee_currency", "payee_quote_code")
+        "payee_fee", "payee_fee_currency", "payee_quote_code",
+        "error_information", "status")
       .orderBy("transfer_key")
 
   // --------------------------------------------------------- plumbing

@@ -109,7 +109,8 @@ class StreamingSpec extends SparkSpec {
       "payee_party_id", "payee_id_type", "amount", "currency",
       "completed_ms", "transfer_state",
       "payer_fee", "payer_fee_currency", "payer_quote_code",
-      "payee_fee", "payee_fee_currency", "payee_quote_code")
+      "payee_fee", "payee_fee_currency", "payee_quote_code",
+      "error_information", "status")
     val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
       .select(cols.map(col): _*).orderBy("transfer_key").collect()
     val batch = ImporterCore.impEntityWide(spark, sfDir)
