@@ -118,11 +118,105 @@ object TrainOps {
        |  CAST((cum - tok) // $PackBudget AS BIGINT) AS bin
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Source-mixture weighting — the "data mixing" stage that sets how
+    * much of each PROVENANCE a training run sees. Every source carries
+    * a target weight (fixed-point e4: 10000 = 1.0×); weights below 1×
+    * hash-downsample like [[pipeSample]], weights above 1× UPSAMPLE by
+    * emitting whole copies plus a hash-decided fractional copy — the
+    * epoch-repetition semantics mixture configs express (e.g. "2.3×
+    * wikipedia, 0.4× crawl"). The per-doc copy count is a pure
+    * function of (source, doc_id), so re-runs and backfills emit the
+    * IDENTICAL mixture.
+    *
+    * The weight table here is derived from the source name's portable
+    * hash (a deterministic stand-in for the run's mixture config, so
+    * the oracle can reproduce it); production passes an explicit map.
+    *
+    * Scale posture: row-local decide + explode (no shuffle before the
+    * presentation sort); output size = corpus × mean weight, the
+    * mixture's own cost.
+    */
+  def pipeMix(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // weight_e4 ∈ [0.3×, 2.5×) per source — deterministic config stand-in
+    val weightE4 = "3000 + graft_hash60(concat('mixw|', source)) % 22000"
+    val frac = s"IF(graft_hash60(concat('mixf|', CAST(doc_id AS STRING))) % 10000 < ($weightE4) % 10000, 1, 0)"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("weight_e4", expr(weightE4).cast(LongType))
+      .withColumn("n_copies", expr(s"($weightE4) DIV 10000 + $frac").cast(LongType))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("weight_e4"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  def pipeMixSql: String = {
+    val weightE4 = "3000 + " +
+      graft.functions.Portable.hash60Duck("CONCAT('mixw|', source)") + " % 22000"
+    val frac = "CASE WHEN " +
+      graft.functions.Portable.hash60Duck("CONCAT('mixf|', CAST(doc_id AS VARCHAR))") +
+      s" % 10000 < ($weightE4) % 10000 THEN 1 ELSE 0 END"
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    CAST($weightE4 AS BIGINT) AS weight_e4,
+       |    CAST(($weightE4) // 10000 + $frac AS BIGINT) AS n_copies
+       |  FROM documents)
+       |SELECT doc_id, source, weight_e4,
+       |  CAST(unnest(range(n_copies)) AS BIGINT) AS copy
+       |FROM w WHERE n_copies > 0
+       |ORDER BY doc_id, copy""".stripMargin
+  }
+
+  /** Epoch-seeded deterministic training order — the global shuffle a
+    * training run needs WITHOUT a global sort: docs hash to a shard
+    * (parallel read stream) and rank within it by an epoch-salted
+    * hash. Changing the epoch string reshuffles; re-running the same
+    * epoch reproduces the order bit-for-bit (what `ORDER BY rand()`
+    * can never give a resumable trainer).
+    *
+    * Scale posture: the window is partitioned by shard — parallelism =
+    * shard count, no single-reducer global sort; the trainer consumes
+    * shards round-robin.
+    */
+  val ShuffleShards = 8L
+  val ShuffleEpoch = "ep1"
+
+  def pipeShuffle(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val ordHash = s"graft_hash60(concat('shuf|$ShuffleEpoch|', CAST(doc_id AS STRING)))"
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"$ordHash % $ShuffleShards").as("shard"),
+        expr(ordHash).as("ord"))
+      .withColumn("pos", (row_number().over(w) - 1).cast(LongType))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  def pipeShuffleSql: String = {
+    val ordHash = graft.functions.Portable.hash60Duck(
+      s"CONCAT('shuf|$ShuffleEpoch|', CAST(doc_id AS VARCHAR))")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    $ordHash % $ShuffleShards AS shard,
+       |    $ordHash AS ord
+       |  FROM documents)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample" -> (pipeSample _),
-    "pipe_pack" -> (pipePack _))
+    "pipe_pack" -> (pipePack _),
+    "pipe_mix" -> (pipeMix _),
+    "pipe_shuffle" -> (pipeShuffle _))
 
   def oracles: Map[String, String] = Map(
     "pipe_sample" -> pipeSampleSql,
-    "pipe_pack" -> pipePackSql)
+    "pipe_pack" -> pipePackSql,
+    "pipe_mix" -> pipeMixSql,
+    "pipe_shuffle" -> pipeShuffleSql)
 }

@@ -172,6 +172,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("pipe_mix: deterministic mixture with whole+fractional upsampling per source weight") {
+    import graft.operators.TrainOps
+    val a = TrainOps.pipeMix(spark, sfDir).collect()
+    val b = TrainOps.pipeMix(spark, sfDir).collect()
+    assert(a.nonEmpty && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // per doc: copies are 0..n-1 for n = weight DIV 1e4 (+1 fractional)
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val w = rows.head.getLong(2)
+      val copies = rows.map(_.getLong(3)).sorted.toSeq
+      assert(copies == (0L until copies.length.toLong).toSeq)
+      val lo = w / 10000; val hi = lo + 1
+      assert(copies.length == lo || copies.length == hi,
+        s"copy count ${copies.length} outside [$lo,$hi] for weight $w")
+    }
+    // a doc may be dropped ONLY when its source's weight is sub-1x
+    val srcByDoc = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mixed = a.map(_.getLong(0)).toSet
+    val weightsBySource = a.map(r => r.getString(1) -> r.getLong(2)).toMap
+    (srcByDoc.keySet -- mixed).foreach { d =>
+      weightsBySource.get(srcByDoc(d)).foreach(w =>
+        assert(w < 10000, s"doc $d dropped though source weight $w >= 1x"))
+    }
+    assert(weightsBySource.values.forall(w => w >= 3000 && w < 25000))
+  }
+
+  test("pipe_shuffle: epoch order is reproducible and per-shard positions are contiguous") {
+    import graft.operators.TrainOps
+    val a = TrainOps.pipeShuffle(spark, sfDir).collect()
+    val b = TrainOps.pipeShuffle(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val n = Tables.documents(spark, sfDir).count()
+    assert(a.length == n)
+    // positions within a shard are a permutation 0..count-1
+    a.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      val pos = rows.map(_.getLong(2)).sorted.toSeq
+      assert(pos == (0L until rows.length.toLong).toSeq, s"shard $shard positions not contiguous")
+    }
+    // and the order is NOT the identity (it actually shuffles)
+    val inOrder = a.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+    assert(inOrder != inOrder.sorted)
+  }
+
   test("ann_ivf Lloyd refinement lifts recall over raw seed centroids on a clustered corpus") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
