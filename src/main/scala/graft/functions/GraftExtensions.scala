@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_simhash32", classOf[SimHash32], children => SimHash32(children.head))
     inject("graft_minhash8", classOf[MinHashK], children => MinHashK(children.head,
       GraftFunctions.MinhashA, GraftFunctions.MinhashB, GraftFunctions.MinhashP))
+    inject("graft_minhash", classOf[MinHashK], GraftFunctions.minhashBuilder)
     inject("graft_hash60_all", classOf[Hash60All], children => Hash60All(children.head))
     inject("graft_xorfold", classOf[XorFold], children => XorFold(children.head))
   }

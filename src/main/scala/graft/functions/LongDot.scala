@@ -80,6 +80,44 @@ object GraftFunctions {
   val MinhashB: Seq[Long] = Seq(12345L, 7919L, 104729L, 1299721L,
     217645199L, 86028121L, 472882027L, 533000389L)
 
+  /** Affine coefficients for ANY signature length: the first 8 stay
+    * the oracle-pinned constants above (so every k shares its prefix
+    * with the k=8 gate configuration), longer signatures extend with
+    * md5-derived values — deterministic, no stored model, same recipe
+    * as the LSH hyperplanes. A ∈ [1, p-1] (never the degenerate 0
+    * map), B ∈ [0, p-1].
+    */
+  def minhashCoeffs(k: Int): (Seq[Long], Seq[Long]) = {
+    require(k >= 1, s"graft_minhash: k=$k must be >= 1")
+    def derived(tag: String, i: Int): Long = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-mh-$tag-$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(digest.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val a = (0 until k).map(i =>
+      if (i < MinhashA.length) MinhashA(i) else derived("a", i) % (MinhashP - 1) + 1)
+    val b = (0 until k).map(i =>
+      if (i < MinhashB.length) MinhashB(i) else derived("b", i) % MinhashP)
+    (a, b)
+  }
+
+  /** Builder for the SQL surface `graft_minhash(arr, k)` — k must be
+    * an integer literal (the signature length is plan-time geometry,
+    * like shuffle partitioning, not data).
+    */
+  private[functions] def minhashBuilder(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(children.length == 2, "graft_minhash(arr, k) takes exactly 2 arguments")
+    val k = children(1) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash(arr, k): k must be an integer literal, got $other")
+    }
+    val (a, b) = minhashCoeffs(k)
+    MinHashK(children.head, a, b, MinhashP)
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.registerFunction(
@@ -98,6 +136,10 @@ object GraftFunctions {
       FunctionIdentifier("graft_minhash8"),
       new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash8"),
       (children: Seq[Expression]) => MinHashK(children.head, MinhashA, MinhashB, MinhashP))
+    registry.registerFunction(
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash"),
+      minhashBuilder _)
     registry.registerFunction(
       FunctionIdentifier("graft_hash60_all"),
       new ExpressionInfo(classOf[Hash60All].getName, "graft_hash60_all"),

@@ -288,25 +288,39 @@ object TextOps {
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
     minhashCandidatesWith(spark, dir, bandRows = 2)
 
-  /** Candidate graph with explicit rows-per-band — the minhash scale
-    * knob (LSH theory: match probability per band is j^bandRows for
-    * Jaccard j, so more rows per band = stricter candidates = smaller
-    * self-join at the cost of recall; fewer rows = provable SUPERSET
-    * of candidates, spec-checked). The 2-row default keeps the full
-    * oracle. bandRows must divide the signature length k=8.
+  /** Candidate graph with explicit rows-per-band — one of the two
+    * minhash scale knobs (LSH theory: match probability per band is
+    * j^bandRows for Jaccard j, so more rows per band = stricter
+    * candidates = smaller self-join at the cost of recall; fewer rows
+    * = provable SUPERSET of candidates, spec-checked). The 2-row
+    * default keeps the full oracle.
     */
-  def minhashCandidatesWith(spark: SparkSession, dir: String, bandRows: Int): DataFrame = {
-    require(MinhashK % bandRows == 0,
-      s"graft-minhash: bandRows=$bandRows must divide the signature length $MinhashK")
-    val nBands = MinhashK / bandRows
+  def minhashCandidatesWith(spark: SparkSession, dir: String, bandRows: Int): DataFrame =
+    minhashCandidatesFullWith(spark, dir, MinhashK, bandRows)
+
+  /** Fully parametric candidate graph — signature length AND
+    * rows-per-band explicit, the complete minhash geometry a 100 TB
+    * run tunes (e.g. k=128, bandRows=8 → 16 bands with per-band match
+    * probability j^8). Signatures come from the native
+    * `graft_minhash(arr, k)` expression; coefficient prefixes are
+    * shared across k (the first 8 are the oracle-pinned constants),
+    * so at fixed bandRows a longer signature's candidate set is a
+    * SUPERSET of a shorter one's (its bands are a superset) —
+    * spec-checked, which pins the derived coefficients too.
+    */
+  def minhashCandidatesFullWith(spark: SparkSession, dir: String,
+      k: Int, bandRows: Int): DataFrame = {
+    require(k % bandRows == 0,
+      s"graft-minhash: bandRows=$bandRows must divide the signature length $k")
+    val nBands = k / bandRows
     GraftFunctions.register(spark)
-    // Shingles are md5-hashed ONCE; the k=8 minhash variants are the
+    // Shingles are md5-hashed ONCE; the k minhash variants are the
     // affine pseudo-permutations (A_i*h + B_i) mod 2^31-1 computed by
-    // the native graft_minhash8 expression (exact in both engines —
+    // the native graft_minhash expression (exact in both engines —
     // the oracle renders the same maps in SQL).
     val withSigs = Tables.documents(spark, dir)
       .withColumn("mhs", expr(
-        s"graft_minhash8(${hxAll(s"array_distinct(${shinglesExpr(5)})")})"))
+        s"graft_minhash(${hxAll(s"array_distinct(${shinglesExpr(5)})")}, $k)"))
     val bands = withSigs.select(col("doc_id") +:
       (0 until nBands).map { j =>
         val parts = (0 until bandRows)

@@ -152,6 +152,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(loose.size >= default.size)
   }
 
+  test("minhash k=16 signatures are a candidate SUPERSET of k=8 (shared coefficient prefix)") {
+    // the first 8 affine maps are shared across every k, so a k=16
+    // 2-row-banded run contains all of k=8's bands plus 4 more —
+    // candidates can only be added; this also pins the md5-derived
+    // coefficient extension (a changed derivation would break the
+    // prefix property)
+    def pairs(k: Int) = TextOps.minhashCandidatesFullWith(spark, sfDir, k, bandRows = 2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k8 = pairs(8)
+    val k16 = pairs(16)
+    assert(k8.subsetOf(k16), s"k=8 pairs missing from k=16: ${(k8 -- k16).take(3)}")
+  }
+
   test("ann_lsh alternate band geometry (2x8-bit) still bounded by the exact baseline") {
     val bf = VectorOps.annBruteforce(spark, sfDir)
       .filter(col("rnk") === 1).select(col("q_id"), col("score_e6").as("bf_score"))
