@@ -681,7 +681,12 @@ object ImporterCore {
     * parity stand-in) — click. All last-write-wins by (ts, event_id).
     */
   def impEntityTxnreq(spark: SparkSession, dir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    // k is coalesced to 0 because it feeds VALUE-producing columns
+    // (auth_type, dfsp ids): Spark's null-propagating concat and
+    // DuckDB's null-skipping CONCAT would otherwise render a missing
+    // $.k differently, and the streaming fold already reads a missing
+    // k as 0 — one rule everywhere
+    val k = coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L))
     val fatal = k >= 90
     val signal =
       when(col("event_type") === "signup", "RECEIVED")
@@ -718,7 +723,7 @@ object ImporterCore {
   def impEntityTxnreqSql: String =
     s"""WITH sig AS (
        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value,
-       |    CAST(json_extract_string(props,'$$.k') AS BIGINT) AS k,
+       |    COALESCE(CAST(json_extract_string(props,'$$.k') AS BIGINT), 0) AS k,
        |    CASE WHEN event_type = 'signup' THEN 'RECEIVED'
        |         WHEN event_type = 'view' THEN
        |           CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT) >= 90 THEN 'FAILED' ELSE 'RECEIVED' END
@@ -762,7 +767,9 @@ object ImporterCore {
     * note rides view.
     */
   def impEntityBatches(spark: SparkSession, dir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    // coalesced for the same reason as impEntityTxnreq: k feeds the
+    // request_file/note string columns
+    val k = coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L))
     val isTxn = col("event_type").isin("click", "view", "purchase")
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
@@ -791,7 +798,7 @@ object ImporterCore {
   def impEntityBatchesSql: String =
     s"""WITH b AS (
        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
-       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |    COALESCE(CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS k
        |  FROM events)
        |SELECT user_id AS batch_key,
        |  CONCAT('b', CAST(user_id % 20 AS VARCHAR)) AS batch_id,

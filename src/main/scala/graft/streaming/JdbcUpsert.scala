@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
   * path [[TenantUpsertSink]]'s parquet layout mirrors. The reference
   * stores entities through JPA repositories that upsert by instance
   * key into ONE SCHEMA PER TENANT (RoutingDataSource); here each
-  * tenant routes to its own table (`BASE__TENANT`) and every row is a
+  * tenant routes to its own table (`BASE__<tenant-hex>`, see
+  * [[tableFor]]) and every row is a
   * keyed SQL MERGE, so the contract is identical to the parquet
   * mirror: idempotent by key, latest batch wins, per-batch cost
   * O(batch), untouched tenants untouched.
@@ -41,15 +42,18 @@ object JdbcUpsert {
     */
   val DerbyDual = "SYSIBM.SYSDUMMY1"
 
-  /** SQL identifier for a tenant-routed table: BASE__TENANT with
-    * non-identifier tenant chars hex-escaped (mirrors the per-tenant
-    * schema naming of RoutingDataSource, kept collision-free).
+  /** SQL identifier for a tenant-routed table: BASE__<utf8-hex of the
+    * tenant> (mirrors the per-tenant schema naming of
+    * RoutingDataSource). Full hex encoding is deliberately boring: an
+    * unquoted SQL identifier is case-folded by the engine, so ANY
+    * scheme that lets tenant characters through raw collides on
+    * case-differing tenants ("t1"/"T1") or on literal-vs-escaped
+    * sequences — hex of the bytes is injective under case folding
+    * (digits and A-F only). Readability lives in the tenant column,
+    * not the physical table name.
     */
   def tableFor(base: String, tenant: String): String =
-    base + "__" + tenant.map { c =>
-      if (c.isLetterOrDigit || c == '_') c.toString
-      else "X%02X".format(c.toInt)
-    }.mkString.toUpperCase
+    base + "__" + tenant.getBytes("UTF-8").map("%02X".format(_)).mkString
 
   private def sqlType(dt: DataType): String = dt match {
     case LongType    => "BIGINT"
@@ -83,9 +87,19 @@ object JdbcUpsert {
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
   }
 
+  private def jdbcType(dt: DataType): Int = dt match {
+    case LongType    => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case DoubleType  => java.sql.Types.DOUBLE
+    case BooleanType => java.sql.Types.BOOLEAN
+    case _           => java.sql.Types.VARCHAR
+  }
+
   private def setParam(ps: PreparedStatement, pos: Int, row: Row, idx: Int,
       dt: DataType): Unit =
-    if (row.isNullAt(idx)) ps.setNull(pos, java.sql.Types.NULL)
+    // Types.NULL is not a real SQL type — Derby rejects it (SQLState
+    // 0A000); null must be declared as the column's own type
+    if (row.isNullAt(idx)) ps.setNull(pos, jdbcType(dt))
     else dt match {
       case LongType    => ps.setLong(pos, row.getLong(idx))
       case IntegerType => ps.setInt(pos, row.getInt(idx))
@@ -145,9 +159,17 @@ object JdbcUpsert {
             }
             stmts.values.foreach(_.executeBatch())
             conn.commit()
+          } catch {
+            case e: Throwable =>
+              // Derby refuses close() on an open transaction (25001):
+              // roll back so cleanup can't mask the root cause, and
+              // attach any rollback failure instead of replacing it
+              try conn.rollback()
+              catch { case s: Throwable => e.addSuppressed(s) }
+              throw e
           } finally {
-            stmts.values.foreach(_.close())
-            conn.close()
+            stmts.values.foreach(s => try s.close() catch { case _: Throwable => () })
+            try conn.close() catch { case _: Throwable => () }
           }
         }
       }
@@ -161,6 +183,9 @@ object JdbcUpsert {
     */
   def readCurrent(spark: SparkSession, url: String, baseTable: String,
       tenants: Seq[String]): DataFrame = {
+    require(tenants.nonEmpty,
+      "JdbcUpsert.readCurrent: empty tenant list — nothing was upserted yet, " +
+        "or the caller derived tenants from an empty sink")
     val all = tenants.map { t =>
       spark.read.format("jdbc")
         .option("url", url)

@@ -412,15 +412,17 @@ object StreamImport {
         currency = doc.at("/amount/currency").asText())
     case "purchase" =>
       // transferResponse-CREATE: transferState last-write on its own
-      // mark, completedAt on the shared CREATE+PREPARE mark
+      // mark, completedAt on the shared CREATE+PREPARE mark — one
+      // JSON round-trip serves both guards
       var s = st
-      if (isAfter(r.ts_ms, r.event_id, s.stateTs, s.stateId)) {
-        val (_, state) = completedOf(r, withState = true)
-        s = s.copy(stateTs = r.ts_ms, stateId = r.event_id, transferState = state)
-      }
-      if (isAfter(r.ts_ms, r.event_id, s.cmplTs, s.cmplId)) {
-        val (ms, _) = completedOf(r, withState = true)
-        s = s.copy(cmplTs = r.ts_ms, cmplId = r.event_id, completedMs = ms)
+      val afterState = isAfter(r.ts_ms, r.event_id, s.stateTs, s.stateId)
+      val afterCmpl = isAfter(r.ts_ms, r.event_id, s.cmplTs, s.cmplId)
+      if (afterState || afterCmpl) {
+        val (ms, state) = completedOf(r, withState = true)
+        if (afterState)
+          s = s.copy(stateTs = r.ts_ms, stateId = r.event_id, transferState = state)
+        if (afterCmpl)
+          s = s.copy(cmplTs = r.ts_ms, cmplId = r.event_id, completedMs = ms)
       }
       s
     case "click" if isAfter(r.ts_ms, r.event_id, st.cmplTs, st.cmplId) =>

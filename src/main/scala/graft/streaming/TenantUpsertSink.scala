@@ -96,20 +96,24 @@ object TenantUpsertSink {
       if (batch.isEmpty) return
       new java.io.File(tableDir).mkdirs()
       val manifest = currentManifest(tableDir).getOrElse(Map.empty)
-      // the batch's tenant set: a routing dimension (bounded — the
-      // reference's RoutingDataSource holds one DataSource per tenant),
-      // so the driver-side collect is over a handful of values
-      val touched = batch.select("tenant").distinct()
-        .collect().map(_.getString(0)).map(esc).toSet
-      // within-batch half of the tenant-stability contract (class
-      // doc): a key under two tenants here proves the producer's
-      // tenant is not a function of the key — fail before writing
-      val movedKeys = batch.select(key, "tenant").distinct()
-        .groupBy(key).count().filter(org.apache.spark.sql.functions.col("count") > 1)
-        .limit(1).collect()
-      require(movedKeys.isEmpty,
-        s"TenantUpsertSink: key ${movedKeys.headOption.map(_.get(0))} arrived under multiple " +
-          "tenants in one batch — tenant must be a stable function of the key (see class doc)")
+      // ONE shuffled pass yields both the tenant routing set (bounded
+      // — the reference's RoutingDataSource holds one DataSource per
+      // tenant) and the within-batch half of the tenant-stability
+      // contract (class doc): per key, its tenant and whether a second
+      // tenant appeared; a violating producer fails before writing
+      import org.apache.spark.sql.functions.{col => c, countDistinct, first, max => mx, collect_set, size => sz}
+      val perKey = batch.groupBy(c(key))
+        .agg(first("tenant").as("t"), countDistinct("tenant").as("nt"))
+      val summary = perKey
+        .agg(mx("nt").as("max_nt"), collect_set("t").as("tenants")).head()
+      if (summary.getLong(0) > 1) {
+        // rare failure path — re-query just for a diagnostic key
+        val bad = perKey.filter(c("nt") > 1).limit(1).collect().head.get(0)
+        throw new IllegalArgumentException(
+          s"TenantUpsertSink: key $bad arrived under multiple tenants in one batch — " +
+            "tenant must be a stable function of the key (see class doc)")
+      }
+      val touched = summary.getSeq[String](1).map(esc).toSet
       val existingTouched = touched.intersect(manifest.keySet)
       val merged =
         if (existingTouched.isEmpty) batch
