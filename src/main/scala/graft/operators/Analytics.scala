@@ -338,11 +338,42 @@ object Analytics {
       |  MAX(n) AS n
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Window-function breadth on ONE shuffle: ntile quartiles, lead
+    * (next event's value), cume_dist and percent_rank over the same
+    * (user_id, ordered) window — Spark plans all four in a single
+    * Window operator over one hashpartitioning(user_id) exchange.
+    * The rank-fraction functions are rationals (rank/n) — rendered
+    * fixed-point e6 with floor so the oracle compares integers, never
+    * doubles.
+    */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    e.select(
+      col("user_id"), col("event_id"),
+      ntile(4).over(w).cast(LongType).as("quartile"),
+      coalesce(moneyStr(dec2(lead(col("value"), 1).over(w))), lit("")).as("next_value"),
+      floor(cume_dist().over(w) * 1000000).cast(LongType).as("cume_e6"),
+      floor(percent_rank().over(w) * 1000000).cast(LongType).as("prank_e6"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def qWindowFuncsSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  COALESCE(CAST(CAST(CAST(LEAD(value, 1) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS VARCHAR), '') AS next_value,
+      |  CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_e6,
+      |  CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS prank_e6
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_regional" -> (q5Regional _),
     "q_window_topn" -> (qWindowTopN _),
+    "q_window_funcs" -> (qWindowFuncs _),
     "q_sessionize" -> (qSessionize _),
     "q_running_total" -> (qRunningTotal _),
     "q_rollup" -> (qRollup _),
@@ -357,6 +388,7 @@ object Analytics {
     "q3_shipping" -> q3ShippingSql,
     "q5_regional" -> q5RegionalSql,
     "q_window_topn" -> qWindowTopNSql,
+    "q_window_funcs" -> qWindowFuncsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_running_total" -> qRunningTotalSql,
     "q_rollup" -> qRollupSql,
