@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * what the codec reconstructs). `wav` payloads are genuine RIFF/PCM
   * streams written and read back through `javax.sound.sampled.
   * AudioSystem` (also pure-JVM), with frame features tapped from the
-  * decoded 16-bit samples. The one format with no JVM codec in this
-  * container (mp4) still goes through `decodeStub`, which fakes
-  * frames deterministically from the payload bytes; swapping it for
-  * an FFmpeg decoder changes no plumbing.
+  * decoded 16-bit samples. `mp4` payloads are genuine ISO-BMFF
+  * containers (ftyp/moov/stbl/stsz/mdat) DEMUXED by a real box-tree
+  * parser — the one remaining fake is the codec step inside the mp4
+  * arm (no H.264 in a pure JVM): frame features tap the demuxed
+  * sample bytes a real decoder would consume; swapping that tap for
+  * an FFmpeg call changes no plumbing.
   *
   * Scale posture: payloads never leave their partition (mapPartitions,
   * no shuffle until the final presentation agg); decode is
@@ -92,6 +94,17 @@ object Multimodal {
 
   private val WavSampleRate = 8000f
 
+  /** Deterministic per-frame codec samples for the mp4 container —
+    * variable-length (64 + 16f bytes) so the stsz sample table is
+    * genuinely exercised, every byte seed-dependent.
+    */
+  private[graft] def synthesizeSamples(seed: Array[Byte], nFrames: Int): Array[Array[Byte]] =
+    Array.tabulate(nFrames) { f =>
+      val len = 64 + 16 * f
+      Array.tabulate(len)(i =>
+        ((seed((i * 13 + f * 7) % seed.length) ^ (i * 29)) & 0xff).toByte)
+    }
+
   /** Encode PCM16 mono samples as a genuine RIFF/WAVE stream via the
     * JDK's own audio file writer.
     */
@@ -136,9 +149,8 @@ object Multimodal {
           case "wav" =>
             // sample count plays the pixel-count role: width*height
             encodeWav(synthesizeWaveform(seed, side * side))
-          case _ =>
-            val reps = 1 + (id % 8).toInt
-            Array.fill(reps)(seed).flatten
+          case _ => // mp4: a real ISO-BMFF container of synthetic samples
+            encodeMp4(synthesizeSamples(seed, meta.n_frames))
         }
         MediaRow(id, payload, meta)
       }
@@ -200,12 +212,10 @@ object Multimodal {
     }
   }
 
-  /** STUB for the one format without a pure-JVM codec in this
-    * container (mp4): derives an 8-float feature per frame from the
-    * payload bytes so the downstream plumbing is fully exercised and
-    * reproducible. A real implementation decodes per `meta.format`
-    * and emits `meta.n_frames` sampled frames of `width*height`
-    * pixels.
+  /** STUB decode: derives an 8-float feature per frame straight from
+    * payload bytes. Kept as the contrast baseline the codec specs
+    * compare against (a decode that ignores media structure must
+    * produce DIFFERENT features than the real paths).
     */
   private[graft] def decodeStub(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] =
     Array.tabulate(meta.n_frames) { f =>
@@ -215,11 +225,105 @@ object Multimodal {
       }
     }
 
+  // ----------------------------------------------------------- ISO-BMFF
+
+  private def beInt(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+
+  /** One ISO-BMFF box: 32-bit big-endian size (header included) + 4cc
+    * type + payload.
+    */
+  private def bmffBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val content = payload.flatten.toArray
+    beInt(8 + content.length) ++ typ.getBytes("US-ASCII") ++ content
+  }
+
+  /** Minimal but structurally REAL MP4 container: `ftyp` (isom brand),
+    * `moov > trak > mdia > minf > stbl > stsz` carrying the per-sample
+    * size table, `mdat` carrying the concatenated sample payloads —
+    * the boxes any demuxer needs to slice samples back out.
+    */
+  private[graft] def encodeMp4(samples: Array[Array[Byte]]): Array[Byte] = {
+    val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII"), beInt(0), "isom".getBytes("US-ASCII"))
+    val stsz = bmffBox("stsz",
+      beInt(0), // version + flags
+      beInt(0), // sample_size = 0 → per-sample table follows
+      beInt(samples.length),
+      samples.flatMap(s => beInt(s.length)))
+    val moov = bmffBox("moov",
+      bmffBox("mvhd", beInt(0), beInt(1000)), // version/flags + timescale
+      bmffBox("trak", bmffBox("mdia", bmffBox("minf", bmffBox("stbl", stsz)))))
+    val mdat = bmffBox("mdat", samples.flatten.toArray)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Parse one level of boxes in [start, end) → (type, contentStart,
+    * contentEnd). Size/type violations fail loudly — a corrupt stream
+    * must never silently demux.
+    */
+  private def bmffChildren(buf: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = start
+    while (off < end) {
+      require(off + 8 <= end, s"graft-mm: truncated ISO-BMFF box header at $off")
+      val size = java.nio.ByteBuffer.wrap(buf, off, 4).getInt
+      require(size >= 8 && off + size <= end,
+        s"graft-mm: bad ISO-BMFF box size $size at $off (container end $end)")
+      val typ = new String(buf, off + 4, 4, "US-ASCII")
+      out += ((typ, off + 8, off + size))
+      off += size
+    }
+    out.result()
+  }
+
+  /** REAL demux for mp4 payloads: walk the box tree
+    * (ftyp → moov/trak/mdia/minf/stbl/stsz → mdat), read the sample
+    * size table, slice the mdat into per-frame sample payloads — the
+    * container work an FFmpeg-backed pipeline does before the codec.
+    * The CODEC step is the one honest fake left in mm_pipeline (no
+    * H.264 in a pure JVM): frame features tap the demuxed sample
+    * BYTES instead of decoded pixels, so they still depend on exactly
+    * the bytes a real decoder would consume.
+    */
+  private[graft] def decodeMp4(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] = {
+    val top = bmffChildren(payload, 0, payload.length)
+    require(top.headOption.exists(_._1 == "ftyp"),
+      s"graft-mm: payload is not an ISO-BMFF stream (no leading ftyp; meta ${meta.format})")
+    def child(boxes: Seq[(String, Int, Int)], typ: String): (String, Int, Int) =
+      boxes.find(_._1 == typ).getOrElse(
+        throw new IllegalArgumentException(s"graft-mm: ISO-BMFF missing $typ box"))
+    def descend(path: String*): (String, Int, Int) =
+      path.foldLeft(("", 0, payload.length): (String, Int, Int)) { (cur, typ) =>
+        child(bmffChildren(payload, cur._2, cur._3), typ)
+      }
+    val stsz = descend("moov", "trak", "mdia", "minf", "stbl", "stsz")
+    val b = java.nio.ByteBuffer.wrap(payload, stsz._2, stsz._3 - stsz._2)
+    b.getInt // version + flags
+    val fixedSize = b.getInt
+    val count = b.getInt
+    val sizes = Array.fill(count)(if (fixedSize == 0) b.getInt else fixedSize)
+    require(count == meta.n_frames,
+      s"graft-mm: stsz count $count != meta.n_frames ${meta.n_frames}")
+    val mdat = child(top, "mdat")
+    require(sizes.sum <= mdat._3 - mdat._2,
+      s"graft-mm: mdat holds ${mdat._3 - mdat._2} bytes, sample table wants ${sizes.sum}")
+    var off = mdat._2
+    sizes.map { len =>
+      val sample = java.util.Arrays.copyOfRange(payload, off, off + len)
+      off += len
+      // codec stand-in: 8 byte-taps across the demuxed sample
+      Array.tabulate(8) { i =>
+        ((sample(i * sample.length / 8) & 0xff) - 128).toFloat / 128f
+      }
+    }
+  }
+
   private[graft] def decodeFrames(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] =
     meta.format match {
       case "png" | "jpeg" => decodeImage(payload, meta)
       case "wav"          => decodeWav(payload, meta)
-      case _              => decodeStub(payload, meta)
+      case "mp4"          => decodeMp4(payload, meta)
+      case other => throw new IllegalArgumentException(s"graft-mm: unknown format $other")
     }
 
   private[graft] def frameChecksum(feat: Array[Float]): Long =
@@ -244,10 +348,10 @@ object Multimodal {
     }
   }
 
-  /** Driver-visible pipeline result (rows-only check — the mp4
-    * decode arm is stubbed, so no SQL oracle is claimed; the real
-    * png/jpeg/wav arms are pinned by roundtrip + known-checksum
-    * specs): one row per sampled frame.
+  /** Driver-visible pipeline result (rows-only check — the mp4 arm's
+    * codec step is a byte-tap stand-in, so no SQL oracle is claimed;
+    * the png/jpeg/wav decodes and the mp4 demux are pinned by
+    * roundtrip + known-checksum specs): one row per sampled frame.
     */
   def mmPipeline(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir).toDF()

@@ -413,6 +413,50 @@ class StreamingSpec extends SparkSpec {
     assert(want.toSeq != decodeStub(payload, dMeta).map(frameChecksum).toSeq)
   }
 
+  test("mm mp4 demux: ISO-BMFF box tree parses back to the exact samples; corrupt boxes fail") {
+    import Multimodal._
+    val seed = java.security.MessageDigest.getInstance("MD5").digest("graft-known-seed".getBytes("UTF-8"))
+    val samples = synthesizeSamples(seed, 3)
+    val mp4 = encodeMp4(samples)
+    // 1. a structurally real container: leading ftyp box, isom brand
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(new String(mp4.slice(8, 12), "US-ASCII") == "isom")
+    // 2. features equal an INDEPENDENT computation from the sample
+    //    formula — never touching the demuxer — so the box walk + stsz
+    //    table provably recover the sample bytes
+    val meta = MediaMeta("mp4", 16, 16, 3)
+    val got = decodeMp4(mp4, meta)
+    val expected = Array.tabulate(3) { f =>
+      val len = 64 + 16 * f
+      Array.tabulate(8) { i =>
+        val idx = i * len / 8
+        val b = (seed((idx * 13 + f * 7) % seed.length) ^ (idx * 29)) & 0xff
+        (b - 128).toFloat / 128f
+      }
+    }
+    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    // 3. frame-count mismatch and corrupt box sizes fail loudly
+    intercept[Exception](decodeMp4(mp4, meta.copy(n_frames = 4)))
+    val bad = mp4.clone(); bad(0) = 0x7f.toByte // absurd top-box size
+    intercept[Exception](decodeFrames(bad, meta))
+    // 4. the pipeline's mp4 rows (doc_id % 4 == 3) carry demuxed-sample
+    //    checksums — recompute one end-to-end from the document text
+    val doc = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 === 3).select("doc_id", "text").head()
+    val id = doc.getAs[Long]("doc_id")
+    val dSeed = java.security.MessageDigest.getInstance("MD5")
+      .digest(doc.getAs[String]("text").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.getBytes("UTF-8")
+    val dMeta = MediaMeta("mp4", 16 << (id % 3).toInt, 16 << (id % 3).toInt, 1 + (id % 5).toInt)
+    val payload = encodeMp4(synthesizeSamples(dSeed, dMeta.n_frames))
+    val want = decodeMp4(payload, dMeta).map(frameChecksum)
+    val rows = Multimodal.mmPipeline(spark, sfDir)
+      .filter(col("doc_id") === id).orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.toSeq)
+    // and real demux differs from the structure-blind byte stub
+    assert(want.toSeq != decodeStub(payload, dMeta).map(frameChecksum).toSeq)
+  }
+
   test("mm jpeg decode: features come from the (lossy) codec reconstruction, not the stub") {
     import Multimodal._
     // jpeg rows are doc_id % 4 == 0
