@@ -427,12 +427,20 @@ object ImporterCore {
       |FROM events ORDER BY record_key""".stripMargin
 
   /** Wide Transfer materialization with NESTED-JSON payload
-    * extraction — the reference's multi-level JsonPath pivot, four
-    * registry entries deep (VariableParser.java:41-50):
+    * extraction — the reference's multi-level JsonPath pivot, now ALL
+    * FOUR nested registry classes plus PREPARE and the raw-string
+    * dual parser (VariableParser.java:41-52):
     *
     *   - `channelRequest` (:50 → parseChannelRequest:200-211) reads
     *     `$.payer.partyIdInfo.partyIdentifier` / `$.amount.amount` as
-    *     BigDecimal — carried by signup records.
+    *     BigDecimal — carried by signup records with payload k < 50.
+    *   - `quoteSwitchRequest` (:42 → parseQuoteSwitchRequest:139-153)
+    *     OVERLAPS channelRequest: it writes the same party/amount
+    *     columns (same JsonPaths) PLUS `$.transactionId` and the
+    *     party `fspId`s — signup records with k >= 50. The party and
+    *     amount columns are therefore last-write ACROSS the two
+    *     classes, exactly the registry's overwrite-the-entity
+    *     semantics.
     *   - `transferResponse-CREATE` (:46 → parseTransferResponse:
     *     174-183) parses `$.completedTimestamp` with
     *     OperatorUtils.dateFormat `yyyy-MM-dd'T'HH:mm:ss` — purchase.
@@ -445,8 +453,15 @@ object ImporterCore {
     *     `$.fspFee.amount` (BigDecimal), `$.fspFee.currency` and
     *     `$.quoteCode` land in the payee_* columns when the transfer's
     *     direction is INCOMING and in the payer_* columns otherwise —
-    *     view records; direction is the instance's static per-process
-    *     config (application.yml), stood in by user_id parity.
+    *     view records with k < 50; direction is the instance's static
+    *     per-process config (application.yml), stood in by user_id
+    *     parity.
+    *   - `payeeQuoteResponse` (:43 → parsePayeeQuoteResponse:168-172)
+    *     writes payee_fee / payee_fee_currency from
+    *     `$.payeeFspFee.amount` UN-routed (always the payee side) —
+    *     view records with k >= 50; payee_fee is last-write ACROSS
+    *     it and the incoming-routed localQuoteResponse, while
+    *     payee_quote_code stays localQuoteResponse-only.
     *   - `errorInformation` (:51-52) is a DUAL parser: it stores the
     *     raw string (parseErrorInformation:213-215) AND feeds the same
     *     value to parseTransferCreateFailed:185-187, whose "false"
@@ -487,6 +502,23 @@ object ImporterCore {
       StructField("quoteCode", StringType)))
     val prepSchema = StructType(Seq(
       StructField("completedTimestamp", StringType)))
+    val qswSchema = StructType(Seq(
+      StructField("transactionId", StringType),
+      StructField("payer", StructType(Seq(StructField("partyIdInfo", StructType(Seq(
+        StructField("partyIdType", StringType),
+        StructField("partyIdentifier", StringType),
+        StructField("fspId", StringType))))))),
+      StructField("payee", StructType(Seq(StructField("partyIdInfo", StructType(Seq(
+        StructField("partyIdType", StringType),
+        StructField("partyIdentifier", StringType),
+        StructField("fspId", StringType))))))),
+      StructField("amount", StructType(Seq(
+        StructField("amount", StringType),
+        StructField("currency", StringType))))))
+    val pqSchema = StructType(Seq(
+      StructField("payeeFspFee", StructType(Seq(
+        StructField("amount", StringType),
+        StructField("currency", StringType))))))
     val chanJson = to_json(struct(
       struct(struct(lit("MSISDN").as("partyIdType"),
         concat(lit("277"), (col("user_id") % 100).cast(LongType)).as("partyIdentifier")).as("partyIdInfo")).as("payer"),
@@ -503,12 +535,28 @@ object ImporterCore {
       concat(lit("LQ-"), (col("event_id") % 1000).cast(LongType)).as("quoteCode")))
     val prepJson = to_json(struct(
       date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss").as("completedTimestamp")))
-    val isChan = col("event_type") === "signup"
+    val kPayload = get_json_object(col("props"), "$.k").cast(LongType)
+    val qswJson = to_json(struct(
+      concat(lit("txn-"), col("user_id"), lit("-"), (col("event_id") % 100).cast(LongType)).as("transactionId"),
+      struct(struct(lit("IBAN").as("partyIdType"),
+        concat(lit("PI"), (col("user_id") % 77).cast(LongType)).as("partyIdentifier"),
+        concat(lit("fsp"), (kPayload % 10).cast(LongType)).as("fspId")).as("partyIdInfo")).as("payer"),
+      struct(struct(lit("MSISDN").as("partyIdType"),
+        concat(lit("266"), (col("user_id") % 99).cast(LongType)).as("partyIdentifier"),
+        concat(lit("fsp"), ((kPayload + 1) % 10).cast(LongType)).as("fspId")).as("partyIdInfo")).as("payee"),
+      struct(dec2(col("value")).cast(org.apache.spark.sql.types.StringType).as("amount"),
+        when(kPayload % 2 === 0, "EUR").otherwise("GHS").as("currency")).as("amount")))
+    val pqJson = to_json(struct(
+      struct(dec2(col("value")).cast(org.apache.spark.sql.types.StringType).as("amount"),
+        when(col("event_id") % 2 === 0, "XOF").otherwise("NGN").as("currency")).as("payeeFspFee")))
+    val isChan = col("event_type") === "signup" && kPayload < 50
+    val isSwitch = col("event_type") === "signup" && kPayload >= 50
+    val isParty = col("event_type") === "signup" // chan OR switch
     val isResp = col("event_type") === "purchase"
-    val isQuote = col("event_type") === "view"
+    val isQuote = col("event_type") === "view" && kPayload < 50
+    val isPayeeQ = col("event_type") === "view" && kPayload >= 50
     val isPrep = col("event_type") === "click"
     val isErr = col("event_type") === "error"
-    val kPayload = get_json_object(col("props"), "$.k").cast(LongType)
     // errorInformation's raw string value: an error string for fatal
     // payloads, the reference's "false" book-funds-success marker
     // otherwise
@@ -519,29 +567,44 @@ object ImporterCore {
     val incoming = col("user_id") % 2 === 0
     val parsed = Tables.events(spark, dir)
       .withColumn("chan", when(isChan, from_json(chanJson, chanSchema)))
+      .withColumn("qsw", when(isSwitch, from_json(qswJson, qswSchema)))
       .withColumn("resp", when(isResp, from_json(respJson, respSchema)))
       .withColumn("quote", when(isQuote, from_json(quoteJson, quoteSchema)))
+      .withColumn("pq", when(isPayeeQ, from_json(pqJson, pqSchema)))
       .withColumn("prep", when(isPrep, from_json(prepJson, prepSchema)))
-    val feeDec = col("quote.fspFee.amount").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val dec182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    // party/amount columns: channelRequest and quoteSwitchRequest
+    // write the SAME entity fields — last write across BOTH classes
+    def partyVal(path: String) =
+      when(isChan, col(s"chan.$path")).otherwise(col(s"qsw.$path"))
+    val feeDec = col("quote.fspFee.amount").cast(dec182)
+    // payee fee: incoming-routed localQuoteResponse OR the un-routed
+    // payeeQuoteResponse, whichever wrote last
+    val payeeFeeCond = (isQuote && incoming) || isPayeeQ
+    val payeeFeeVal = when(isQuote, feeDec).otherwise(col("pq.payeeFspFee.amount").cast(dec182))
+    val payeeFeeCur = when(isQuote, col("quote.fspFee.currency")).otherwise(col("pq.payeeFspFee.currency"))
     // completedTimestamp comes from whichever response class wrote last
     val completedStr = when(isResp, col("resp.completedTimestamp"))
       .otherwise(col("prep.completedTimestamp"))
     parsed.groupBy(col("user_id"))
       .agg(
-        coalesce(lastBy(isChan, col("chan.payer.partyIdInfo.partyIdentifier"), ordKey), lit("")).as("payer_party_id"),
-        coalesce(lastBy(isChan, col("chan.payer.partyIdInfo.partyIdType"), ordKey), lit("")).as("payer_id_type"),
-        coalesce(lastBy(isChan, col("chan.payee.partyIdInfo.partyIdentifier"), ordKey), lit("")).as("payee_party_id"),
-        coalesce(lastBy(isChan, col("chan.payee.partyIdInfo.partyIdType"), ordKey), lit("")).as("payee_id_type"),
-        coalesce(moneyStr(lastBy(isChan, col("chan.amount.amount").cast(org.apache.spark.sql.types.DecimalType(18, 2)), ordKey)), lit("")).as("amount"),
-        coalesce(lastBy(isChan, col("chan.amount.currency"), ordKey), lit("")).as("currency"),
+        coalesce(lastBy(isParty, partyVal("payer.partyIdInfo.partyIdentifier"), ordKey), lit("")).as("payer_party_id"),
+        coalesce(lastBy(isParty, partyVal("payer.partyIdInfo.partyIdType"), ordKey), lit("")).as("payer_id_type"),
+        coalesce(lastBy(isParty, partyVal("payee.partyIdInfo.partyIdentifier"), ordKey), lit("")).as("payee_party_id"),
+        coalesce(lastBy(isParty, partyVal("payee.partyIdInfo.partyIdType"), ordKey), lit("")).as("payee_id_type"),
+        coalesce(moneyStr(lastBy(isParty, partyVal("amount.amount").cast(dec182), ordKey)), lit("")).as("amount"),
+        coalesce(lastBy(isParty, partyVal("amount.currency"), ordKey), lit("")).as("currency"),
+        coalesce(lastBy(isSwitch, col("qsw.transactionId"), ordKey), lit("")).as("transaction_id"),
+        coalesce(lastBy(isSwitch, col("qsw.payer.partyIdInfo.fspId"), ordKey), lit("")).as("payer_dfsp_id"),
+        coalesce(lastBy(isSwitch, col("qsw.payee.partyIdInfo.fspId"), ordKey), lit("")).as("payee_dfsp_id"),
         coalesce(lastBy(isResp || isPrep,
           unix_millis(to_timestamp(completedStr, "yyyy-MM-dd'T'HH:mm:ss")), ordKey), lit(-1L)).as("completed_ms"),
         coalesce(lastBy(isResp, col("resp.transferState"), ordKey), lit("")).as("transfer_state"),
         coalesce(moneyStr(lastBy(isQuote && !incoming, feeDec, ordKey)), lit("")).as("payer_fee"),
         coalesce(lastBy(isQuote && !incoming, col("quote.fspFee.currency"), ordKey), lit("")).as("payer_fee_currency"),
         coalesce(lastBy(isQuote && !incoming, col("quote.quoteCode"), ordKey), lit("")).as("payer_quote_code"),
-        coalesce(moneyStr(lastBy(isQuote && incoming, feeDec, ordKey)), lit("")).as("payee_fee"),
-        coalesce(lastBy(isQuote && incoming, col("quote.fspFee.currency"), ordKey), lit("")).as("payee_fee_currency"),
+        coalesce(moneyStr(lastBy(payeeFeeCond, payeeFeeVal, ordKey)), lit("")).as("payee_fee"),
+        coalesce(lastBy(payeeFeeCond, payeeFeeCur, ordKey), lit("")).as("payee_fee_currency"),
         coalesce(lastBy(isQuote && incoming, col("quote.quoteCode"), ordKey), lit("")).as("payee_quote_code"),
         coalesce(lastBy(isErr, errStr, ordKey), lit("")).as("error_information"),
         coalesce(lastBy(isErr,
@@ -550,7 +613,9 @@ object ImporterCore {
       .select(col("user_id").as("transfer_key"),
         col("payer_party_id"), col("payer_id_type"),
         col("payee_party_id"), col("payee_id_type"),
-        col("amount"), col("currency"), col("completed_ms"), col("transfer_state"),
+        col("amount"), col("currency"),
+        col("transaction_id"), col("payer_dfsp_id"), col("payee_dfsp_id"),
+        col("completed_ms"), col("transfer_state"),
         col("payer_fee"), col("payer_fee_currency"), col("payer_quote_code"),
         col("payee_fee"), col("payee_fee_currency"), col("payee_quote_code"),
         col("error_information"), col("status"))
@@ -561,60 +626,90 @@ object ImporterCore {
     def pick(cond: String, value: String, default: String): String =
       s"""COALESCE(arg_max(CASE WHEN $cond THEN $value END,
          |                 CASE WHEN $cond THEN ${ordKeySqlOf("ms", "event_id")} END), $default)""".stripMargin
-    val chan = "var_name = 'channelRequest'"
+    // channelRequest and quoteSwitchRequest write the same party and
+    // amount columns (same JsonPaths) — last write across both
+    val party = "var_name IN ('channelRequest', 'quoteSwitchRequest')"
+    val switch = "var_name = 'quoteSwitchRequest'"
     val resp = "var_name = 'transferResponse-CREATE'"
     val anyResp = "var_name IN ('transferResponse-CREATE', 'transferResponse-PREPARE')"
     // direction routing (parseTransferLocalQuoteResponse:155-166):
     // INCOMING → payee_* columns, OUTGOING → payer_*
     val quoteIn = "var_name = 'localQuoteResponse' AND user_id % 2 = 0"
     val quoteOut = "var_name = 'localQuoteResponse' AND user_id % 2 <> 0"
+    val payeeQ = "var_name = 'payeeQuoteResponse'"
     val err = "var_name = 'errorInformation'"
     def jx(path: String) = s"json_extract_string(payload, '$path')"
-    def feePick(cond: String): String =
-      s"COALESCE(CAST(CAST(${pick(cond, s"CAST(${jx("$.fspFee.amount")} AS DECIMAL(18,2))", "NULL")} AS DECIMAL(38,2)) AS VARCHAR), '')"
-    s"""WITH src AS (
-       |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
-       |    CASE WHEN event_type = 'signup' THEN 'channelRequest'
+    // payee fee: routed localQuoteResponse OR un-routed payeeQuoteResponse
+    val payeeFeeCond = s"(($quoteIn) OR $payeeQ)"
+    val payeeFeeVal =
+      s"CASE WHEN var_name = 'localQuoteResponse' THEN ${jx("$.fspFee.amount")} ELSE ${jx("$.payeeFspFee.amount")} END"
+    val payeeFeeCur =
+      s"CASE WHEN var_name = 'localQuoteResponse' THEN ${jx("$.fspFee.currency")} ELSE ${jx("$.payeeFspFee.currency")} END"
+    def moneyPick(cond: String, valueExpr: String): String =
+      s"COALESCE(CAST(CAST(${pick(cond, s"CAST($valueExpr AS DECIMAL(18,2))", "NULL")} AS DECIMAL(38,2)) AS VARCHAR), '')"
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value, props,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events),
+       |src AS (
+       |  SELECT user_id, ms, event_id,
+       |    CASE WHEN event_type = 'signup' AND k < 50 THEN 'channelRequest'
+       |         WHEN event_type = 'signup' AND k >= 50 THEN 'quoteSwitchRequest'
        |         WHEN event_type = 'purchase' THEN 'transferResponse-CREATE'
        |         WHEN event_type = 'click' THEN 'transferResponse-PREPARE'
-       |         WHEN event_type = 'view' THEN 'localQuoteResponse'
+       |         WHEN event_type = 'view' AND k < 50 THEN 'localQuoteResponse'
+       |         WHEN event_type = 'view' AND k >= 50 THEN 'payeeQuoteResponse'
        |         WHEN event_type = 'error' THEN 'errorInformation' END AS var_name,
-       |    CASE WHEN event_type = 'signup' THEN to_json(struct_pack(
+       |    CASE WHEN event_type = 'signup' AND k < 50 THEN to_json(struct_pack(
        |        payer := struct_pack(partyIdInfo := struct_pack(partyIdType := 'MSISDN',
        |          partyIdentifier := CONCAT('277', CAST(user_id % 100 AS VARCHAR)))),
        |        payee := struct_pack(partyIdInfo := struct_pack(partyIdType := 'ACCOUNT_ID',
        |          partyIdentifier := CONCAT('acct-', CAST(user_id % 50 AS VARCHAR)))),
        |        amount := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
        |          currency := CASE WHEN user_id % 2 = 0 THEN 'USD' ELSE 'KES' END)))
+       |      WHEN event_type = 'signup' AND k >= 50 THEN to_json(struct_pack(
+       |        transactionId := CONCAT('txn-', CAST(user_id AS VARCHAR), '-', CAST(event_id % 100 AS VARCHAR)),
+       |        payer := struct_pack(partyIdInfo := struct_pack(partyIdType := 'IBAN',
+       |          partyIdentifier := CONCAT('PI', CAST(user_id % 77 AS VARCHAR)),
+       |          fspId := CONCAT('fsp', CAST(k % 10 AS VARCHAR)))),
+       |        payee := struct_pack(partyIdInfo := struct_pack(partyIdType := 'MSISDN',
+       |          partyIdentifier := CONCAT('266', CAST(user_id % 99 AS VARCHAR)),
+       |          fspId := CONCAT('fsp', CAST((k + 1) % 10 AS VARCHAR)))),
+       |        amount := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+       |          currency := CASE WHEN k % 2 = 0 THEN 'EUR' ELSE 'GHS' END)))
        |      WHEN event_type = 'purchase' THEN to_json(struct_pack(
-       |        completedTimestamp := strftime(make_timestamp((epoch_ms(ts) // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S'),
+       |        completedTimestamp := strftime(make_timestamp((ms // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S'),
        |        transferState := 'COMMITTED'))
        |      WHEN event_type = 'click' THEN to_json(struct_pack(
-       |        completedTimestamp := strftime(make_timestamp((epoch_ms(ts) // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S')))
-       |      WHEN event_type = 'view' THEN to_json(struct_pack(
+       |        completedTimestamp := strftime(make_timestamp((ms // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S')))
+       |      WHEN event_type = 'view' AND k < 50 THEN to_json(struct_pack(
        |        fspFee := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
        |          currency := CASE WHEN event_id % 2 = 0 THEN 'USD' ELSE 'TZS' END),
        |        quoteCode := CONCAT('LQ-', CAST(event_id % 1000 AS VARCHAR))))
+       |      WHEN event_type = 'view' AND k >= 50 THEN to_json(struct_pack(
+       |        payeeFspFee := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+       |          currency := CASE WHEN event_id % 2 = 0 THEN 'XOF' ELSE 'NGN' END)))
        |      WHEN event_type = 'error' THEN to_json(
-       |        CASE WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 90
-       |             THEN CONCAT('err-', CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) AS VARCHAR))
-       |             ELSE 'false' END)
+       |        CASE WHEN k >= 90 THEN CONCAT('err-', CAST(k AS VARCHAR)) ELSE 'false' END)
        |      END AS payload
-       |  FROM events)
+       |  FROM ev)
        |SELECT user_id AS transfer_key,
-       |  ${pick(chan, jx("$.payer.partyIdInfo.partyIdentifier"), "''")} AS payer_party_id,
-       |  ${pick(chan, jx("$.payer.partyIdInfo.partyIdType"), "''")} AS payer_id_type,
-       |  ${pick(chan, jx("$.payee.partyIdInfo.partyIdentifier"), "''")} AS payee_party_id,
-       |  ${pick(chan, jx("$.payee.partyIdInfo.partyIdType"), "''")} AS payee_id_type,
-       |  COALESCE(CAST(CAST(${pick(chan, s"CAST(${jx("$.amount.amount")} AS DECIMAL(18,2))", "NULL")} AS DECIMAL(38,2)) AS VARCHAR), '') AS amount,
-       |  ${pick(chan, jx("$.amount.currency"), "''")} AS currency,
+       |  ${pick(party, jx("$.payer.partyIdInfo.partyIdentifier"), "''")} AS payer_party_id,
+       |  ${pick(party, jx("$.payer.partyIdInfo.partyIdType"), "''")} AS payer_id_type,
+       |  ${pick(party, jx("$.payee.partyIdInfo.partyIdentifier"), "''")} AS payee_party_id,
+       |  ${pick(party, jx("$.payee.partyIdInfo.partyIdType"), "''")} AS payee_id_type,
+       |  ${moneyPick(party, jx("$.amount.amount"))} AS amount,
+       |  ${pick(party, jx("$.amount.currency"), "''")} AS currency,
+       |  ${pick(switch, jx("$.transactionId"), "''")} AS transaction_id,
+       |  ${pick(switch, jx("$.payer.partyIdInfo.fspId"), "''")} AS payer_dfsp_id,
+       |  ${pick(switch, jx("$.payee.partyIdInfo.fspId"), "''")} AS payee_dfsp_id,
        |  ${pick(anyResp, s"epoch_ms(strptime(${jx("$.completedTimestamp")}, '%Y-%m-%dT%H:%M:%S'))", "-1")} AS completed_ms,
        |  ${pick(resp, jx("$.transferState"), "''")} AS transfer_state,
-       |  ${feePick(quoteOut)} AS payer_fee,
+       |  ${moneyPick(quoteOut, jx("$.fspFee.amount"))} AS payer_fee,
        |  ${pick(quoteOut, jx("$.fspFee.currency"), "''")} AS payer_fee_currency,
        |  ${pick(quoteOut, jx("$.quoteCode"), "''")} AS payer_quote_code,
-       |  ${feePick(quoteIn)} AS payee_fee,
-       |  ${pick(quoteIn, jx("$.fspFee.currency"), "''")} AS payee_fee_currency,
+       |  ${moneyPick(payeeFeeCond, payeeFeeVal)} AS payee_fee,
+       |  ${pick(payeeFeeCond, payeeFeeCur, "''")} AS payee_fee_currency,
        |  ${pick(quoteIn, jx("$.quoteCode"), "''")} AS payee_quote_code,
        |  ${pick(err, jx("$"), "''")} AS error_information,
        |  ${pick(err, s"CASE WHEN ${jx("$")} = 'false' THEN 'COMPLETED' ELSE 'FAILED' END", "'IN_PROGRESS'")} AS status

@@ -320,30 +320,50 @@ object StreamImport {
 
   // ------------------------------------------------------------- Wide
 
-  /** Streaming wide-entity state: last write per variable class by the
-    * (ts, event_id) pair — impEntityWide's arg-max picks, folded
-    * incrementally across all four registry classes
-    * (VariableParser.java:41-50). completedMs carries its own
-    * last-write mark (cmplTs/cmplId) separate from transferState's
-    * (stateTs/stateId) because BOTH transferResponse-CREATE and
-    * transferResponse-PREPARE write completedAt (:174-183, :189-198)
-    * while only CREATE carries a transferState.
+  /** Streaming wide-entity state: one last-write mark per WRITER
+    * GROUP, because the registry's columns have different (sometimes
+    * overlapping) writer sets (VariableParser.java:41-52):
+    *
+    *   - party/amount: channelRequest AND quoteSwitchRequest (same
+    *     columns, two classes — one shared mark);
+    *   - transactionId + dfsp ids: quoteSwitchRequest only;
+    *   - completedMs: CREATE and PREPARE share a mark (:174-183,
+    *     :189-198) while transferState is CREATE-only;
+    *   - payer fee/currency/quoteCode: outgoing-routed
+    *     localQuoteResponse;
+    *   - payee fee/currency: incoming-routed localQuoteResponse AND
+    *     the un-routed payeeQuoteResponse (shared mark), but
+    *     payee_quote_code is localQuoteResponse-only (its own mark);
+    *   - errorInformation + status: the dual error parser.
     */
-  case class WideSt(chanTs: Long, chanId: Long, payerPartyId: String,
-    payerIdType: String, payeePartyId: String, payeeIdType: String,
-    amount: String, currency: String,
-    stateTs: Long, stateId: Long, transferState: String,
-    cmplTs: Long, cmplId: Long, completedMs: Long,
-    quoteTs: Long, quoteId: Long, fee: String, feeCurrency: String,
-    quoteCode: String,
-    errTs: Long, errId: Long, errorInformation: String, status: String)
+  case class LastMark(ts: Long, id: Long)
+  case class PartySt(m: LastMark, payerPartyId: String, payerIdType: String,
+    payeePartyId: String, payeeIdType: String, amount: String, currency: String)
+  case class QswSt(m: LastMark, transactionId: String, payerDfsp: String,
+    payeeDfsp: String)
+  case class RespSt(stateM: LastMark, transferState: String,
+    cmplM: LastMark, completedMs: Long)
+  case class PayerQSt(m: LastMark, fee: String, currency: String, code: String)
+  case class PayeeFSt(m: LastMark, fee: String, currency: String)
+  case class QcSt(m: LastMark, code: String)
+  case class ErrSt(m: LastMark, info: String, status: String)
+  case class WideSt(party: PartySt, qsw: QswSt, resp: RespSt,
+    payerQ: PayerQSt, payeeF: PayeeFSt, payeeQc: QcSt, err: ErrSt)
 
-  private val EmptyWideSt = WideSt(Long.MinValue, Long.MinValue, "", "", "",
-    "", "", "",
-    Long.MinValue, Long.MinValue, "",
-    Long.MinValue, Long.MinValue, -1L,
-    Long.MinValue, Long.MinValue, "", "", "",
-    Long.MinValue, Long.MinValue, "", "IN_PROGRESS")
+  private val NoMark = LastMark(Long.MinValue, Long.MinValue)
+  private val EmptyWideSt = WideSt(
+    PartySt(NoMark, "", "", "", "", "", ""),
+    QswSt(NoMark, "", "", ""),
+    RespSt(NoMark, "", NoMark, -1L),
+    PayerQSt(NoMark, "", "", ""),
+    PayeeFSt(NoMark, "", ""),
+    QcSt(NoMark, ""),
+    ErrSt(NoMark, "", "IN_PROGRESS"))
+
+  private def after(r: Rec, m: LastMark): Boolean =
+    isAfter(r.ts_ms, r.event_id, m.ts, m.id)
+
+  private def markOf(r: Rec): LastMark = LastMark(r.ts_ms, r.event_id)
 
   /** tenant is carried for the sink's partition routing and dropped
     * from the oracle-checked projection (the batch entity has none).
@@ -351,8 +371,9 @@ object StreamImport {
   case class WideRow(transfer_key: Long, tenant: String,
     payer_party_id: String, payer_id_type: String,
     payee_party_id: String, payee_id_type: String,
-    amount: String, currency: String, completed_ms: Long,
-    transfer_state: String,
+    amount: String, currency: String,
+    transaction_id: String, payer_dfsp_id: String, payee_dfsp_id: String,
+    completed_ms: Long, transfer_state: String,
     payer_fee: String, payer_fee_currency: String, payer_quote_code: String,
     payee_fee: String, payee_fee_currency: String, payee_quote_code: String,
     error_information: String, status: String)
@@ -391,7 +412,8 @@ object StreamImport {
   }
 
   private def foldWide(st: WideSt, r: Rec): WideSt = r.event_type match {
-    case "signup" if isAfter(r.ts_ms, r.event_id, st.chanTs, st.chanId) =>
+    case "signup" if r.k < 50 && after(r, st.party.m) =>
+      // channelRequest — writes the shared party/amount group
       val root = json.createObjectNode()
       root.putObject("payer").putObject("partyIdInfo")
         .put("partyIdType", "MSISDN")
@@ -403,77 +425,134 @@ object StreamImport {
         .put("amount", amountStr(r.value))
         .put("currency", if (r.user_id % 2 == 0) "USD" else "KES")
       val doc = json.readTree(json.writeValueAsString(root))
-      st.copy(chanTs = r.ts_ms, chanId = r.event_id,
+      st.copy(party = PartySt(markOf(r),
         payerPartyId = doc.at("/payer/partyIdInfo/partyIdentifier").asText(),
         payerIdType = doc.at("/payer/partyIdInfo/partyIdType").asText(),
         payeePartyId = doc.at("/payee/partyIdInfo/partyIdentifier").asText(),
         payeeIdType = doc.at("/payee/partyIdInfo/partyIdType").asText(),
         amount = doc.at("/amount/amount").asText(),
-        currency = doc.at("/amount/currency").asText())
+        currency = doc.at("/amount/currency").asText()))
+    case "signup" if r.k >= 50 =>
+      // quoteSwitchRequest (parseQuoteSwitchRequest:139-153) — writes
+      // the SAME party/amount group plus transactionId + fspIds
+      var s = st
+      val afterParty = after(r, s.party.m)
+      val afterQsw = after(r, s.qsw.m)
+      if (afterParty || afterQsw) {
+        val root = json.createObjectNode()
+        root.put("transactionId", s"txn-${r.user_id}-${r.event_id % 100}")
+        val payer = root.putObject("payer").putObject("partyIdInfo")
+        payer.put("partyIdType", "IBAN")
+          .put("partyIdentifier", "PI" + (r.user_id % 77))
+          .put("fspId", "fsp" + (r.k % 10))
+        val payee = root.putObject("payee").putObject("partyIdInfo")
+        payee.put("partyIdType", "MSISDN")
+          .put("partyIdentifier", "266" + (r.user_id % 99))
+          .put("fspId", "fsp" + ((r.k + 1) % 10))
+        root.putObject("amount")
+          .put("amount", amountStr(r.value))
+          .put("currency", if (r.k % 2 == 0) "EUR" else "GHS")
+        val doc = json.readTree(json.writeValueAsString(root))
+        if (afterParty)
+          s = s.copy(party = PartySt(markOf(r),
+            payerPartyId = doc.at("/payer/partyIdInfo/partyIdentifier").asText(),
+            payerIdType = doc.at("/payer/partyIdInfo/partyIdType").asText(),
+            payeePartyId = doc.at("/payee/partyIdInfo/partyIdentifier").asText(),
+            payeeIdType = doc.at("/payee/partyIdInfo/partyIdType").asText(),
+            amount = doc.at("/amount/amount").asText(),
+            currency = doc.at("/amount/currency").asText()))
+        if (afterQsw)
+          s = s.copy(qsw = QswSt(markOf(r),
+            transactionId = doc.at("/transactionId").asText(),
+            payerDfsp = doc.at("/payer/partyIdInfo/fspId").asText(),
+            payeeDfsp = doc.at("/payee/partyIdInfo/fspId").asText()))
+      }
+      s
     case "purchase" =>
       // transferResponse-CREATE: transferState last-write on its own
       // mark, completedAt on the shared CREATE+PREPARE mark — one
       // JSON round-trip serves both guards
       var s = st
-      val afterState = isAfter(r.ts_ms, r.event_id, s.stateTs, s.stateId)
-      val afterCmpl = isAfter(r.ts_ms, r.event_id, s.cmplTs, s.cmplId)
+      val afterState = after(r, s.resp.stateM)
+      val afterCmpl = after(r, s.resp.cmplM)
       if (afterState || afterCmpl) {
         val (ms, state) = completedOf(r, withState = true)
-        if (afterState)
-          s = s.copy(stateTs = r.ts_ms, stateId = r.event_id, transferState = state)
-        if (afterCmpl)
-          s = s.copy(cmplTs = r.ts_ms, cmplId = r.event_id, completedMs = ms)
+        var resp = s.resp
+        if (afterState) resp = resp.copy(stateM = markOf(r), transferState = state)
+        if (afterCmpl) resp = resp.copy(cmplM = markOf(r), completedMs = ms)
+        s = s.copy(resp = resp)
       }
       s
-    case "click" if isAfter(r.ts_ms, r.event_id, st.cmplTs, st.cmplId) =>
+    case "click" if after(r, st.resp.cmplM) =>
       // transferResponse-PREPARE: writes the same completedAt field
       val (ms, _) = completedOf(r, withState = false)
-      st.copy(cmplTs = r.ts_ms, cmplId = r.event_id, completedMs = ms)
-    case "view" if isAfter(r.ts_ms, r.event_id, st.quoteTs, st.quoteId) =>
-      // localQuoteResponse: fee/currency/quoteCode, direction-routed at
-      // render (direction is static per instance)
+      st.copy(resp = st.resp.copy(cmplM = markOf(r), completedMs = ms))
+    case "view" if r.k < 50 =>
+      // localQuoteResponse: direction-routed at FOLD time — INCOMING
+      // (even key) → payee fee + quote code, OUTGOING → payer group
+      val incoming = r.user_id % 2 == 0
+      val needPayee = incoming && (after(r, st.payeeF.m) || after(r, st.payeeQc.m))
+      val needPayer = !incoming && after(r, st.payerQ.m)
+      if (needPayee || needPayer) {
+        val root = json.createObjectNode()
+        root.putObject("fspFee")
+          .put("amount", amountStr(r.value))
+          .put("currency", if (r.event_id % 2 == 0) "USD" else "TZS")
+        root.put("quoteCode", "LQ-" + (r.event_id % 1000))
+        val doc = json.readTree(json.writeValueAsString(root))
+        val fee = doc.at("/fspFee/amount").asText()
+        val cur = doc.at("/fspFee/currency").asText()
+        val code = doc.at("/quoteCode").asText()
+        var s = st
+        if (needPayer) s = s.copy(payerQ = PayerQSt(markOf(r), fee, cur, code))
+        if (incoming && after(r, s.payeeF.m))
+          s = s.copy(payeeF = PayeeFSt(markOf(r), fee, cur))
+        if (incoming && after(r, s.payeeQc.m))
+          s = s.copy(payeeQc = QcSt(markOf(r), code))
+        s
+      } else st
+    case "view" if after(r, st.payeeF.m) =>
+      // payeeQuoteResponse (parsePayeeQuoteResponse:168-172): UN-routed
+      // payee fee — shares the payee-fee mark with the incoming-routed
+      // localQuoteResponse; quote code untouched
       val root = json.createObjectNode()
-      root.putObject("fspFee")
+      root.putObject("payeeFspFee")
         .put("amount", amountStr(r.value))
-        .put("currency", if (r.event_id % 2 == 0) "USD" else "TZS")
-      root.put("quoteCode", "LQ-" + (r.event_id % 1000))
+        .put("currency", if (r.event_id % 2 == 0) "XOF" else "NGN")
       val doc = json.readTree(json.writeValueAsString(root))
-      st.copy(quoteTs = r.ts_ms, quoteId = r.event_id,
-        fee = doc.at("/fspFee/amount").asText(),
-        feeCurrency = doc.at("/fspFee/currency").asText(),
-        quoteCode = doc.at("/quoteCode").asText())
-    case "error" if isAfter(r.ts_ms, r.event_id, st.errTs, st.errId) =>
+      st.copy(payeeF = PayeeFSt(markOf(r),
+        doc.at("/payeeFspFee/amount").asText(),
+        doc.at("/payeeFspFee/currency").asText()))
+    case "error" if after(r, st.err.m) =>
       // errorInformation dual parser (VariableParser:51-52): store the
       // raw string AND run the transferCreateFailed state write
       // ("false" = book-funds success → COMPLETED, else FAILED)
       val raw = if (r.k >= 90) s"err-${r.k}" else "false"
-      st.copy(errTs = r.ts_ms, errId = r.event_id,
-        errorInformation = raw,
-        status = if (raw == "false") "COMPLETED" else "FAILED")
+      st.copy(err = ErrSt(markOf(r), raw,
+        if (raw == "false") "COMPLETED" else "FAILED"))
     case _ => st
   }
 
   def updateWide(key: Long, recs: Iterator[Rec], state: GroupState[WideSt]): Iterator[WideRow] = {
     val st = recs.foldLeft(state.getOption.getOrElse(EmptyWideSt))(foldWide)
     state.update(st)
-    // direction routing (parseTransferLocalQuoteResponse:155-166):
-    // INCOMING (even key) → payee_* columns, OUTGOING → payer_*
-    val incoming = key % 2 == 0
     Iterator.single(WideRow(
       transfer_key = key,
       tenant = "t" + (key % 10),
-      payer_party_id = st.payerPartyId, payer_id_type = st.payerIdType,
-      payee_party_id = st.payeePartyId, payee_id_type = st.payeeIdType,
-      amount = st.amount, currency = st.currency,
-      completed_ms = st.completedMs, transfer_state = st.transferState,
-      payer_fee = if (incoming) "" else st.fee,
-      payer_fee_currency = if (incoming) "" else st.feeCurrency,
-      payer_quote_code = if (incoming) "" else st.quoteCode,
-      payee_fee = if (incoming) st.fee else "",
-      payee_fee_currency = if (incoming) st.feeCurrency else "",
-      payee_quote_code = if (incoming) st.quoteCode else "",
-      error_information = st.errorInformation,
-      status = st.status))
+      payer_party_id = st.party.payerPartyId, payer_id_type = st.party.payerIdType,
+      payee_party_id = st.party.payeePartyId, payee_id_type = st.party.payeeIdType,
+      amount = st.party.amount, currency = st.party.currency,
+      transaction_id = st.qsw.transactionId,
+      payer_dfsp_id = st.qsw.payerDfsp, payee_dfsp_id = st.qsw.payeeDfsp,
+      completed_ms = st.resp.completedMs, transfer_state = st.resp.transferState,
+      payer_fee = st.payerQ.fee,
+      payer_fee_currency = st.payerQ.currency,
+      payer_quote_code = st.payerQ.code,
+      payee_fee = st.payeeF.fee,
+      payee_fee_currency = st.payeeF.currency,
+      payee_quote_code = st.payeeQc.code,
+      error_information = st.err.info,
+      status = st.err.status))
   }
 
   def wideStream(events: DataFrame): Dataset[WideRow] = {
@@ -490,6 +569,7 @@ object StreamImport {
     runPipeline(spark, dir, events => wideStream(events).toDF(), "transfer_key")
       .select("transfer_key", "payer_party_id", "payer_id_type",
         "payee_party_id", "payee_id_type", "amount", "currency",
+        "transaction_id", "payer_dfsp_id", "payee_dfsp_id",
         "completed_ms", "transfer_state",
         "payer_fee", "payer_fee_currency", "payer_quote_code",
         "payee_fee", "payee_fee_currency", "payee_quote_code",

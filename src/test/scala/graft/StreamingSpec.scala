@@ -107,6 +107,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val cols = Seq("transfer_key", "payer_party_id", "payer_id_type",
       "payee_party_id", "payee_id_type", "amount", "currency",
+      "transaction_id", "payer_dfsp_id", "payee_dfsp_id",
       "completed_ms", "transfer_state",
       "payer_fee", "payer_fee_currency", "payer_quote_code",
       "payee_fee", "payee_fee_currency", "payee_quote_code",
