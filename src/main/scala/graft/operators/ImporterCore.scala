@@ -535,7 +535,11 @@ object ImporterCore {
       concat(lit("LQ-"), (col("event_id") % 1000).cast(LongType)).as("quoteCode")))
     val prepJson = to_json(struct(
       date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss").as("completedTimestamp")))
-    val kPayload = get_json_object(col("props"), "$.k").cast(LongType)
+    // missing $.k coalesces to 0 — ONE class-routing rule shared with
+    // the oracle CTE and the streaming fold (toRecs reads absent k as
+    // 0), so a k-less record is a channelRequest/localQuoteResponse on
+    // every path instead of three divergent behaviors
+    val kPayload = coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L))
     val qswJson = to_json(struct(
       concat(lit("txn-"), col("user_id"), lit("-"), (col("event_id") % 100).cast(LongType)).as("transactionId"),
       struct(struct(lit("IBAN").as("partyIdType"),
@@ -649,7 +653,7 @@ object ImporterCore {
       s"COALESCE(CAST(CAST(${pick(cond, s"CAST($valueExpr AS DECIMAL(18,2))", "NULL")} AS DECIMAL(38,2)) AS VARCHAR), '')"
     s"""WITH ev AS (
        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value, props,
-       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |    COALESCE(CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS k
        |  FROM events),
        |src AS (
        |  SELECT user_id, ms, event_id,

@@ -129,10 +129,9 @@ object Multimodal {
   /** Deterministic synthetic media attached to each document (the
     * test corpus ships no binaries): png and jpeg rows carry REAL
     * encoded image streams of the seed-derived pixel pattern, wav rows
-    * a REAL RIFF/PCM stream of the seed-derived waveform; the
-    * remaining codec-less format (mp4) carries raw seed repetitions.
-    * Stands in for a `binary` + struct column pair read from
-    * parquet/lance.
+    * a REAL RIFF/PCM stream of the seed-derived waveform, mp4 rows a
+    * REAL ISO-BMFF container of seed-derived samples. Stands in for a
+    * `binary` + struct column pair read from parquet/lance.
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._

@@ -101,11 +101,19 @@ object TenantUpsertSink {
       // tenant) and the within-batch half of the tenant-stability
       // contract (class doc): per key, its tenant and whether a second
       // tenant appeared; a violating producer fails before writing
-      import org.apache.spark.sql.functions.{col => c, countDistinct, first, max => mx, collect_set, size => sz}
+      import org.apache.spark.sql.functions.{col => c, countDistinct, first, max => mx, collect_set, sum => sm, when => wh}
       val perKey = batch.groupBy(c(key))
-        .agg(first("tenant").as("t"), countDistinct("tenant").as("nt"))
+        .agg(first("tenant").as("t"), countDistinct("tenant").as("nt"),
+          // countDistinct/first/collect_set all skip nulls, which
+          // would make a null-tenant producer SILENTLY invisible to
+          // the manifest — count them so the boundary fails loudly
+          sm(wh(c("tenant").isNull, 1L).otherwise(0L)).as("nulls"))
       val summary = perKey
-        .agg(mx("nt").as("max_nt"), collect_set("t").as("tenants")).head()
+        .agg(mx("nt").as("max_nt"), collect_set("t").as("tenants"),
+          sm("nulls").as("null_tenants")).head()
+      require(summary.getLong(2) == 0L,
+        s"TenantUpsertSink: ${summary.getLong(2)} rows arrived with a NULL tenant — " +
+          "tenant must be a non-null stable function of the key (see class doc)")
       if (summary.getLong(0) > 1) {
         // rare failure path — re-query just for a diagnostic key
         val bad = perKey.filter(c("nt") > 1).limit(1).collect().head.get(0)

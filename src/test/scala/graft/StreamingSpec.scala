@@ -170,6 +170,17 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(dir, "_CURRENT").exists())
   }
 
+  test("upsert sink: a NULL tenant fails loudly instead of silently skipping the manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullten_").toString + "/t"
+    val bad = Seq((1L, Some("t1"), "v"), (2L, None: Option[String], "v"))
+      .toDF("transfer_key", "tenant", "payload")
+    val e = intercept[IllegalArgumentException](
+      TenantUpsertSink.upsert(dir, bad, "transfer_key"))
+    assert(e.getMessage.contains("NULL tenant"))
+    assert(!new java.io.File(dir, "_CURRENT").exists())
+  }
+
   test("upsert sink: path-hostile tenant values round-trip through partitions and manifest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_escten_").toString + "/t"
