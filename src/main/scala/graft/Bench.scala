@@ -15,6 +15,15 @@ object Bench {
     Tables.all.foreach(t =>
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () })
+    // warm the STREAMING machinery too (state-store provider, streaming
+    // codegen paths, sink round-trip classes) on the tiny sf0.001 corpus
+    // — without this the alphabetically-first stream_* query absorbs
+    // several seconds of one-time engine spinup (r03: stream_batches
+    // 9.7 s vs its 2.9 s isolated re-time)
+    try streaming.StreamImport.runToCompletion(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+    Scratch.releaseAll()
     val failed = Seq.newBuilder[String]
     // optional isolation filter (comma-separated names): lets a slow
     // query be re-timed alone, outside sweep order — full sweep when unset

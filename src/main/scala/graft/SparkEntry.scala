@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Components, ImporterCore, Multimodal, Specs, TemporalJoins, TextOps, TrainOps, VectorOps}
+import graft.operators.{Analytics, ApproxOps, Components, ImporterCore, Multimodal, Specs, TemporalJoins, TextOps, TrainOps, VectorOps}
 import graft.sources.RawIngest
 import graft.streaming.StreamImport
 
@@ -16,7 +16,7 @@ object SparkEntry {
     Analytics.queries ++ ImporterCore.queries ++ Specs.queries ++
       TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
       StreamImport.queries ++ RawIngest.queries ++ Components.queries ++
-      TemporalJoins.queries ++ TrainOps.queries
+      TemporalJoins.queries ++ TrainOps.queries ++ ApproxOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +24,5 @@ object SparkEntry {
     Analytics.oracles ++ ImporterCore.oracles ++ Specs.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ StreamImport.oracles ++
       RawIngest.oracles ++ Components.oracles ++ TemporalJoins.oracles ++
-      TrainOps.oracles
+      TrainOps.oracles ++ ApproxOps.oracles
 }

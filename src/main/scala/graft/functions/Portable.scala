@@ -44,6 +44,10 @@ object Portable {
   def money4Str(c: Column): Column =
     c.cast(DecimalType(38, 4)).cast(StringType)
 
+  /** For sums of scale-6 triple products (e.g. q9's cost share). */
+  def money6Str(c: Column): Column =
+    c.cast(DecimalType(38, 6)).cast(StringType)
+
   /** Timestamp → epoch millis (both engines floor positive µs → ms). */
   def epochMs(c: Column): Column = unix_millis(c)
 

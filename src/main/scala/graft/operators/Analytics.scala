@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Portable._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -132,6 +132,93 @@ object Analytics {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q7 shape: nation-pair shipping volume by year. Six-way
+    * join where BOTH nation arms are the same fixed-size dim (25 rows
+    * at every SF) — each side is pre-filtered to the two-nation set
+    * (pushes to its broadcast build) and the cross-table pair
+    * disjunction applies post-join, the only place it can. customer /
+    * supplier stay AQE-decided; lineitem⋈orders shuffles on orderkey
+    * once.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val n1 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    l.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(
+        (col("supp_nation") === pair.head && col("cust_nation") === pair(1)) ||
+          (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(money4Str(sum(dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  def q7VolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q9 shape: profit by supplier nation and order year for one
+    * part segment (retail cost share stands in for ps_supplycost — the
+    * corpus has no partsupp table). Decimal factors are kept at
+    * (12,2)/(8,2) so the triple product's scale-6 precision stays
+    * under 38 in BOTH engines (no rounding divergence). part is
+    * filter-pruned at the scan (p_type pushdown) but SCALES with the
+    * corpus, so its join stays AQE-decided like customer/supplier;
+    * only nation is force-broadcast.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    def d12(c: Column): Column = c.cast("decimal(12,2)")
+    val p = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+    val l = Tables.lineitem(spark, dir)
+    l.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(money6Str(sum(
+        d12(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - d12(col("l_discount"))) -
+          d12(col("p_retailprice")) * d12(col("l_quantity")) * lit("0.06").cast("decimal(8,2)")))
+        .as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  def q9ProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |      - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.06 AS DECIMAL(8,2))) AS DECIMAL(38,6)) AS VARCHAR) AS profit
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Per-user top-3 events by value: one window shuffle on user_id. */
   def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
@@ -372,6 +459,8 @@ object Analytics {
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_regional" -> (q5Regional _),
+    "q7_volume" -> (q7Volume _),
+    "q9_profit" -> (q9Profit _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_sessionize" -> (qSessionize _),
@@ -387,6 +476,8 @@ object Analytics {
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_regional" -> q5RegionalSql,
+    "q7_volume" -> q7VolumeSql,
+    "q9_profit" -> q9ProfitSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_sessionize" -> qSessionizeSql,

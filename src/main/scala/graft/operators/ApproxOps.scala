@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Approximate-distinct sketches for 100 TB-scale counting.
+  *
+  * Exact `COUNT(DISTINCT key)` shuffles every distinct key
+  * (q_distinct_users' two-phase expand); a HyperLogLog register sketch
+  * reduces the shuffle to `groups × m` rows — constant per group, no
+  * matter how many billions of keys stream through — and the register
+  * maxima are MERGEABLE (register-wise max), so per-partition /
+  * per-day sketches union into exact global registers without
+  * re-reading the raw data. That is the property that makes distinct
+  * counting feasible in a streaming or incremental 100 TB pipeline.
+  *
+  * Portability: the whole sketch is deterministic integer arithmetic
+  * on the portable 60-bit md5 hash — bucket = h mod m, rho = leading
+  * zeros of the remaining 52-bit field + 1 (via the base-2 string
+  * rendering both engines share) — so the DuckDB oracle reproduces
+  * the register table bit-for-bit. Only the final float estimate
+  * (derived register-side in [[estimate]]) leaves integer space,
+  * and it never crosses the oracle gate.
+  */
+object ApproxOps {
+
+  /** Register count m (2^8): bucket index is the low 8 bits of the
+    * 60-bit hash, the rho scan runs over the remaining 52.
+    */
+  val HllBuckets = 256
+  private val RhoWidth = 52 // 60 hash bits - 8 bucket bits
+  private val RhoMax = RhoWidth + 1
+
+  /** Per-event-type HLL register table over distinct users: ONE
+    * shuffled groupBy of (type, bucket) — at most `types × 256` rows
+    * cross the exchange after map-side partial max.
+    */
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("graft_hash60(cast(user_id as string))").as("h"))
+      .select(col("event_type"),
+        expr(s"h % $HllBuckets").as("bucket"),
+        expr(s"CASE WHEN h div $HllBuckets = 0 THEN $RhoMax " +
+          s"ELSE $RhoMax - length(bin(h div $HllBuckets)) END").as("rho"))
+      .groupBy("event_type", "bucket")
+      .agg(max("rho").cast(LongType).as("max_rho"))
+      .orderBy("event_type", "bucket")
+  }
+
+  def sketchHllSql: String = {
+    val h = graft.functions.Portable.hash60Duck("CAST(user_id AS VARCHAR)")
+    s"""WITH h AS (SELECT event_type, $h AS h FROM events)
+       |SELECT event_type, h % $HllBuckets AS bucket,
+       |  CAST(MAX(CASE WHEN h // $HllBuckets = 0 THEN $RhoMax
+       |           ELSE $RhoMax - length(bin(h // $HllBuckets)) END) AS BIGINT) AS max_rho
+       |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Merge sketches: register-wise max. Exactly the union sketch —
+    * merging per-partition/per-day register tables is how the 100 TB
+    * path counts without touching raw history.
+    */
+  def merge(sketches: Seq[Map[Long, Long]]): Map[Long, Long] =
+    sketches.foldLeft(Map.empty[Long, Long]) { (acc, s) =>
+      s.foldLeft(acc) { case (a, (b, r)) => a.updated(b, math.max(a.getOrElse(b, 0L), r)) }
+    }
+
+  /** Standard HLL estimator (Flajolet et al. 2007) over a register
+    * map (absent bucket = empty register), with the small-range
+    * linear-counting correction. Driver-side float math on m values —
+    * never part of an oracle-checked frame.
+    */
+  def estimate(registers: Map[Long, Long], m: Int = HllBuckets): Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    val sum = (0 until m).map(j => math.pow(2.0, -registers.getOrElse(j.toLong, 0L).toDouble)).sum
+    val e = alpha * m * m / sum
+    val zeros = (0 until m).count(j => registers.getOrElse(j.toLong, 0L) == 0L)
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll" -> (sketchHll _))
+
+  def oracles: Map[String, String] = Map(
+    "sketch_hll" -> sketchHllSql)
+}

@@ -196,6 +196,97 @@ object TextOps {
        |  CAST(length(norm) AS BIGINT) AS norm_len
        |FROM n ORDER BY doc_id""".stripMargin
 
+  /** PII scrubbing: redact emails, phone numbers and long ID digit
+    * runs — the standard pre-training privacy pass. The corpus'
+    * synthetic prose carries no PII, so each doc gets a deterministic
+    * contact tail synthesized from doc_id (like the wide entity's
+    * payload synth, it exists only in the gate; production text
+    * arrives dirty) — the regex pipeline, its ordering (emails before
+    * phones before bare ID runs: each stage must not see the previous
+    * stage's digits) and the counts are the real operator. Row-local,
+    * zero shuffle; patterns stay in the RE2-compatible subset (no
+    * lookaround, no backrefs) so Java and DuckDB agree match-for-match.
+    */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+    val phone = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val idRun = "[0-9]{7,}"
+    // inside a SQL string literal the parser consumes one level of
+    // backslash escaping — double it for the expr()-embedded copies
+    val phoneSql = phone.replace("\\", "\\\\")
+    Tables.documents(spark, dir)
+      .withColumn("raw", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-202-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ref "), (col("doc_id") + lit(10000000L)).cast("string")))
+      .withColumn("s1", regexp_replace(col("raw"), email, "<EMAIL>"))
+      .withColumn("s2", regexp_replace(col("s1"), phone, "<PHONE>"))
+      .withColumn("scrubbed", regexp_replace(col("s2"), idRun, "<ID>"))
+      .select(
+        col("doc_id"),
+        expr(hx("scrubbed")).as("pii_hash"),
+        size(expr(s"regexp_extract_all(raw, '$email', 0)")).cast(LongType).as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '$phoneSql', 0)")).cast(LongType).as("n_phones"),
+        size(expr(s"regexp_extract_all(s2, '$idRun', 0)")).cast(LongType).as("n_ids"),
+        length(col("scrubbed")).cast(LongType).as("scrubbed_len"))
+      .orderBy("doc_id")
+  }
+
+  def textPiiSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@mail.example.com or +1-202-555-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ref ' || (10000000 + doc_id) AS raw
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, raw, regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g') AS s FROM raw),
+       |s2 AS (SELECT doc_id, raw, regexp_replace(s, '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS s FROM s1),
+       |s3 AS (SELECT doc_id, raw, s, regexp_replace(s, '[0-9]{7,}', '<ID>', 'g') AS scrubbed FROM s2)
+       |SELECT doc_id, ${hxDuck("scrubbed")} AS pii_hash,
+       |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(s, '[0-9]{7,}')) AS BIGINT) AS n_ids,
+       |  CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
+       |FROM s3 ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary size for [[textOov]]: BOUNDED by construction — the
+    * scale contract that justifies the broadcast below.
+    */
+  private val OovVocab = 16
+
+  /** Out-of-vocabulary quality scoring: build a bounded top-V
+    * vocabulary by global token frequency (count desc, token asc —
+    * deterministic at the cut), then score each doc by its OOV token
+    * share. Two passes over the corpus: the vocab pass ends in a
+    * TakeOrderedAndProject (per-partition top-V, merged — never a
+    * global sort), and the scoring pass joins exploded tokens against
+    * the V-row vocab — force-broadcast, bounded by construction like
+    * the IVF centroid dim. One doc_id shuffle for the final rollup.
+    */
+  def textOov(spark: SparkSession, dir: String): DataFrame = {
+    def tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(OovVocab)
+      .select(col("t").as("vt"))
+    tok.join(broadcast(vocab), col("t") === col("vt"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(when(col("vt").isNull, 1L).otherwise(0L)).cast(LongType).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("10000 * n_oov DIV n_tokens").as("oov_e4"))
+      .orderBy("doc_id")
+  }
+
+  def textOovSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       |vocab AS (SELECT t AS vt FROM (SELECT t, count(*) AS c FROM tok GROUP BY t ORDER BY c DESC, t LIMIT $OovVocab)),
+       |j AS (SELECT doc_id, vt FROM tok LEFT JOIN vocab ON t = vt)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  10000 * CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) // COUNT(*) AS oov_e4
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- dedup
 
   /** Exact dedup: hash-groupBy on the full text, keep the minimum
@@ -436,6 +527,8 @@ object TextOps {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_normalize" -> (textNormalize _),
+    "text_pii" -> (textPii _),
+    "text_oov" -> (textOov _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -447,6 +540,8 @@ object TextOps {
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_normalize" -> textNormalizeSql,
+    "text_pii" -> textPiiSql,
+    "text_oov" -> textOovSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,

@@ -576,6 +576,48 @@ object StreamImport {
         "error_information", "status")
       .orderBy("transfer_key")
 
+  // ------------------------------------------------------------ Dedup
+
+  /** Streaming exact dedup on (user_id, event_type) — the streaming
+    * mirror of the reference's first-write dedup guards
+    * (RecordParser.processVariable/processTask): emit each key once,
+    * drop every later duplicate. `dropDuplicates` keeps one state row
+    * PER DISTINCT KEY, the same cardinality the batch distinct
+    * shuffles — at 100 TB the state is bounded with a watermark
+    * (`withWatermark` + per-key expiry) and exactness is restored by
+    * the keyed idempotent sink: a key re-emitted after its state
+    * expired upserts onto its existing row, a no-op. The watermarked
+    * variant and that end-to-end property are pinned in StreamingSpec.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+
+  /** The BOUNDED-state variant: watermark + per-key expiry
+    * (`dropDuplicatesWithinWatermark`). State holds only keys younger
+    * than the horizon — the 100 TB shape — at the cost of re-emitting
+    * a key whose duplicates straddle an expired horizon; the keyed
+    * idempotent sink absorbs the re-emission (upsert onto the existing
+    * row), restoring exact end-to-end semantics. StreamingSpec pins
+    * both halves (re-emission happens; the sink collapses it).
+    */
+  def dedupStreamBounded(events: DataFrame, horizon: String): DataFrame =
+    events.select(col("user_id"), col("event_type"),
+      timestamp_millis(col("ts_ms")).as("ts"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+
+  /** Driver-checked streaming dedup — oracle = batch SELECT DISTINCT. */
+  def runDedupToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events =>
+      dedupStream(events)
+        .withColumn("dedup_key", concat(col("user_id"), lit("_"), col("event_type")))
+        .withColumn("tenant", concat(lit("t"), col("user_id") % 10)),
+      "dedup_key")
+      .select("user_id", "event_type")
+      .orderBy("user_id", "event_type")
+
   // --------------------------------------------------------- plumbing
 
   /** Shared end-to-end runner: stream the sf dir's events file through
@@ -633,12 +675,16 @@ object StreamImport {
     "stream_import" -> (runToCompletion _),
     "stream_txnreq" -> (runTxnreqToCompletion _),
     "stream_batches" -> (runBatchesToCompletion _),
-    "stream_wide" -> (runWideToCompletion _))
+    "stream_wide" -> (runWideToCompletion _),
+    "stream_dedup" -> (runDedupToCompletion _))
 
   /** Streaming paths answer the SAME oracles as the batch entities. */
   def oracles: Map[String, String] = Map(
     "stream_import" -> graft.operators.ImporterCore.impEntityTransfersSql,
     "stream_txnreq" -> graft.operators.ImporterCore.impEntityTxnreqSql,
     "stream_batches" -> graft.operators.ImporterCore.impEntityBatchesSql,
-    "stream_wide" -> graft.operators.ImporterCore.impEntityWideSql)
+    "stream_wide" -> graft.operators.ImporterCore.impEntityWideSql,
+    "stream_dedup" ->
+      """SELECT user_id, event_type FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

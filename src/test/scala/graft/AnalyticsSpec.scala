@@ -29,6 +29,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.length <= 5)
   }
 
+  test("q7_volume returns nation-pair rows restricted to the filter pair") {
+    val rows = Analytics.q7Volume(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pair = Set("NATION_3", "NATION_7")
+    assert(rows.forall(r => pair.contains(r.getAs[String]("supp_nation")) &&
+      pair.contains(r.getAs[String]("cust_nation")) &&
+      r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation")))
+    assert(rows.forall(r => (1995L to 1997L).contains(r.getAs[Long]("l_year"))))
+  }
+
+  test("q9_profit has one row per (nation, year) and only fixed dims broadcast") {
+    val df = Analytics.q9Profit(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year"))).distinct.length == rows.length)
+    // the only FORCED broadcast is nation; part/supplier/customer must
+    // stay AQE-decided (no hint in the logical plan)
+    val logical = df.queryExecution.logical.toString
+    val hints = "UnresolvedHint BROADCAST".r.findAllIn(logical).size +
+      "ResolvedHint".r.findAllIn(logical).size
+    assert(hints <= 1, s"expected <=1 broadcast hint (nation), got $hints:\n$logical")
+  }
+
   test("q_window_topn keeps at most 3 events per user") {
     val df = Analytics.qWindowTopN(spark, sfDir)
     val worst = df.groupBy("user_id").count().agg(max("count")).head.getLong(0)

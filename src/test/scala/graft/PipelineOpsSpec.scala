@@ -18,6 +18,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_pii scrubs every email/phone/id-run and counts them") {
+    val rows = TextOps.textPii(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every synthesized contact tail carries exactly one of each class
+    assert(rows.forall(_.getAs[Long]("n_emails") == 1L))
+    assert(rows.forall(_.getAs[Long]("n_phones") == 1L))
+    assert(rows.forall(_.getAs[Long]("n_ids") == 1L))
+    // and the scrubbed text retains none of the raw PII shapes
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sfDir)
+    val leftover = docs
+      .withColumn("raw", expr("concat(text, ' contact user', doc_id, " +
+        "'@mail.example.com or +1-202-555-', lpad(cast(doc_id % 10000 as string), 4, '0'), " +
+        "' ref ', cast(doc_id + 10000000 as string))"))
+      .withColumn("s1", expr("regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>')"))
+      .withColumn("s2", expr("regexp_replace(s1, '\\\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>')"))
+      .withColumn("scrubbed", expr("regexp_replace(s2, '[0-9]{7,}', '<ID>')"))
+      .filter(col("scrubbed").contains("@") ||
+        expr("scrubbed rlike '[0-9]{7,}'"))
+      .count()
+    assert(leftover == 0)
+  }
+
+  test("text_oov: scores are bounded and deterministic across re-runs") {
+    val a = TextOps.textOov(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(r => r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens")))
+    assert(a.forall(r => (0L to 10000L).contains(r.getAs[Long]("oov_e4"))))
+    val b = TextOps.textOov(spark, sfDir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "vocab cut must be deterministic (count desc, token asc)")
+  }
+
   test("graft_hash60 is bit-identical to the md5-hex/conv formulation") {
     graft.functions.GraftFunctions.register(spark)
     val mismatches = Tables.documents(spark, sfDir)

@@ -122,6 +122,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_dedup over micro-batches equals batch DISTINCT") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    val stream = MemoryStream[Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString + "/t"
+    val q = StreamImport.dedupStream(stream.toDF())
+      .withColumn("dedup_key", concat(col("user_id"), lit("_"), col("event_type")))
+      .withColumn("tenant", concat(lit("t"), col("user_id") % 10))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_dedupchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "dedup_key")
+      }
+      .start()
+    recs.grouped(math.max(recs.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("user_id", "event_type").orderBy("user_id", "event_type").collect()
+    val batch = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
+  }
+
+  test("bounded-state dedup: horizon expiry re-emits, keyed sink collapses it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_dedupw_").toString + "/t"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val t0 = 1700000000000L
+    val q = StreamImport.dedupStreamBounded(stream.toDF(), "5 minutes")
+      .withColumn("dedup_key", concat(col("user_id"), lit("_"), col("event_type")))
+      .withColumn("tenant", concat(lit("t"), col("user_id") % 10))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_dedupwchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted ++= b.select("user_id", "event_type").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        TenantUpsertSink.upsert(sinkDir, b, "dedup_key")
+      }
+      .start()
+    def feed(rs: Rec*): Unit = { stream.addData(rs.toIndexedSeq); q.processAllAvailable() }
+    feed(mkRec(1, t0, 1, "click"))                       // first write: emitted
+    feed(mkRec(2, t0 + 60000, 1, "click"),               // dup within horizon: dropped
+      mkRec(3, t0 + 60000, 2, "view"))                   // new key: emitted
+    feed(mkRec(4, t0 + 7200000, 3, "error"))             // advances the watermark 2h
+    feed(mkRec(5, t0 + 7200000, 1, "click"))             // state expired: RE-emitted
+    q.stop()
+    assert(emitted.count(_ == (1L, "click")) == 2,
+      s"expected the expired key to re-emit once, got $emitted")
+    // the keyed idempotent sink absorbs the re-emission: exactly one
+    // row per distinct key survives end-to-end
+    val rows = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("user_id", "event_type").orderBy("user_id", "event_type").collect()
+    assert(rows.map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "click"), Seq(2L, "view"), Seq(3L, "error")))
+  }
+
   test("upsert sink: latest batch wins per key, tenant partitions routed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert2_").toString + "/t"
