@@ -118,35 +118,32 @@ object GraftFunctions {
     MinHashK(children.head, a, b, MinhashP)
   }
 
+  /** THE canonical function table — one list drives BOTH registration
+    * paths (the programmatic [[register]] and the
+    * `spark.sql.extensions` hook in [[GraftExtensions]]), so the two
+    * surfaces can never diverge on a builder.
+    */
+  private[functions] val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("long_dot", classOf[LongDot], c => LongDot(c.head, c(1))),
+    ("graft_hash60", classOf[Hash60], c => Hash60(c.head)),
+    ("graft_simhash32", classOf[SimHash32], c => SimHash32(c.head)),
+    ("graft_minhash8", classOf[MinHashK],
+      c => MinHashK(c.head, MinhashA, MinhashB, MinhashP)),
+    ("graft_minhash", classOf[MinHashK], minhashBuilder _),
+    ("graft_hash60_all", classOf[Hash60All], c => Hash60All(c.head)),
+    ("graft_xorfold", classOf[XorFold], c => XorFold(c.head)))
+
+  /** Idempotent: a name already present (an earlier register() call,
+    * or the extensions hook in a `spark.sql.extensions` session) is
+    * left in place — same builders by construction, and skipping
+    * avoids the per-session replaced-function WARN spam in gate logs.
+    */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.registerFunction(
-      FunctionIdentifier("long_dot"),
-      new ExpressionInfo(classOf[LongDot].getName, "long_dot"),
-      (children: Seq[Expression]) => LongDot(children.head, children(1)))
-    registry.registerFunction(
-      FunctionIdentifier("graft_simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
-      (children: Seq[Expression]) => SimHash32(children.head))
-    registry.registerFunction(
-      FunctionIdentifier("graft_hash60"),
-      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
-      (children: Seq[Expression]) => Hash60(children.head))
-    registry.registerFunction(
-      FunctionIdentifier("graft_minhash8"),
-      new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash8"),
-      (children: Seq[Expression]) => MinHashK(children.head, MinhashA, MinhashB, MinhashP))
-    registry.registerFunction(
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash"),
-      minhashBuilder _)
-    registry.registerFunction(
-      FunctionIdentifier("graft_hash60_all"),
-      new ExpressionInfo(classOf[Hash60All].getName, "graft_hash60_all"),
-      (children: Seq[Expression]) => Hash60All(children.head))
-    registry.registerFunction(
-      FunctionIdentifier("graft_xorfold"),
-      new ExpressionInfo(classOf[XorFold].getName, "graft_xorfold"),
-      (children: Seq[Expression]) => XorFold(children.head))
+    all.foreach { case (name, clazz, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, new ExpressionInfo(clazz.getName, name), builder)
+    }
   }
 }

@@ -576,6 +576,55 @@ object StreamImport {
         "error_information", "status")
       .orderBy("transfer_key")
 
+  // ------------------------------------------------------- Window agg
+
+  /** Tumbling-window aggregation over event time — the third core
+    * streaming shape next to the keyed folds and the dedup: per
+    * (event_type, 1 h window), count + exact decimal sum, refreshed
+    * per micro-batch in update mode and upserted by window key.
+    *
+    * The driver-checked query runs UN-watermarked: every window stays
+    * in state, so the result is exact under ANY micro-batch split —
+    * the same contract as the batch groupBy it answers the oracle
+    * with. The 100 TB posture adds a watermark
+    * ([[windowStreamBounded]]): state holds only windows younger than
+    * the horizon, at the documented cost of DROPPING rows that arrive
+    * later than it (StreamingSpec pins exactly that semantics).
+    */
+  def windowStream(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+      timestamp_millis(col("ts_ms")).as("ts"), col("value"))
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(graft.functions.Portable.dec2(col("value"))).as("sv"))
+
+  /** Bounded-state variant: windows older than the horizon are evicted
+    * and later arrivals for them dropped.
+    */
+  def windowStreamBounded(events: DataFrame, horizon: String): DataFrame =
+    events.select(col("event_type"),
+      timestamp_millis(col("ts_ms")).as("ts"), col("value"))
+      .withWatermark("ts", horizon)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(graft.functions.Portable.dec2(col("value"))).as("sv"))
+
+  /** Driver-checked streaming window aggregate — oracle = the batch
+    * hour-bucket groupBy.
+    */
+  def runWindowToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events =>
+      windowStream(events)
+        .select(col("event_type"),
+          expr("unix_millis(window.start) div 3600000").as("window_h"),
+          col("n"),
+          graft.functions.Portable.moneyStr(col("sv")).as("sum_value"))
+        .withColumn("wkey", concat(col("event_type"), lit("_"), col("window_h")))
+        .withColumn("tenant", col("event_type")),
+      "wkey")
+      .select("event_type", "window_h", "n", "sum_value")
+      .orderBy("event_type", "window_h")
+
   // ------------------------------------------------------------ Dedup
 
   /** Streaming exact dedup on (user_id, event_type) — the streaming
@@ -676,7 +725,8 @@ object StreamImport {
     "stream_txnreq" -> (runTxnreqToCompletion _),
     "stream_batches" -> (runBatchesToCompletion _),
     "stream_wide" -> (runWideToCompletion _),
-    "stream_dedup" -> (runDedupToCompletion _))
+    "stream_dedup" -> (runDedupToCompletion _),
+    "stream_window" -> (runWindowToCompletion _))
 
   /** Streaming paths answer the SAME oracles as the batch entities. */
   def oracles: Map[String, String] = Map(
@@ -686,5 +736,10 @@ object StreamImport {
     "stream_wide" -> graft.operators.ImporterCore.impEntityWideSql,
     "stream_dedup" ->
       """SELECT user_id, event_type FROM events
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_window" ->
+      """SELECT event_type, epoch_ms(ts) // 3600000 AS window_h,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

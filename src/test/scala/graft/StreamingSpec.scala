@@ -188,6 +188,73 @@ class StreamingSpec extends SparkSpec {
       Seq(Seq(1L, "click"), Seq(2L, "view"), Seq(3L, "error")))
   }
 
+  test("stream_window over micro-batches equals the batch hour buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    val stream = MemoryStream[Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_win_").toString + "/t"
+    val q = StreamImport.windowStream(stream.toDF())
+      .select(col("event_type"),
+        expr("unix_millis(window.start) div 3600000").as("window_h"),
+        col("n"), graft.functions.Portable.moneyStr(col("sv")).as("sum_value"))
+      .withColumn("wkey", concat(col("event_type"), lit("_"), col("window_h")))
+      .withColumn("tenant", col("event_type"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_winchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "wkey")
+      }
+      .start()
+    recs.grouped(math.max(recs.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("event_type", "window_h", "n", "sum_value")
+      .orderBy("event_type", "window_h").collect()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_ms div 3600000").as("window_h"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        graft.functions.Portable.moneyStr(
+          sum(graft.functions.Portable.dec2(col("value")))).as("sum_value"))
+      .orderBy("event_type", "window_h").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
+  }
+
+  test("bounded-state window agg: rows later than the watermark horizon are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Rec]
+    val out = scala.collection.mutable.Map.empty[(String, Long), (Long, String)]
+    val t0 = 1700000000000L // window-aligned enough: any fixed epoch
+    val q = StreamImport.windowStreamBounded(stream.toDF(), "30 minutes")
+      .select(col("event_type"),
+        expr("unix_millis(window.start) div 3600000").as("window_h"),
+        col("n"), graft.functions.Portable.moneyStr(col("sv")).as("sum_value"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_winwchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out((r.getString(0), r.getLong(1))) =
+          (r.getAs[Long]("n"), r.getAs[String]("sum_value")))
+      }
+      .start()
+    def feed(rs: Rec*): Unit = { stream.addData(rs.toIndexedSeq); q.processAllAvailable() }
+    feed(mkRec(1, t0, 1, "click", value = 10.0))
+    // advance the watermark far past t0's window + horizon
+    feed(mkRec(2, t0 + 4 * 3600000, 2, "click", value = 1.0))
+    // late arrival for the EVICTED window: dropped, aggregate unchanged
+    feed(mkRec(3, t0 + 1000, 3, "click", value = 99.0))
+    q.stop()
+    val h0 = (t0 / 3600000)
+    assert(out(("click", h0)) == ((1L, "10.00")),
+      s"late row must be dropped by the watermark, got ${out(("click", h0))}")
+  }
+
   test("upsert sink: latest batch wins per key, tenant partitions routed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert2_").toString + "/t"
