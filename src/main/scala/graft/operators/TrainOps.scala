@@ -208,15 +208,49 @@ object TrainOps {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic train/val/test holdout split (90/5/5 by salted hash
+    * bucket). The assignment is a pure function of the doc id ALONE —
+    * independent of corpus composition — so growing the corpus,
+    * re-running, or backfilling NEVER moves an existing doc across the
+    * split boundary (the leakage guarantee rank- or rand()-based
+    * splits lose: a doc that was ever in test stays in test).
+    * Row-local, zero shuffles before the presentation sort;
+    * spec-pinned subset-stability property.
+    */
+  def pipeSplit(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("h_e4", expr(s"${saltedHash("split|")} % 10000"))
+      .withColumn("split",
+        when(col("h_e4") < 9000, "train")
+          .when(col("h_e4") < 9500, "val")
+          .otherwise("test"))
+      .select("doc_id", "split", "h_e4")
+      .orderBy("doc_id")
+  }
+
+  def pipeSplitSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, ${saltedHashDuck("split|")} % 10000 AS h_e4
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN h_e4 < 9000 THEN 'train'
+       |       WHEN h_e4 < 9500 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  h_e4
+       |FROM h ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample" -> (pipeSample _),
     "pipe_pack" -> (pipePack _),
     "pipe_mix" -> (pipeMix _),
-    "pipe_shuffle" -> (pipeShuffle _))
+    "pipe_shuffle" -> (pipeShuffle _),
+    "pipe_split" -> (pipeSplit _))
 
   def oracles: Map[String, String] = Map(
     "pipe_sample" -> pipeSampleSql,
     "pipe_pack" -> pipePackSql,
     "pipe_mix" -> pipeMixSql,
-    "pipe_shuffle" -> pipeShuffleSql)
+    "pipe_shuffle" -> pipeShuffleSql,
+    "pipe_split" -> pipeSplitSql)
 }

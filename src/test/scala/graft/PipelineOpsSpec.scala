@@ -51,6 +51,27 @@ class PipelineOpsSpec extends SparkSpec {
       "vocab cut must be deterministic (count desc, token asc)")
   }
 
+  test("pipe_split: partitions are exhaustive, disjoint and subset-stable") {
+    import graft.operators.TrainOps
+    val full = TrainOps.pipeSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(full.nonEmpty)
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(full.size == Tables.documents(spark, sfDir).count())
+    // the no-leakage property: computing the split over a SUBSET of the
+    // corpus assigns every surviving doc the same way (assignment is a
+    // pure function of the id, not of corpus composition)
+    val half = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_split_").toString
+    half.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val sub = TrainOps.pipeSplit(spark, dir2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(sub.nonEmpty)
+    sub.foreach { case (id, s) => assert(full(id) == s,
+      s"doc $id moved from ${full(id)} to $s when the corpus shrank") }
+  }
+
   test("graft_hash60 is bit-identical to the md5-hex/conv formulation") {
     graft.functions.GraftFunctions.register(spark)
     val mismatches = Tables.documents(spark, sfDir)
