@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * graft's native expressions registered.
   */
 object Graft {
+
+  /** Comma-separated query-name filter from an env var — the shared
+    * parse behind the Bench/Verify isolation filters. Empty or
+    * blank-only values mean "no filter" (a lone "" must not silently
+    * select zero queries).
+    */
+  def nameFilter(env: String): Option[Set[String]] =
+    sys.env.get(env)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+
   def session(master: String = "local[32]",
       shufflePartitions: Int = 32,
       appName: String = "graft"): SparkSession = {

@@ -13,8 +13,7 @@ object Verify {
     // optional isolation filter (comma-separated names) mirroring the
     // bench's — lets one query's dump be refreshed without re-running
     // the whole sweep; the driver leaves it unset (full dump)
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    val only = Graft.nameFilter("SPARK_GRAFT_VERIFY_ONLY")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -133,16 +133,21 @@ object GraftFunctions {
     ("graft_hash60_all", classOf[Hash60All], c => Hash60All(c.head)),
     ("graft_xorfold", classOf[XorFold], c => XorFold(c.head)))
 
-  /** Idempotent: a name already present (an earlier register() call,
-    * or the extensions hook in a `spark.sql.extensions` session) is
-    * left in place — same builders by construction, and skipping
-    * avoids the per-session replaced-function WARN spam in gate logs.
+  /** Idempotent for OUR functions: a name already registered with
+    * graft's expression class (an earlier register() call, or the
+    * extensions hook in a `spark.sql.extensions` session) is left in
+    * place — same builders by construction, and skipping avoids the
+    * per-session replaced-function WARN spam in gate logs. A FOREIGN
+    * function squatting on the name (e.g. a consumer UDF called
+    * `long_dot`) is still overwritten, exactly as before — graft
+    * operators must never silently resolve to someone else's builder.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, clazz, builder) =>
       val id = FunctionIdentifier(name)
-      if (!registry.functionExists(id))
+      val ours = registry.lookupFunction(id).exists(_.getClassName == clazz.getName)
+      if (!ours)
         registry.registerFunction(id, new ExpressionInfo(clazz.getName, name), builder)
     }
   }

@@ -207,28 +207,36 @@ object TextOps {
     * zero shuffle; patterns stay in the RE2-compatible subset (no
     * lookaround, no backrefs) so Java and DuckDB agree match-for-match.
     */
-  def textPii(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
-    val phone = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
-    val idRun = "[0-9]{7,}"
-    // inside a SQL string literal the parser consumes one level of
-    // backslash escaping — double it for the expr()-embedded copies
-    val phoneSql = phone.replace("\\", "\\\\")
+  private val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+  private val PiiPhone = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val PiiIdRun = "[0-9]{7,}"
+
+  /** The scrub pipeline with its intermediates — [[textPii]] projects
+    * the gate columns off it; tests assert the no-leftover property on
+    * the `scrubbed` column DIRECTLY (not on a re-derived copy).
+    */
+  def textPiiScrubbed(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("raw", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-202-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" ref "), (col("doc_id") + lit(10000000L)).cast("string")))
-      .withColumn("s1", regexp_replace(col("raw"), email, "<EMAIL>"))
-      .withColumn("s2", regexp_replace(col("s1"), phone, "<PHONE>"))
-      .withColumn("scrubbed", regexp_replace(col("s2"), idRun, "<ID>"))
+      .withColumn("s1", regexp_replace(col("raw"), PiiEmail, "<EMAIL>"))
+      .withColumn("s2", regexp_replace(col("s1"), PiiPhone, "<PHONE>"))
+      .withColumn("scrubbed", regexp_replace(col("s2"), PiiIdRun, "<ID>"))
+
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // inside a SQL string literal the parser consumes one level of
+    // backslash escaping — double it for the expr()-embedded copies
+    val phoneSql = PiiPhone.replace("\\", "\\\\")
+    textPiiScrubbed(spark, dir)
       .select(
         col("doc_id"),
         expr(hx("scrubbed")).as("pii_hash"),
-        size(expr(s"regexp_extract_all(raw, '$email', 0)")).cast(LongType).as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '$PiiEmail', 0)")).cast(LongType).as("n_emails"),
         size(expr(s"regexp_extract_all(raw, '$phoneSql', 0)")).cast(LongType).as("n_phones"),
-        size(expr(s"regexp_extract_all(s2, '$idRun', 0)")).cast(LongType).as("n_ids"),
+        size(expr(s"regexp_extract_all(s2, '$PiiIdRun', 0)")).cast(LongType).as("n_ids"),
         length(col("scrubbed")).cast(LongType).as("scrubbed_len"))
       .orderBy("doc_id")
   }

@@ -25,16 +25,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_emails") == 1L))
     assert(rows.forall(_.getAs[Long]("n_phones") == 1L))
     assert(rows.forall(_.getAs[Long]("n_ids") == 1L))
-    // and the scrubbed text retains none of the raw PII shapes
+    // and the OPERATOR'S OWN scrubbed column retains none of the raw
+    // PII shapes (asserted on textPiiScrubbed, not a re-derived copy —
+    // a drifted pattern in the operator must fail here)
     import org.apache.spark.sql.functions.{col, expr}
-    val docs = Tables.documents(spark, sfDir)
-    val leftover = docs
-      .withColumn("raw", expr("concat(text, ' contact user', doc_id, " +
-        "'@mail.example.com or +1-202-555-', lpad(cast(doc_id % 10000 as string), 4, '0'), " +
-        "' ref ', cast(doc_id + 10000000 as string))"))
-      .withColumn("s1", expr("regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>')"))
-      .withColumn("s2", expr("regexp_replace(s1, '\\\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>')"))
-      .withColumn("scrubbed", expr("regexp_replace(s2, '[0-9]{7,}', '<ID>')"))
+    val leftover = TextOps.textPiiScrubbed(spark, sfDir)
       .filter(col("scrubbed").contains("@") ||
         expr("scrubbed rlike '[0-9]{7,}'"))
       .count()
