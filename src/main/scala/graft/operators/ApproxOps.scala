@@ -88,9 +88,78 @@ object ApproxOps {
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
   }
 
+  /** Misra-Gries counter budget per partition. The union of
+    * per-partition MG(k) candidate sets PROVABLY contains every item
+    * with global frequency > n/k (if count(t) > Σ n_p/k, then
+    * count_p(t) > n_p/k for some p, and MG(k) never evicts such an
+    * item) — so with a final threshold of n/50 > n/64, candidate
+    * pruning loses nothing. Spec-pinned against the naive groupBy.
+    */
+  val TopkCounters = 64
+
+  /** Heavy hitters (tokens with ≥ 2% of all token mass) by the
+    * two-pass sketch pattern a 100 TB corpus needs:
+    *
+    *   pass 1 — per-partition Misra-Gries summaries (row-local
+    *   `mapPartitions`, NO shuffle of the raw tokens), emitting a
+    *   candidate set bounded by counters × partitions;
+    *   pass 2 — exact counts of the candidates only (the token stream
+    *   is pruned by a broadcast semi-join against the bounded
+    *   candidate list before the only groupBy).
+    *
+    * The approximation is INTERNAL: MG only prunes, the verify pass is
+    * exact, so the output is bit-identical to the naive full groupBy —
+    * which is exactly what the DuckDB oracle computes. What scale buys:
+    * the shuffled aggregate sees only candidate rows, not the full
+    * token multiset (vocabularies at corpus scale are heavy-tailed;
+    * the naive groupBy shuffles every distinct token).
+    */
+  def sketchTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def tok = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val candidates = tok.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < TopkCounters) counters(t) = 1L
+        else {
+          // decrement-all: every counter loses one; zeros evict
+          val dead = List.newBuilder[String]
+          counters.keysIterator.foreach { key =>
+            val v = counters(key) - 1L
+            if (v == 0L) dead += key else counters(key) = v
+          }
+          dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("t").distinct()
+    val total = tok.agg(count(lit(1)).as("n"))
+    tok.join(broadcast(candidates), "t") // bounded: counters × partitions
+      .groupBy("t").agg(count(lit(1)).cast(LongType).as("c"))
+      .crossJoin(broadcast(total)) // one row
+      .filter(col("c") * 50 >= col("n")) // c ≥ n/50, integer-exact
+      .select(col("t"), col("c"))
+      .orderBy("t")
+  }
+
+  /** The oracle is the NAIVE exact computation — the MG pruning must
+    * be invisible in the result.
+    */
+  def sketchTopkSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM tok)
+      |SELECT t, COUNT(*) AS c
+      |FROM tok, n GROUP BY t, n.n
+      |HAVING COUNT(*) * 50 >= n
+      |ORDER BY t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_hll" -> (sketchHll _))
+    "sketch_hll" -> (sketchHll _),
+    "sketch_topk" -> (sketchTopk _))
 
   def oracles: Map[String, String] = Map(
-    "sketch_hll" -> sketchHllSql)
+    "sketch_hll" -> sketchHllSql,
+    "sketch_topk" -> sketchTopkSql)
 }

@@ -39,6 +39,22 @@ class ApproxOpsSpec extends SparkSpec {
       s"merged estimate $est vs exact $globalExact exceeds 15%")
   }
 
+  test("sketch_topk equals the naive exact heavy-hitter computation") {
+    import org.apache.spark.sql.functions._
+    val sketched = ApproxOps.sketchTopk(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("c"))
+    assert(sketched.nonEmpty, "no heavy hitters at the 2% threshold — vacuous")
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val n = tok.count()
+    val naive = tok.groupBy("t").agg(count(lit(1)).cast("long").as("c"))
+      .filter(col("c") * 50 >= n)
+      .orderBy("t").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("c"))
+    assert(sketched.sameElements(naive),
+      "Misra-Gries pruning changed the result — the candidate set lost a true heavy hitter")
+  }
+
   test("sketch_hll plan: one hash shuffle, register-bounded output") {
     val df = ApproxOps.sketchHll(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
