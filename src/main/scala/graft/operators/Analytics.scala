@@ -220,6 +220,40 @@ object Analytics {
       |WHERE p_type = 'PROMO'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** TPC-H Q18 shape: aggregate → filter → join back. The HAVING-style
+    * quantity gate runs FIRST (one groupBy on orderkey), shrinking the
+    * probe side before any join; the join back to orders is on the
+    * SAME key the aggregate just partitioned by, so the exchange is
+    * reused, and the big-order key set scales with the corpus —
+    * AQE-decided, never hinted.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("_q"))
+      .filter(col("_q") > lit(150).cast("decimal(18,2)"))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        moneyStr(col("_q")).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  def q18LargeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |SELECT c_custkey, o_orderkey,
+      |  STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(CAST(q AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Per-user top-3 events by value: one window shuffle on user_id. */
   def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -461,6 +495,7 @@ object Analytics {
     "q5_regional" -> (q5Regional _),
     "q7_volume" -> (q7Volume _),
     "q9_profit" -> (q9Profit _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_sessionize" -> (qSessionize _),
@@ -478,6 +513,7 @@ object Analytics {
     "q5_regional" -> q5RegionalSql,
     "q7_volume" -> q7VolumeSql,
     "q9_profit" -> q9ProfitSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_sessionize" -> qSessionizeSql,

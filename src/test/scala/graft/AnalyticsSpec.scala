@@ -52,6 +52,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(hints <= 1, s"expected <=1 broadcast hint (nation), got $hints:\n$logical")
   }
 
+  test("q18_large_orders keeps only above-threshold orders, no forced hints") {
+    val df = Analytics.q18LargeOrders(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => BigDecimal(r.getAs[String]("sum_qty")) > 150))
+    assert(rows.map(_.getAs[Long]("o_orderkey")).distinct.length == rows.length)
+    val logical = df.queryExecution.logical.toString
+    assert(!logical.contains("UnresolvedHint") && !logical.contains("ResolvedHint"),
+      s"q18 must leave join strategies to AQE:\n$logical")
+  }
+
   test("q_window_topn keeps at most 3 events per user") {
     val df = Analytics.qWindowTopN(spark, sfDir)
     val worst = df.groupBy("user_id").count().agg(max("count")).head.getLong(0)
