@@ -315,6 +315,12 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lloydRecall > seedRecall,
       s"one Lloyd step should lift recall: seeds=$seedRecall lloyd=$lloydRecall")
     assert(lloydRecall >= 0.95, s"refined cells should be near-exact here: $lloydRecall")
+    // multi-iteration composes the same step: on this well-separated
+    // corpus the assignment is already stable after one step, so more
+    // iterations must not DEGRADE it (monotone-safety of the loop)
+    val lloyd3Recall = recall(topSets(VectorOps.annIvfOf(quantFrame(), clusters, 1, 3, lloydIters = 3)))
+    assert(lloyd3Recall >= lloydRecall,
+      s"extra Lloyd iterations degraded recall: 1-iter=$lloydRecall 3-iter=$lloyd3Recall")
   }
 
   test("dedup_embed pairs all meet the cosine threshold and are canonical") {
