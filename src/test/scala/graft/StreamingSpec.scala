@@ -122,6 +122,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_import recovers from its checkpoint across a restart") {
+    // the production restart path: run 1 processes half the corpus and
+    // stops; run 2 is a NEW query on the SAME checkpoint that must
+    // (a) recover the per-key fold state from the state store,
+    // (b) skip the files run 1 already committed, and
+    // (c) land the union result through the idempotent sink —
+    // final table == the batch entity over the full corpus.
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+      .sortBy(_.event_id)
+    val (first, second) = recs.splitAt(recs.length / 2)
+    val work = java.nio.file.Files.createTempDirectory("graft_restart_").toString
+    val inDir = s"$work/in"
+    val chkDir = s"$work/chk"
+    val sinkDir = s"$work/sink"
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.createDataset(recs.toIndexedSeq).toDF().schema)
+        .parquet(inDir)
+      val q = StreamImport.transfersStream(stream).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", chkDir)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          TenantUpsertSink.upsert(sinkDir, b, "transfer_key")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.createDataset(first.toIndexedSeq).toDF()
+      .write.mode("overwrite").parquet(inDir)
+    runOnce() // run 1: half the corpus, then the query STOPS
+    spark.createDataset(second.toIndexedSeq).toDF()
+      .write.mode("append").parquet(inDir)
+    runOnce() // run 2: fresh query, same checkpoint — resumes, not reprocesses
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("transfer_key", "tenant", "started_ms", "completed_ms",
+        "amount", "last_click_value", "status", "n_events")
+      .orderBy("transfer_key").collect()
+    val batch = ImporterCore.impEntityTransfers(spark, sfDir)
+      .select("transfer_key", "tenant", "started_ms", "completed_ms",
+        "amount", "last_click_value", "status", "n_events")
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq,
+        s"key ${s.get(0)}: restarted-stream=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_dedup over micro-batches equals batch DISTINCT") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
