@@ -295,6 +295,45 @@ object TextOps {
        |  10000 * CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) // COUNT(*) AS oov_e4
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM fluency scoring — the n-gram-model quality filter: a
+    * doc scores by the share of its bigrams that are "known" (carry at
+    * least 0.1% of the corpus' total bigram mass). The RELATIVE
+    * threshold makes the model scale-invariant AND bounds it
+    * mathematically: at most 1000 bigrams can each hold ≥ 1/1000 of
+    * the mass, so the model side of the scoring join is a ≤ 1000-row
+    * broadcast BY CONSTRUCTION — the unbounded-vocabulary counterpart
+    * of [[textOov]]'s fixed top-V cut. Model build is one shuffled
+    * bigram groupBy; scoring is broadcast-join + one doc_id rollup.
+    */
+  def textBigram(spark: SparkSession, dir: String): DataFrame = {
+    def bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("b"))
+    val total = bg.agg(count(lit(1)).as("nb"))
+    val model = bg.groupBy("b").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(total)) // one row
+      .filter(col("c") * 1000 >= col("nb"))
+      .select(col("b"), lit(1L).as("hit"))
+    bg.join(broadcast(model), Seq("b"), "left") // ≤ 1000 rows by construction
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_known"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        expr("10000 * n_known DIV n_bigrams").as("fluency_e4"))
+      .orderBy("doc_id")
+  }
+
+  def textBigramSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS b FROM tok),
+      |model AS (SELECT b FROM bg GROUP BY b
+      |          HAVING COUNT(*) * 1000 >= (SELECT COUNT(*) FROM bg)),
+      |j AS (SELECT bg.doc_id, CASE WHEN model.b IS NULL THEN 0 ELSE 1 END AS hit
+      |      FROM bg LEFT JOIN model ON bg.b = model.b)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(hit) AS BIGINT) AS n_known,
+      |  10000 * CAST(SUM(hit) AS BIGINT) // COUNT(*) AS fluency_e4
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- dedup
 
   /** Exact dedup: hash-groupBy on the full text, keep the minimum
@@ -537,6 +576,7 @@ object TextOps {
     "text_normalize" -> (textNormalize _),
     "text_pii" -> (textPii _),
     "text_oov" -> (textOov _),
+    "text_bigram" -> (textBigram _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -550,6 +590,7 @@ object TextOps {
     "text_normalize" -> textNormalizeSql,
     "text_pii" -> textPiiSql,
     "text_oov" -> textOovSql,
+    "text_bigram" -> textBigramSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,

@@ -36,6 +36,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(leftover == 0)
   }
 
+  test("text_bigram: scores bounded, known <= total, model bounded by construction") {
+    import graft.operators.TextOps
+    val rows = TextOps.textBigram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    assert(rows.forall(r => r.getAs[Long]("n_known") <= r.getAs[Long]("n_bigrams")))
+    assert(rows.forall(r => (0L to 10000L).contains(r.getAs[Long]("fluency_e4"))))
+    // the >= 0.1%-of-mass cut can admit at most 1000 bigrams — the
+    // bound that justifies the broadcast scoring join
+    val model = Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        "transform(sequence(0, greatest(size(split(text,' ')) - 2, 0)), " +
+          "i -> concat_ws(' ', slice(split(text,' '), i + 1, 2)))")).as("b"))
+      .groupBy("b").count()
+    val total = model.agg(sum("count")).head.getLong(0)
+    val kept = model.filter(col("count") * 1000 >= total).count()
+    assert(kept <= 1000, s"model exceeded its mathematical bound: $kept")
+  }
+
   test("text_oov: scores are bounded and deterministic across re-runs") {
     val a = TextOps.textOov(spark, sfDir).collect()
     assert(a.nonEmpty)
