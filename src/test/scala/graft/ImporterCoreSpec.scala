@@ -134,6 +134,16 @@ class ImporterCoreSpec extends SparkSpec {
     assert(between.filter(col("started_ms") < 1704672000000L).count() == 0)
   }
 
+  test("imp_entity_incremental: merged slice states equal the full recompute") {
+    val full = ImporterCore.impEntityTransfers(spark, sfDir).collect()
+    val inc = ImporterCore.impEntityIncremental(spark, sfDir).collect()
+    assert(inc.length == full.length)
+    inc.zip(full).foreach { case (i, f) =>
+      assert(i.toSeq == f.toSeq,
+        s"key ${i.get(0)}: incremental=${i.toSeq} full=${f.toSeq}")
+    }
+  }
+
   test("specs predicates reach a parquet-backed entity scan as PushedFilters") {
     // q_specs_* filter a derived aggregate, so nothing can reach a
     // scan there; the reference's Specification→WHERE pushdown claim
