@@ -385,7 +385,7 @@ object ImporterCore {
     * un-coalesced (nulls = "no contribution yet") so the merge stays
     * a plain re-aggregation.
     */
-  private def transferStateOf(events: DataFrame): DataFrame = {
+  private[graft] def transferStateOf(events: DataFrame): DataFrame = {
     val isFatal = col("event_type") === "error" &&
       get_json_object(col("props"), "$.k").cast(LongType) >= 90
     events.groupBy(col("user_id")).agg(
@@ -432,7 +432,7 @@ object ImporterCore {
   }
 
   /** Merge partial states: the SAME monoid operators re-applied. */
-  private def mergeTransferState(states: DataFrame): DataFrame =
+  private[graft] def mergeTransferState(states: DataFrame): DataFrame =
     states.groupBy("user_id").agg(
       min("s_min").as("s_min"), max("c_max").as("c_max"),
       sum("amt").as("amt"), max("click_pick").as("click_pick"),
@@ -443,7 +443,7 @@ object ImporterCore {
     * columns, same rendering; the shared oracle pins the two paths
     * together).
     */
-  private def renderTransferState(state: DataFrame): DataFrame =
+  private[graft] def renderTransferState(state: DataFrame): DataFrame =
     state.select(
       col("user_id").as("transfer_key"),
       concat(lit("t"), (col("user_id") % 10).cast(LongType)).as("tenant"),

@@ -144,6 +144,23 @@ class ImporterCoreSpec extends SparkSpec {
     }
   }
 
+  test("entity state is a true monoid: ARBITRARY 3-way split merges to the full recompute") {
+    // the time-split gate query only exercises one partition of the
+    // events; an arbitrary hash split (keys interleaved across all
+    // three slices) stresses commutativity + associativity of every
+    // aggregate in the state
+    import org.apache.spark.sql.functions.{abs => sabs, col => c, hash}
+    val ev = Tables.events(spark, sfDir)
+    val slices = (0 until 3).map(i =>
+      ImporterCore.transferStateOf(ev.filter(sabs(hash(c("event_id"))) % 3 === i)))
+    val merged = ImporterCore.renderTransferState(
+      ImporterCore.mergeTransferState(slices.reduce(_ unionByName _)))
+      .orderBy("transfer_key").collect()
+    val full = ImporterCore.impEntityTransfers(spark, sfDir).collect()
+    assert(merged.length == full.length)
+    merged.zip(full).foreach { case (m, f) => assert(m.toSeq == f.toSeq) }
+  }
+
   test("specs predicates reach a parquet-backed entity scan as PushedFilters") {
     // q_specs_* filter a derived aggregate, so nothing can reach a
     // scan there; the reference's Specification→WHERE pushdown claim
