@@ -306,20 +306,22 @@ object TextOps {
     * bigram groupBy; scoring is broadcast-join + one doc_id rollup.
     */
   def textBigram(spark: SparkSession, dir: String): DataFrame = {
-    def bg = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("b"))
+    // the exploded bigram frame feeds THREE consumers (mass total,
+    // model build, scoring join) — materialize it once
+    val bg = graft.Scratch.cp(Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("b")))
     val total = bg.agg(count(lit(1)).as("nb"))
     val model = bg.groupBy("b").agg(count(lit(1)).as("c"))
       .crossJoin(broadcast(total)) // one row
       .filter(col("c") * 1000 >= col("nb"))
       .select(col("b"), lit(1L).as("hit"))
-    bg.join(broadcast(model), Seq("b"), "left") // ≤ 1000 rows by construction
+    val scored = bg.join(broadcast(model), Seq("b"), "left") // ≤ 1000 rows by construction
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
         sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_known"))
       .select(col("doc_id"), col("n_bigrams"), col("n_known"),
         expr("10000 * n_known DIV n_bigrams").as("fluency_e4"))
-      .orderBy("doc_id")
+    graft.Scratch.seal(scored, bg).orderBy("doc_id")
   }
 
   def textBigramSql: String =
