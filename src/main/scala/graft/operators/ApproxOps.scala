@@ -155,11 +155,49 @@ object ApproxOps {
       |HAVING COUNT(*) * 50 >= n
       |ORDER BY t""".stripMargin
 
+  /** Percentiles via a value histogram — the scale path for
+    * [[Analytics.qPercentiles]]'s per-group positional window, and
+    * EXACT here, not approximate: the corpus values carry two
+    * decimals, so e2 binning is lossless and "smallest bin with
+    * cumulative count ≥ rank" picks the identical element the
+    * positional form does (ties in value cannot change the picked
+    * VALUE). It answers the SAME oracle as q_percentiles.
+    *
+    * What scale buys: the shuffle carries one row per DISTINCT
+    * (group, value) bin after map-side partial counting, and the only
+    * ordered pass runs over bins, not rows — vs the window form's
+    * full per-group row sort. For true continuous data the same plan
+    * with a coarser bin becomes the classic ε-approximate histogram
+    * quantile (ε = bin width), same shapes.
+    */
+  def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{dec2, moneyStr}
+    val hist = Tables.events(spark, dir)
+      .groupBy(col("event_type"), dec2(col("value")).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("v")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    hist
+      .withColumn("cum", sum("cnt").over(byV))
+      .withColumn("n", sum("cnt").over(all))
+      .groupBy("event_type")
+      .agg(
+        moneyStr(min(when(col("cum") >= expr("CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1"), col("v")))).as("p50"),
+        moneyStr(min(when(col("cum") >= expr("CAST(FLOOR((n - 1) * 0.95) AS BIGINT) + 1"), col("v")))).as("p95"),
+        max(col("n")).as("n"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (sketchHll _),
-    "sketch_topk" -> (sketchTopk _))
+    "sketch_topk" -> (sketchTopk _),
+    "sketch_quantile" -> (sketchQuantile _))
 
   def oracles: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
-    "sketch_topk" -> sketchTopkSql)
+    "sketch_topk" -> sketchTopkSql,
+    // the histogram form must reproduce the positional form exactly
+    "sketch_quantile" -> Analytics.qPercentilesSql)
 }

@@ -55,6 +55,20 @@ class ApproxOpsSpec extends SparkSpec {
       "Misra-Gries pruning changed the result — the candidate set lost a true heavy hitter")
   }
 
+  test("sketch_quantile: histogram form reproduces the positional percentiles exactly") {
+    val hist = ApproxOps.sketchQuantile(spark, sfDir).collect()
+    val positional = graft.operators.Analytics.qPercentiles(spark, sfDir).collect()
+    assert(hist.length == positional.length && hist.nonEmpty)
+    hist.zip(positional).foreach { case (h, p) =>
+      assert(h.toSeq == p.toSeq, s"histogram=${h.toSeq} positional=${p.toSeq}")
+    }
+    // and the ordered pass runs over BINS, not rows
+    val bins = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.expr("CAST(value AS DECIMAL(18,2))")).distinct().count()
+    val rows = Tables.events(spark, sfDir).count()
+    assert(bins < rows, s"bins=$bins should compress rows=$rows")
+  }
+
   test("sketch_hll plan: one hash shuffle, register-bounded output") {
     val df = ApproxOps.sketchHll(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
