@@ -16,8 +16,10 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
-      "q1_pricing", "q3_shipping", "q5_regional", "imp_entity_transfers",
-      "dedup_minhash", "dedup_ngram", "ann_bruteforce", "q_sessionize")
+      "q1_pricing", "q3_shipping", "q5_regional", "q9_profit",
+      "imp_entity_transfers", "imp_entity_incremental",
+      "dedup_minhash", "dedup_ngram", "ann_bruteforce", "q_sessionize",
+      "sketch_hll", "sketch_topk", "sketch_quantile", "text_bigram")
     names.foreach { name =>
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
