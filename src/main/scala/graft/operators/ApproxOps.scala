@@ -118,9 +118,15 @@ object ApproxOps {
     import spark.implicits._
     def tok = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("t"))
-    val candidates = tok.as[String].mapPartitions { it =>
+    // pass 1 sees every token anyway — emit the per-partition token
+    // COUNT beside the candidate keys so the scalar total needs no
+    // extra corpus scan; the ≤ (counters+1) × partitions row summary
+    // materializes once for its two consumers
+    val summaries = graft.Scratch.cp(tok.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
       it.foreach { t =>
+        np += 1L
         if (counters.contains(t)) counters(t) += 1L
         else if (counters.size < TopkCounters) counters(t) = 1L
         else {
@@ -133,15 +139,18 @@ object ApproxOps {
           dead.result().foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("t").distinct()
-    val total = tok.agg(count(lit(1)).as("n"))
-    tok.join(broadcast(candidates), "t") // bounded: counters × partitions
+      counters.keysIterator.map(t => (t, true, 0L)) ++
+        Iterator(("", false, np))
+    }.toDF("t", "is_cand", "cnt"))
+    val candidates = summaries.filter(col("is_cand")).select("t").distinct()
+    val total = summaries.filter(!col("is_cand"))
+      .agg(sum("cnt").cast(LongType).as("n"))
+    val result = tok.join(broadcast(candidates), "t") // bounded: counters × partitions
       .groupBy("t").agg(count(lit(1)).cast(LongType).as("c"))
       .crossJoin(broadcast(total)) // one row
       .filter(col("c") * 50 >= col("n")) // c ≥ n/50, integer-exact
       .select(col("t"), col("c"))
-      .orderBy("t")
+    graft.Scratch.seal(result, summaries).orderBy("t")
   }
 
   /** The oracle is the NAIVE exact computation — the MG pruning must

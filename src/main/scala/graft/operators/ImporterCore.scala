@@ -321,31 +321,13 @@ object ImporterCore {
     transfers(spark, dir).orderBy("transfer_key")
 
   /** The transfers entity as a reusable (un-sorted) DataFrame — the
-    * read-side Specs queries filter this.
+    * read-side Specs queries filter this. ONE copy of the entity
+    * rules: the same state + render pair the incremental path merges
+    * through (state over the full corpus, merged with nothing, is the
+    * identity).
     */
-  def transfers(spark: SparkSession, dir: String): DataFrame = {
-    val isFatal = col("event_type") === "error" &&
-      get_json_object(col("props"), "$.k").cast(LongType) >= 90
-    Tables.events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(
-        coalesce(min(when(col("event_type") === "signup", col("ts_ms"))), lit(-1L)).as("started_ms"),
-        coalesce(max(when(col("event_type") === "purchase", col("ts_ms"))), lit(-1L)).as("completed_ms"),
-        coalesce(moneyStr(sum(when(col("event_type") === "purchase", dec2(col("value"))))), lit("")).as("amount"),
-        coalesce(moneyStr(lastBy(col("event_type") === "click", dec2(col("value")), ordKey)), lit("")).as("last_click_value"),
-        max(when(isFatal, 1).otherwise(0)).as("_failed"),
-        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("_completed"),
-        count(lit(1)).cast(LongType).as("n_events"))
-      .select(
-        col("user_id").as("transfer_key"),
-        concat(lit("t"), (col("user_id") % 10).cast(LongType)).as("tenant"),
-        col("started_ms"), col("completed_ms"), col("amount"),
-        col("last_click_value"),
-        when(col("_failed") === 1, "FAILED")
-          .when(col("_completed") === 1, "COMPLETED")
-          .otherwise("IN_PROGRESS").as("status"),
-        col("n_events"))
-  }
+  def transfers(spark: SparkSession, dir: String): DataFrame =
+    renderTransferState(transferStateOf(Tables.events(spark, dir)))
 
   /** Typed read-side surface: `Dataset[Transfer]` with the case-class
     * Encoder — the JPA-entity-shaped API a reference user queries

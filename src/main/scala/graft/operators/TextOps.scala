@@ -44,7 +44,7 @@ object TextOps {
     * expression producing array<string>. Short docs yield one partial
     * shingle (same rule on the oracle side).
     */
-  private def shinglesExpr(w: Int): String =
+  private[graft] def shinglesExpr(w: Int): String =
     s"transform(sequence(0, greatest(size(split(text,' ')) - $w, 0)), " +
       s"i -> concat_ws(' ', slice(split(text,' '), i + 1, $w)))"
 
@@ -325,8 +325,7 @@ object TextOps {
   }
 
   def textBigramSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-      |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS b FROM tok),
+    s"""WITH bg AS (SELECT doc_id, unnest(${shinglesDuck(2)}) AS b FROM documents),
       |model AS (SELECT b FROM bg GROUP BY b
       |          HAVING COUNT(*) * 1000 >= (SELECT COUNT(*) FROM bg)),
       |j AS (SELECT bg.doc_id, CASE WHEN model.b IS NULL THEN 0 ELSE 1 END AS hit

@@ -149,10 +149,12 @@ class ImporterCoreSpec extends SparkSpec {
     // events; an arbitrary hash split (keys interleaved across all
     // three slices) stresses commutativity + associativity of every
     // aggregate in the state
-    import org.apache.spark.sql.functions.{abs => sabs, col => c, hash}
+    import org.apache.spark.sql.functions.{col => c, hash, lit, pmod}
     val ev = Tables.events(spark, sfDir)
     val slices = (0 until 3).map(i =>
-      ImporterCore.transferStateOf(ev.filter(sabs(hash(c("event_id"))) % 3 === i)))
+      // pmod, not abs-% — abs(Int.MinValue) is negative and would
+      // silently drop a row from every slice (Salting's convention)
+      ImporterCore.transferStateOf(ev.filter(pmod(hash(c("event_id")), lit(3)) === i)))
     val merged = ImporterCore.renderTransferState(
       ImporterCore.mergeTransferState(slices.reduce(_ unionByName _)))
       .orderBy("transfer_key").collect()

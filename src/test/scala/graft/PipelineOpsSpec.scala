@@ -46,9 +46,7 @@ class PipelineOpsSpec extends SparkSpec {
     // the >= 0.1%-of-mass cut can admit at most 1000 bigrams — the
     // bound that justifies the broadcast scoring join
     val model = Tables.documents(spark, sfDir)
-      .select(explode(expr(
-        "transform(sequence(0, greatest(size(split(text,' ')) - 2, 0)), " +
-          "i -> concat_ws(' ', slice(split(text,' '), i + 1, 2)))")).as("b"))
+      .select(explode(expr(TextOps.shinglesExpr(2))).as("b"))
       .groupBy("b").count()
     val total = model.agg(sum("count")).head.getLong(0)
     val kept = model.filter(col("count") * 1000 >= total).count()
