@@ -6,7 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Approximate-distinct sketches for 100 TB-scale counting.
+/** Sketch operators for 100 TB-scale counting and ranking: a
+  * mergeable HyperLogLog distinct-count register table, Misra-Gries
+  * two-pass heavy hitters (approximation internal, output exact), and
+  * histogram quantiles (exact on fixed-decimal data). Common design:
+  * the approximation bounds SHUFFLE VOLUME (registers, candidates,
+  * bins — never the raw rows), and everything oracle-checked stays in
+  * deterministic integer space.
   *
   * Exact `COUNT(DISTINCT key)` shuffles every distinct key
   * (q_distinct_users' two-phase expand); a HyperLogLog register sketch
