@@ -356,7 +356,13 @@ object TextOps {
     * that keeps the self-join candidate set linear at 100 TB), join
     * on shared shingle, exact Jaccard >= 0.30 in fixed-point.
     */
-  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    ngramPairs(spark, dir).orderBy("a_id", "b_id")
+
+  /** The near-dup pair graph (un-sorted, sealed) — consumed by
+    * dedupNgram and the decontamination stage.
+    */
+  def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -387,11 +393,16 @@ object TextOps {
       .select("a_id", "b_id", "jac_e4")
     // result (the near-dup pair list) is tiny next to the capped
     // shingle frame — seal it and release the working set
-    graft.Scratch.seal(pairs, capped).orderBy("a_id", "b_id")
+    graft.Scratch.seal(pairs, capped)
   }
 
-  def dedupNgramSql: String =
-    s"""WITH sh0 AS (
+  /** CTE chain ending in `np(a_id, b_id, jac_e4)` — shared by the
+    * ngram oracle and the decontamination oracle (ONE rendering of
+    * the detector; a hand-rolled copy is how oracle divergence
+    * happens).
+    */
+  def ngramPairsSqlCtes: String =
+    s"""sh0 AS (
        |  SELECT doc_id, unnest(list_distinct(${shinglesDuck(3)})) AS s
        |  FROM documents),
        |sh1 AS (SELECT doc_id, ${hxDuck("s")} AS h FROM sh0),
@@ -401,14 +412,18 @@ object TextOps {
        |pairs AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT a_id, b_id,
-       |  10000 * shared // (ca.n_sh + cb.n_sh - shared) AS jac_e4
-       |FROM pairs
-       |JOIN cnts ca ON ca.doc_id = a_id
-       |JOIN cnts cb ON cb.doc_id = b_id
-       |WHERE 10000 * shared // (ca.n_sh + cb.n_sh - shared) >= 3000
-       |ORDER BY a_id, b_id""".stripMargin
+       |  GROUP BY 1, 2),
+       |np AS (
+       |  SELECT a_id, b_id,
+       |    10000 * shared // (ca.n_sh + cb.n_sh - shared) AS jac_e4
+       |  FROM pairs
+       |  JOIN cnts ca ON ca.doc_id = a_id
+       |  JOIN cnts cb ON cb.doc_id = b_id
+       |  WHERE 10000 * shared // (ca.n_sh + cb.n_sh - shared) >= 3000)""".stripMargin
+
+  def dedupNgramSql: String =
+    s"""WITH $ngramPairsSqlCtes
+       |SELECT a_id, b_id, jac_e4 FROM np ORDER BY a_id, b_id""".stripMargin
 
   /** MinHash + LSH near-dup: k=8 portable min-hashes computed ROW-
     * LOCALLY (array_min over shingle hashes — no explode, no shuffle),

@@ -240,7 +240,50 @@ object TrainOps {
        |  h_e4
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Eval decontamination — the stage that keeps benchmark answers
+    * out of the training set: any TRAIN doc that is a near-duplicate
+    * (the dedup_ngram detector: df-capped 3-gram Jaccard ≥ 0.30) of a
+    * HELD-OUT doc ([[pipeSplit]]'s val+test strata, h_e4 ≥ 9000) is
+    * reported as (train_id, eval_id) for removal. Both-eval pairs are
+    * not contamination and are excluded.
+    *
+    * Scale posture: composes the ngram pair graph (already
+    * LSH/df-cap-bounded) with the split assignment as a PURE HASH
+    * FUNCTION of each pair side — zero extra joins, zero extra
+    * shuffles beyond the detector's own.
+    */
+  def pipeDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def isEval(id: String): String =
+      s"graft_hash60(concat('split|', CAST($id AS STRING))) % 10000 >= 9000"
+    TextOps.ngramPairs(spark, dir)
+      .withColumn("a_eval", expr(isEval("a_id")))
+      .withColumn("b_eval", expr(isEval("b_id")))
+      .filter(col("a_eval") =!= col("b_eval"))
+      .select(
+        when(col("a_eval"), col("b_id")).otherwise(col("a_id")).as("train_id"),
+        when(col("a_eval"), col("a_id")).otherwise(col("b_id")).as("eval_id"),
+        col("jac_e4"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  def pipeDecontaminateSql: String = {
+    def isEval(id: String): String =
+      graft.functions.Portable.hash60Duck(s"CONCAT('split|', CAST($id AS VARCHAR))") +
+        " % 10000 >= 9000"
+    s"""WITH ${TextOps.ngramPairsSqlCtes},
+       |d AS (
+       |  SELECT a_id, b_id, jac_e4,
+       |    ${isEval("a_id")} AS ae, ${isEval("b_id")} AS be
+       |  FROM np)
+       |SELECT CASE WHEN ae THEN b_id ELSE a_id END AS train_id,
+       |       CASE WHEN ae THEN a_id ELSE b_id END AS eval_id,
+       |       jac_e4
+       |FROM d WHERE ae != be
+       |ORDER BY train_id, eval_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_sample" -> (pipeSample _),
     "pipe_pack" -> (pipePack _),
     "pipe_mix" -> (pipeMix _),
@@ -248,6 +291,7 @@ object TrainOps {
     "pipe_split" -> (pipeSplit _))
 
   def oracles: Map[String, String] = Map(
+    "pipe_decontaminate" -> pipeDecontaminateSql,
     "pipe_sample" -> pipeSampleSql,
     "pipe_pack" -> pipePackSql,
     "pipe_mix" -> pipeMixSql,

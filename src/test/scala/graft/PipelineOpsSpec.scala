@@ -84,6 +84,24 @@ class PipelineOpsSpec extends SparkSpec {
       s"doc $id moved from ${full(id)} to $s when the corpus shrank") }
   }
 
+  test("pipe_decontaminate: only train-x-holdout pairs, each from the ngram detector") {
+    import graft.operators.TrainOps
+    val rows = TrainOps.pipeDecontaminate(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no contamination pairs at spec scale — vacuous")
+    val split = TrainOps.pipeSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val detector = TextOps.dedupNgram(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    rows.foreach { r =>
+      val t = r.getAs[Long]("train_id")
+      val e = r.getAs[Long]("eval_id")
+      assert(split(t) == "train", s"train side $t is in split ${split(t)}")
+      assert(split(e) != "train", s"eval side $e is in the train split")
+      assert(detector.contains((t min e, t max e)),
+        s"pair ($t,$e) not produced by the ngram detector")
+    }
+  }
+
   test("graft_hash60 is bit-identical to the md5-hex/conv formulation") {
     graft.functions.GraftFunctions.register(spark)
     val mismatches = Tables.documents(spark, sfDir)
