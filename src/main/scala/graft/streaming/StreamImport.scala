@@ -625,6 +625,45 @@ object StreamImport {
       .select("event_type", "window_h", "n", "sum_value")
       .orderBy("event_type", "window_h")
 
+  // ------------------------------------------------------ Stream join
+
+  /** Event-time stream-stream join — clicks matched to the same
+    * user's purchases within the following hour. Both sides carry
+    * watermarks and the join condition carries the event-time range,
+    * which is what lets Spark EVICT state (a click older than
+    * watermark − 1 h can never match again); an INNER join emits each
+    * match as soon as both sides are seen, so results are exact under
+    * any micro-batch split — cross-batch matches come out of the
+    * buffered state, pinned by the chunked StreamingSpec run.
+    */
+  def joinStream(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        timestamp_millis(col("ts_ms")).as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        timestamp_millis(col("ts_ms")).as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
+  /** Driver-checked stream-stream join — oracle = the batch interval
+    * self-join.
+    */
+  def runJoinToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events =>
+      joinStream(events)
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+        .withColumn("pair_key", concat(col("click_id"), lit("_"), col("purchase_id")))
+        .withColumn("tenant", concat(lit("t"), col("user_id") % 10)),
+      "pair_key", mode = "append")
+      .select("click_id", "purchase_id", "user_id")
+      .orderBy("click_id", "purchase_id")
+
   // ------------------------------------------------------------ Dedup
 
   /** Streaming exact dedup on (user_id, event_type) — the streaming
@@ -674,7 +713,8 @@ object StreamImport {
     * upsert sink, then read the sink back.
     */
   private def runPipeline(spark: SparkSession, dir: String,
-      transform: DataFrame => DataFrame, key: String): DataFrame = {
+      transform: DataFrame => DataFrame, key: String,
+      mode: String = "update"): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_").toString
     val sinkDir = s"$work/sink"
     // Raw file schema (ts is parquet TIMESTAMP(NANOS) read as long —
@@ -690,7 +730,7 @@ object StreamImport {
       .parquet(dir))
     val q = transform(stream)
       .writeStream
-      .outputMode("update")
+      .outputMode(mode)
       .option("checkpointLocation", s"$work/chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         TenantUpsertSink.upsert(sinkDir, batch, key)
@@ -726,7 +766,8 @@ object StreamImport {
     "stream_batches" -> (runBatchesToCompletion _),
     "stream_wide" -> (runWideToCompletion _),
     "stream_dedup" -> (runDedupToCompletion _),
-    "stream_window" -> (runWindowToCompletion _))
+    "stream_window" -> (runWindowToCompletion _),
+    "stream_join" -> (runJoinToCompletion _))
 
   /** Streaming paths answer the SAME oracles as the batch entities. */
   def oracles: Map[String, String] = Map(
@@ -741,5 +782,11 @@ object StreamImport {
       """SELECT event_type, epoch_ms(ts) // 3600000 AS window_h,
         |  COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts) AND epoch_ms(c.ts) + 3600000
+        |ORDER BY click_id, purchase_id""".stripMargin)
 }

@@ -172,6 +172,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_join: cross-batch matches surface from buffered state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+      .sortBy(_.event_id)
+    val stream = MemoryStream[Rec]
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = StreamImport.joinStream(stream.toDF())
+      .select("click_id", "purchase_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_joinchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r => (r.getLong(0), r.getLong(1))); ()
+      }
+      .start()
+    // many chunks: matching click/purchase pairs frequently straddle a
+    // batch boundary, so the join must come out of buffered state
+    recs.grouped(math.max(recs.length / 8, 1)).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val expected = {
+      val e = Tables.events(spark, sfDir)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts_ms").as("cts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts_ms").as("pts"))
+      c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + 3600000L)
+        .select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(expected.nonEmpty)
+    assert(got.toSet == expected,
+      s"missing=${expected -- got} extra=${got.toSet -- expected}")
+  }
+
   test("stream_dedup over micro-batches equals batch DISTINCT") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
