@@ -625,6 +625,53 @@ object StreamImport {
       .select("event_type", "window_h", "n", "sum_value")
       .orderBy("event_type", "window_h")
 
+  // ------------------------------------------------- Session windows
+
+  /** Native `session_window` sessionization — the streaming
+    * counterpart of the batch lag+cumsum q_sessionize: per user,
+    * events within a 30-minute gap merge into one session whose
+    * window GROWS as events arrive; state is evicted once the
+    * watermark passes a session's close. Boundary semantics: a gap of
+    * EXACTLY the duration starts a new session (windows [t, t+g) and
+    * [t+g, …) do not overlap), so the oracle breaks on `diff >= gap`.
+    *
+    * Session keys: `window.start` equals the session's FIRST event
+    * time, so when events arrive in event-time order a session only
+    * ever extends under a stable (user, start) key — the upsert-key
+    * contract the chunked spec pins. Out-of-order arrivals can MERGE
+    * sessions (the merged session's start moves earlier); exact
+    * replay then needs the sink to retract the absorbed keys — the
+    * reference's importer has the same read-modify-write there, and
+    * the gate run (AvailableNow, one batch) is unaffected.
+    */
+  def sessionizeStream(events: DataFrame): DataFrame =
+    events.select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        (unix_millis(col("session_window.end")) - lit(30L * 60 * 1000)).as("session_last_ms"),
+        col("n_events"))
+
+  /** Driver-checked session windows — oracle = the batch gap-break
+    * sessionization with the session_window boundary rule.
+    */
+  def runSessionizeToCompletion(spark: SparkSession, dir: String): DataFrame =
+    // session windows support append/complete only (update would emit
+    // partial sessions under moving keys). Append holds back sessions
+    // younger than watermark − gap at stream end, so the driver-checked
+    // run uses COMPLETE (+ keyed upsert = idempotent): every session is
+    // emitted, exact vs the batch oracle. Production tails use append
+    // with a closing grace period instead.
+    runPipeline(spark, dir, events =>
+      sessionizeStream(events)
+        .withColumn("sess_key", concat(col("user_id"), lit("_"), col("session_start_ms")))
+        .withColumn("tenant", concat(lit("t"), col("user_id") % 10)),
+      "sess_key", mode = "complete")
+      .select("user_id", "session_start_ms", "session_last_ms", "n_events")
+      .orderBy("user_id", "session_start_ms")
+
   // ------------------------------------------------------ Stream join
 
   /** Event-time stream-stream join — clicks matched to the same
@@ -767,7 +814,8 @@ object StreamImport {
     "stream_wide" -> (runWideToCompletion _),
     "stream_dedup" -> (runDedupToCompletion _),
     "stream_window" -> (runWindowToCompletion _),
-    "stream_join" -> (runJoinToCompletion _))
+    "stream_join" -> (runJoinToCompletion _),
+    "stream_sessionize" -> (runSessionizeToCompletion _))
 
   /** Streaming paths answer the SAME oracles as the batch entities. */
   def oracles: Map[String, String] = Map(
@@ -788,5 +836,19 @@ object StreamImport {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts) AND epoch_ms(c.ts) + 3600000
-        |ORDER BY click_id, purchase_id""".stripMargin)
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR ms - prev >= 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, user_id) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(ms) AS session_start_ms, MAX(ms) AS session_last_ms,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin)
 }

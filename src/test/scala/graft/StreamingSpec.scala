@@ -210,6 +210,43 @@ class StreamingSpec extends SparkSpec {
       s"missing=${expected -- got} extra=${got.toSet -- expected}")
   }
 
+  test("stream_sessionize: sessions grow across event-time-ordered micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+      .sortBy(r => (r.ts_ms, r.event_id)) // event-time order: sessions only extend
+    val stream = MemoryStream[Rec]
+    @volatile var latest: Array[(Long, Long, Long, Long)] = Array.empty
+    val q = StreamImport.sessionizeStream(stream.toDF())
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sesschk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        latest = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      .start()
+    recs.grouped(math.max(recs.length / 5, 1)).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val batch = Tables.events(spark, sfDir)
+      .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ts_ms") - col("prev") >= 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_ms").as("s"), max("ts_ms").as("e"),
+        count(lit(1)).cast("long").as("n"))
+      .select("user_id", "s", "e", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(latest.nonEmpty)
+    assert(latest.sorted.sameElements(batch.sorted),
+      s"sessions diverge: stream=${latest.length} batch=${batch.length}")
+  }
+
   test("stream_dedup over micro-batches equals batch DISTINCT") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
