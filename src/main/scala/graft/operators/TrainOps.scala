@@ -208,6 +208,15 @@ object TrainOps {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Split geometry shared by [[pipeSplit]], its oracle, AND the
+    * decontamination guard — one source of truth for the salt and the
+    * stratum boundaries (a drift between the split and the guard
+    * would silently stop reporting genuine eval leakage).
+    */
+  val SplitSalt = "split|"
+  val SplitTrainE4 = 9000L // h_e4 < 9000 → train
+  val SplitValE4 = 9500L // 9000 ≤ h_e4 < 9500 → val, else test
+
   /** Deterministic train/val/test holdout split (90/5/5 by salted hash
     * bucket). The assignment is a pure function of the doc id ALONE —
     * independent of corpus composition — so growing the corpus,
@@ -220,10 +229,10 @@ object TrainOps {
   def pipeSplit(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .withColumn("h_e4", expr(s"${saltedHash("split|")} % 10000"))
+      .withColumn("h_e4", expr(s"${saltedHash(SplitSalt)} % 10000"))
       .withColumn("split",
-        when(col("h_e4") < 9000, "train")
-          .when(col("h_e4") < 9500, "val")
+        when(col("h_e4") < SplitTrainE4, "train")
+          .when(col("h_e4") < SplitValE4, "val")
           .otherwise("test"))
       .select("doc_id", "split", "h_e4")
       .orderBy("doc_id")
@@ -231,11 +240,11 @@ object TrainOps {
 
   def pipeSplitSql: String =
     s"""WITH h AS (
-       |  SELECT doc_id, ${saltedHashDuck("split|")} % 10000 AS h_e4
+       |  SELECT doc_id, ${saltedHashDuck(SplitSalt)} % 10000 AS h_e4
        |  FROM documents)
        |SELECT doc_id,
-       |  CASE WHEN h_e4 < 9000 THEN 'train'
-       |       WHEN h_e4 < 9500 THEN 'val'
+       |  CASE WHEN h_e4 < $SplitTrainE4 THEN 'train'
+       |       WHEN h_e4 < $SplitValE4 THEN 'val'
        |       ELSE 'test' END AS split,
        |  h_e4
        |FROM h ORDER BY doc_id""".stripMargin
@@ -254,7 +263,7 @@ object TrainOps {
     */
   def pipeDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     def isEval(id: String): String =
-      s"graft_hash60(concat('split|', CAST($id AS STRING))) % 10000 >= 9000"
+      s"graft_hash60(concat('$SplitSalt', CAST($id AS STRING))) % 10000 >= $SplitTrainE4"
     TextOps.ngramPairs(spark, dir)
       .withColumn("a_eval", expr(isEval("a_id")))
       .withColumn("b_eval", expr(isEval("b_id")))
@@ -268,8 +277,8 @@ object TrainOps {
 
   def pipeDecontaminateSql: String = {
     def isEval(id: String): String =
-      graft.functions.Portable.hash60Duck(s"CONCAT('split|', CAST($id AS VARCHAR))") +
-        " % 10000 >= 9000"
+      graft.functions.Portable.hash60Duck(s"CONCAT('$SplitSalt', CAST($id AS VARCHAR))") +
+        s" % 10000 >= $SplitTrainE4"
     s"""WITH ${TextOps.ngramPairsSqlCtes},
        |d AS (
        |  SELECT a_id, b_id, jac_e4,

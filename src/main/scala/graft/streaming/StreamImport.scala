@@ -631,9 +631,11 @@ object StreamImport {
     * counterpart of the batch lag+cumsum q_sessionize: per user,
     * events within a 30-minute gap merge into one session whose
     * window GROWS as events arrive; state is evicted once the
-    * watermark passes a session's close. Boundary semantics: a gap of
-    * EXACTLY the duration starts a new session (windows [t, t+g) and
-    * [t+g, …) do not overlap), so the oracle breaks on `diff >= gap`.
+    * watermark passes a session's close. Boundary semantics (verified
+    * empirically on Spark 4.1.2): an event at EXACTLY gap distance
+    * still MERGES into the session — the engine's merge test is
+    * inclusive — so the oracle breaks only on `diff > gap`, the same
+    * rule as the batch q_sessionize.
     *
     * Session keys: `window.start` equals the session's FIRST event
     * time, so when events arrive in event-time order a session only
@@ -844,7 +846,7 @@ object StreamImport {
         |  FROM events),
         |s AS (
         |  SELECT user_id, ms,
-        |    CAST(SUM(CASE WHEN prev IS NULL OR ms - prev >= 1800000 THEN 1 ELSE 0 END)
+        |    CAST(SUM(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ms, user_id) AS BIGINT) AS sid
         |  FROM g)
         |SELECT user_id, MIN(ms) AS session_start_ms, MAX(ms) AS session_last_ms,

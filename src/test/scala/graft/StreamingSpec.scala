@@ -235,7 +235,7 @@ class StreamingSpec extends SparkSpec {
     val batch = Tables.events(spark, sfDir)
       .withColumn("prev", lag(col("ts_ms"), 1).over(w))
       .withColumn("brk",
-        when(col("prev").isNull || col("ts_ms") - col("prev") >= 1800000L, 1L).otherwise(0L))
+        when(col("prev").isNull || col("ts_ms") - col("prev") > 1800000L, 1L).otherwise(0L))
       .withColumn("sid", sum("brk").over(w))
       .groupBy("user_id", "sid")
       .agg(min("ts_ms").as("s"), max("ts_ms").as("e"),
