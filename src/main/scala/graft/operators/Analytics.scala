@@ -254,6 +254,123 @@ object Analytics {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q4 shape: order-priority checking — a date-windowed scan
+    * semi-joined against flagged line items (EXISTS), then a tiny
+    * count-by-priority. The semi join keeps only probe-side rows (no
+    * payload from lineitem crosses the shuffle), the date filter
+    * pushes to the orders scan, and the returnflag filter pushes to
+    * the lineitem scan — both sides arrive pre-shrunk.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val flagged = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast(LongType).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  def q4PrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Pivot (long → wide): per-user spend by event type. The pivot
+    * value list is EXPLICIT — the closed event-type vocabulary — so no
+    * distinct-values job runs on the driver and the output schema is
+    * static at any corpus size (a dynamic pivot would collect the
+    * distinct set to the driver: fine for 5 types, a bug for an
+    * unbounded column). One shuffle; the pivot aggregates fold
+    * map-side like any groupBy.
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast("decimal(18,2)")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(sum(dec2(col("value"))))
+      .select(col("user_id") +:
+        EventTypes.map(t => moneyStr(coalesce(col(t), zero)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  def qPivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"  CAST(CAST(COALESCE(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS $t")
+      .mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    * for: the two single-dimension marginals WITHOUT the combined or
+    * grand-total sets (a shape neither rollup nor cube can express).
+    * Spark expands the sets map-side like rollup (still one shuffle);
+    * `grouping()` markers distinguish "aggregated-away" from a data
+    * NULL, so the oracle compare never leans on the ALL placeholder.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
+        count(lit(1)).cast(LongType).as("n"),
+        moneyStr(sum(dec2(col("o_totalprice")))).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  def qGroupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
+  /** [[Salting.saltedAgg]] under the oracle gate: the two-phase salted
+    * aggregation over the events table's 5-value event_type key — a
+    * genuinely skewed key (~n/5 rows per group at any SF, far past
+    * what one reducer should hold). The salt spreads each group over
+    * 16 partial reducers; the final pass merges 5×16 partial rows.
+    * Result is row-identical to the direct groupBy the oracle runs —
+    * THE salting contract, previously asserted only by spec.
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Salting.saltedAgg(Tables.events(spark, dir), "event_type",
+      col("event_id"), salts = 16)(
+      partialAgg = Seq(
+        count(lit(1)).as("_n"),
+        sum(dec2(col("value"))).as("_sv")),
+      finalAgg = Seq(
+        sum(col("_n")).cast(LongType).as("n_events"),
+        moneyStr(sum(col("_sv"))).as("sum_value")))
+      .orderBy("event_type")
+
+  def qSaltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Per-user top-3 events by value: one window shuffle on user_id. */
   def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -496,6 +613,10 @@ object Analytics {
     "q7_volume" -> (q7Volume _),
     "q9_profit" -> (q9Profit _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q4_priority" -> (q4Priority _),
+    "q_pivot" -> (qPivot _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_sessionize" -> (qSessionize _),
@@ -514,6 +635,10 @@ object Analytics {
     "q7_volume" -> q7VolumeSql,
     "q9_profit" -> q9ProfitSql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "q4_priority" -> q4PrioritySql,
+    "q_pivot" -> qPivotSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_salted_agg" -> qSaltedAggSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_sessionize" -> qSessionizeSql,

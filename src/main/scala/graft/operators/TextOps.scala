@@ -257,6 +257,102 @@ object TextOps {
        |  CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
        |FROM s3 ORDER BY doc_id""".stripMargin
 
+  /** Longest run of equal adjacent elements in an array<string>
+    * expression, as a Spark SQL `aggregate` fold (struct accumulator:
+    * previous element, current run, best run). Null-safe equality so
+    * the first element starts a run of 1 against the NULL seed.
+    * Row-local — the repetition signals never shuffle.
+    */
+  private def maxRunExpr(arr: String): String =
+    s"""aggregate($arr,
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+       |    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+       |  acc -> acc.best)""".stripMargin
+
+  /** Repetition-based quality signals — the Gopher-style repetition
+    * filter family, adapted to the corpus' single-line prose:
+    *
+    *   - `ttr_e4`   type-token ratio (distinct tokens / tokens)
+    *   - `top2_e4`  occurrence share of the single most frequent
+    *                bigram (high = the doc loops on one phrase)
+    *   - `max_run`  longest run of the SAME token repeated
+    *                consecutively ("buy buy buy buy")
+    *
+    * All three are computed ROW-LOCALLY: the mode-bigram count is the
+    * longest equal-adjacent run of the doc's SORTED bigram list (sort
+    * groups equal bigrams; no explode, no shuffle), max_run is the
+    * same fold over the unsorted tokens. O(n log n) per doc, zero
+    * exchanges before the presentation sort — the only shape that
+    * survives a 100 TB quality sweep. The cut rule mirrors the usual
+    * production setting: repeated-phrase docs and low-diversity docs
+    * are dropped.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast(LongType))
+      .withColumn("n_bigrams",
+        size(expr(shinglesExpr(2))).cast(LongType))
+      .withColumn("top2_cnt",
+        expr(maxRunExpr(s"array_sort(${shinglesExpr(2)})")).cast(LongType))
+      .withColumn("max_run", expr(maxRunExpr("toks")).cast(LongType))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("10000 * n_distinct DIV n_tokens").as("ttr_e4"),
+        expr("10000 * top2_cnt DIV n_bigrams").as("top2_e4"),
+        col("max_run"),
+        when(expr("10000 * n_distinct DIV n_tokens") >= 1000 &&
+          expr("10000 * top2_cnt DIV n_bigrams") <= 2500 &&
+          col("max_run") <= 3, "keep").otherwise("cut").as("bucket"))
+      .orderBy("doc_id")
+
+  /** Oracle: the mode-bigram count and the max token run both render
+    * as gaps-and-islands (position − rank over equal values = island
+    * id) — the standard SQL form of the run-length fold Spark does
+    * row-locally.
+    */
+  def textRepetitionSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       |    CAST(len(${shinglesDuck(2, "t")}) AS BIGINT) AS n_bigrams
+       |  FROM toks),
+       |bg AS (
+       |  SELECT doc_id, unnest(${shinglesDuck(2, "t")}) AS b FROM toks),
+       |top2 AS (
+       |  SELECT doc_id, MAX(c) AS top2_cnt FROM (
+       |    SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b) t
+       |  GROUP BY doc_id),
+       |tk AS (
+       |  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+       |runs AS (
+       |  SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run FROM (
+       |    SELECT doc_id, COUNT(*) AS rl FROM (
+       |      SELECT doc_id, w, i,
+       |        i - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS isl
+       |      FROM tk) g
+       |    GROUP BY doc_id, w, isl) m
+       |  GROUP BY doc_id)
+       |SELECT base.doc_id, n_tokens,
+       |  10000 * n_distinct // n_tokens AS ttr_e4,
+       |  10000 * top2_cnt // n_bigrams AS top2_e4,
+       |  max_run,
+       |  CASE WHEN 10000 * n_distinct // n_tokens >= 1000
+       |        AND 10000 * top2_cnt // n_bigrams <= 2500
+       |        AND max_run <= 3
+       |       THEN 'keep' ELSE 'cut' END AS bucket
+       |FROM base
+       |JOIN top2 ON top2.doc_id = base.doc_id
+       |JOIN runs ON runs.doc_id = base.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+
   /** Vocabulary size for [[textOov]]: BOUNDED by construction — the
     * scale contract that justifies the broadcast below.
     */
@@ -591,6 +687,7 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _),
     "text_normalize" -> (textNormalize _),
     "text_pii" -> (textPii _),
+    "text_repetition" -> (textRepetition _),
     "text_oov" -> (textOov _),
     "text_bigram" -> (textBigram _),
     "dedup_exact" -> (dedupExact _),
@@ -605,6 +702,7 @@ object TextOps {
     "text_fingerprint" -> textFingerprintSql,
     "text_normalize" -> textNormalizeSql,
     "text_pii" -> textPiiSql,
+    "text_repetition" -> textRepetitionSql,
     "text_oov" -> textOovSql,
     "text_bigram" -> textBigramSql,
     "dedup_exact" -> dedupExactSql,

@@ -96,6 +96,66 @@ class AnalyticsSpec extends SparkSpec {
       plan.contains("LessThanOrEqual(l_shipdate"), s"no pushdown in:\n$plan")
   }
 
+  test("q4_priority: counts cover exactly the flagged in-window orders, no hints") {
+    val df = Analytics.q4Priority(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .join(Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .count()
+    assert(rows.map(_.getAs[Long]("order_count")).sum == expected)
+    val logical = df.queryExecution.logical.toString
+    assert(!logical.contains("Hint"), s"q4 must stay AQE-decided:\n$logical")
+  }
+
+  test("q_pivot: one row per user, cells match the direct filtered sums") {
+    val df = Analytics.qPivot(spark, sfDir)
+    val rows = df.collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.length == users)
+    // spot-check one user's click cell against the long-form sum
+    val u = rows.head.getAs[Long]("user_id")
+    val direct = Tables.events(spark, sfDir)
+      .filter(col("user_id") === u && col("event_type") === "click")
+      .agg(coalesce(sum(col("value").cast("decimal(18,2)")),
+        lit(0).cast("decimal(18,2)")).cast("decimal(38,2)").cast("string"))
+      .head.getString(0)
+    assert(rows.head.getAs[String]("click") == direct)
+    // explicit value list => static schema, no distinct-values job
+    assert(df.columns.toSeq == Seq("user_id", "click", "error", "purchase", "signup", "view"))
+  }
+
+  test("q_grouping_sets: exactly the two marginals, markers consistent, one shuffle") {
+    val df = Analytics.qGroupingSets(spark, sfDir)
+    val rows = df.collect()
+    // every row aggregates away exactly one dimension — no combined
+    // set, no grand total (the shape rollup/cube cannot express)
+    assert(rows.forall(r =>
+      r.getAs[Long]("g_status") + r.getAs[Long]("g_priority") == 1))
+    // each marginal partitions the full table
+    val total = Tables.orders(spark, sfDir).count()
+    Seq("g_status", "g_priority").foreach { g =>
+      assert(rows.filter(_.getAs[Long](g) == 0L).map(_.getAs[Long]("n")).sum == total)
+    }
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("q_salted_agg is row-identical to the direct groupBy") {
+    val salted = Analytics.qSaltedAgg(spark, sfDir).collect()
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("string").as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(salted.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
+
   test("q_window_funcs plan: all four window functions share ONE Window operator") {
     val q = Analytics.qWindowFuncs(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString.split("Initial Plan")(0)

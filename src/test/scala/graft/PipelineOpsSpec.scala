@@ -53,6 +53,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept <= 1000, s"model exceeded its mathematical bound: $kept")
   }
 
+  test("text_repetition matches a reference Scala recomputation per doc") {
+    // the aggregate-fold run-length logic is the risky part — recompute
+    // all three signals from the raw text in plain Scala and compare
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def runs(xs: Seq[String]): Long = {
+      var best = 0L; var run = 0L; var prev: String = null
+      xs.foreach { x =>
+        run = if (x == prev) run + 1 else 1L
+        best = math.max(best, run); prev = x
+      }
+      best
+    }
+    def bigrams(toks: Seq[String]): Seq[String] =
+      if (toks.length < 2) Seq(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    val rows = TextOps.textRepetition(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ", -1).toSeq
+      val bgs = bigrams(toks)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("ttr_e4") == 10000L * toks.distinct.length / toks.length)
+      assert(r.getAs[Long]("max_run") == runs(toks))
+      val top2 = bgs.groupBy(identity).values.map(_.length.toLong).max
+      assert(r.getAs[Long]("top2_e4") == 10000L * top2 / bgs.length)
+    }
+    // row-local: no shuffle before the presentation sort
+    val plan = TextOps.textRepetition(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+  }
+
   test("text_oov: scores are bounded and deterministic across re-runs") {
     val a = TextOps.textOov(spark, sfDir).collect()
     assert(a.nonEmpty)
