@@ -131,7 +131,8 @@ object GraftFunctions {
       c => MinHashK(c.head, MinhashA, MinhashB, MinhashP)),
     ("graft_minhash", classOf[MinHashK], minhashBuilder _),
     ("graft_hash60_all", classOf[Hash60All], c => Hash60All(c.head)),
-    ("graft_xorfold", classOf[XorFold], c => XorFold(c.head)))
+    ("graft_xorfold", classOf[XorFold], c => XorFold(c.head)),
+    ("graft_maxrun", classOf[MaxRun], c => MaxRun(c.head)))
 
   /** Idempotent for OUR functions: a name already registered with
     * graft's expression class (an earlier register() call, or the

@@ -193,6 +193,59 @@ object Hash60All {
   }
 }
 
+/** Longest run of equal adjacent elements in an array<string> — the
+  * repetition-signal kernel: over raw tokens it is the max
+  * consecutive-token run, over a SORTED bigram list it is the mode
+  * bigram's occurrence count (sorting groups equal values). Replaces
+  * the interpreted `aggregate(arr, struct(prev,run,best), ...)` fold,
+  * whose per-element lambda dispatch dominated text_repetition
+  * (~9 s → sub-second at sf0.1). Null elements equal nothing (they
+  * break runs); an empty array folds to 0.
+  */
+case class MaxRun(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_maxrun requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    MaxRun.maxRun(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr => s"graft.functions.MaxRun.maxRun($arr)")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxRun =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_maxrun"
+}
+
+object MaxRun {
+  def maxRun(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var best = 0L
+    var run = 0L
+    var prev: org.apache.spark.unsafe.types.UTF8String = null
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        run = 0L; prev = null
+      } else {
+        val cur = arr.getUTF8String(i)
+        run = if (prev != null && cur.equals(prev)) run + 1 else 1L
+        if (run > best) best = run
+        prev = cur
+      }
+      i += 1
+    }
+    best
+  }
+}
+
 /** XOR-fold of an array<bigint> (order-insensitive combiner — the
   * document-fingerprint reducer). Replaces the interpreted
   * `aggregate(arr, 0L, (acc, h) -> acc ^ h)` lambda chain with a

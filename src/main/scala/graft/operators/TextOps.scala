@@ -45,8 +45,18 @@ object TextOps {
     * shingle (same rule on the oracle side).
     */
   private[graft] def shinglesExpr(w: Int): String =
-    s"transform(sequence(0, greatest(size(split(text,' ')) - $w, 0)), " +
-      s"i -> concat_ws(' ', slice(split(text,' '), i + 1, $w)))"
+    shinglesOfExpr(w, "split(text,' ')")
+
+  /** Shingles over an arbitrary array<string> expression. When the
+    * token array is a COLUMN (not a sub-expression), the lambda slices
+    * it directly — inside an interpreted higher-order lambda a
+    * sub-expression like `split(text)` re-evaluates PER ELEMENT
+    * (no common-subexpression elimination there), turning an O(n)
+    * shingle pass into O(n²) per doc.
+    */
+  private[graft] def shinglesOfExpr(w: Int, toks: String): String =
+    s"transform(sequence(0, greatest(size($toks) - $w, 0)), " +
+      s"i -> concat_ws(' ', slice($toks, i + 1, $w)))"
 
   /** DuckDB shingle list over a tokens expression `t`. */
   private def shinglesDuck(w: Int, t: String = "string_split(text,' ')"): String =
@@ -155,11 +165,13 @@ object TextOps {
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      expr(hx("text")).as("fp_content"),
-      expr(s"graft_xorfold(${hxAll(s"array_distinct(${shinglesExpr(5)})")})")
-        .as("fp_shingle"))
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        expr(hx("text")).as("fp_content"),
+        expr(s"graft_xorfold(${hxAll(s"array_distinct(${shinglesOfExpr(5, "toks")})")})")
+          .as("fp_shingle"))
       .orderBy("doc_id")
   }
 
@@ -257,21 +269,6 @@ object TextOps {
        |  CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
        |FROM s3 ORDER BY doc_id""".stripMargin
 
-  /** Longest run of equal adjacent elements in an array<string>
-    * expression, as a Spark SQL `aggregate` fold (struct accumulator:
-    * previous element, current run, best run). Null-safe equality so
-    * the first element starts a run of 1 against the NULL seed.
-    * Row-local — the repetition signals never shuffle.
-    */
-  private def maxRunExpr(arr: String): String =
-    s"""aggregate($arr,
-       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-       |  (acc, x) -> named_struct(
-       |    'prev', x,
-       |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
-       |    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
-       |  acc -> acc.best)""".stripMargin
-
   /** Repetition-based quality signals — the Gopher-style repetition
     * filter family, adapted to the corpus' single-line prose:
     *
@@ -284,22 +281,27 @@ object TextOps {
     * All three are computed ROW-LOCALLY: the mode-bigram count is the
     * longest equal-adjacent run of the doc's SORTED bigram list (sort
     * groups equal bigrams; no explode, no shuffle), max_run is the
-    * same fold over the unsorted tokens. O(n log n) per doc, zero
-    * exchanges before the presentation sort — the only shape that
-    * survives a 100 TB quality sweep. The cut rule mirrors the usual
-    * production setting: repeated-phrase docs and low-diversity docs
-    * are dropped.
+    * same fold over the unsorted tokens — both as the native codegen
+    * `graft_maxrun` (an interpreted `aggregate` lambda fold here cost
+    * ~9 s at sf0.1; the primitive loop is sub-second). The bigram
+    * COUNT needs no shingle pass at all: it is max(n_tokens − 1, 1)
+    * by the shingling rule. O(n log n) per doc, zero exchanges before
+    * the presentation sort — the only shape that survives a 100 TB
+    * quality sweep. The cut rule mirrors the usual production
+    * setting: repeated-phrase docs and low-diversity docs are
+    * dropped.
     */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast(LongType))
       .withColumn("n_bigrams",
-        size(expr(shinglesExpr(2))).cast(LongType))
+        greatest(col("n_tokens") - 1, lit(1)).cast(LongType))
       .withColumn("top2_cnt",
-        expr(maxRunExpr(s"array_sort(${shinglesExpr(2)})")).cast(LongType))
-      .withColumn("max_run", expr(maxRunExpr("toks")).cast(LongType))
+        expr(s"graft_maxrun(array_sort(${shinglesOfExpr(2, "toks")}))"))
+      .withColumn("max_run", expr("graft_maxrun(toks)"))
       .select(
         col("doc_id"), col("n_tokens"),
         expr("10000 * n_distinct DIV n_tokens").as("ttr_e4"),
@@ -309,6 +311,7 @@ object TextOps {
           expr("10000 * top2_cnt DIV n_bigrams") <= 2500 &&
           col("max_run") <= 3, "keep").otherwise("cut").as("bucket"))
       .orderBy("doc_id")
+  }
 
   /** Oracle: the mode-bigram count and the max token run both render
     * as gaps-and-islands (position − rank over equal values = island
@@ -405,7 +408,8 @@ object TextOps {
     // the exploded bigram frame feeds THREE consumers (mass total,
     // model build, scoring join) — materialize it once
     val bg = graft.Scratch.cp(Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("b")))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(shinglesOfExpr(2, "toks"))).as("b")))
     val total = bg.agg(count(lit(1)).as("nb"))
     val model = bg.groupBy("b").agg(count(lit(1)).as("c"))
       .crossJoin(broadcast(total)) // one row
@@ -461,8 +465,9 @@ object TextOps {
   def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val sh = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(expr(s"array_distinct(${shinglesExpr(3)})")).as("s"))
+        explode(expr(s"array_distinct(${shinglesOfExpr(3, "toks")})")).as("s"))
       .select(col("doc_id"), expr(hx("s")).as("h"))
     // df-cap via a window over the SAME partitioning the self-join
     // needs — the join reuses the hash(h) exchange instead of
@@ -569,8 +574,9 @@ object TextOps {
     // the native graft_minhash expression (exact in both engines —
     // the oracle renders the same maps in SQL).
     val withSigs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
       .withColumn("mhs", expr(
-        s"graft_minhash(${hxAll(s"array_distinct(${shinglesExpr(5)})")}, $k)"))
+        s"graft_minhash(${hxAll(s"array_distinct(${shinglesOfExpr(5, "toks")})")}, $k)"))
     val bands = withSigs.select(col("doc_id") +:
       (0 until nBands).map { j =>
         val parts = (0 until bandRows)
