@@ -51,6 +51,12 @@ object Bench {
       // and file-listing warmup).
       Scratch.releaseAll()
       spark.catalog.clearCache()
+      // unload lingering streaming state-store providers and their
+      // maintenance thread — an earlier stream_* query's providers
+      // (in-memory version maps + background snapshot uploads) survive
+      // query stop and inflated later stream queries up to 4.6× in the
+      // sweep; the next streaming query restarts maintenance lazily
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       System.gc()
       Thread.sleep(150) // let the async cleaner drain
       val session = spark.newSession()
