@@ -249,6 +249,43 @@ object TrainOps {
        |  h_e4
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Per-source quota shared by [[pipeQuota]] and its oracle. */
+  val QuotaCap = 15L
+
+  /** Per-source quota capping — the C4/Gopher-style domain cap: no
+    * single provenance may contribute more than `QuotaCap` docs, and
+    * within a source the LONGEST docs win (length as the quality
+    * proxy; ties break by doc_id). The complement of [[pipeMix]]'s
+    * weighting: mix sets how much of a source the run WANTS, the
+    * quota bounds how much any source CAN flood in.
+    *
+    * Scale posture: one window shuffle keyed by source — but the
+    * rank<=k filter directly above the window lets Spark plan a
+    * WindowGroupLimit BELOW the exchange (per-partition top-k per
+    * source), so a mega-domain ships at most cap×partitions rows,
+    * never its full row count. Parallelism = source count, which at
+    * crawl scale is millions — never a hot single reducer.
+    */
+  def pipeQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= QuotaCap)
+      .select("doc_id", "source", "n_chars", "rnk")
+      .orderBy("doc_id")
+  }
+
+  def pipeQuotaSql: String =
+    s"""SELECT doc_id, source, n_chars, rnk FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM documents) t
+       |WHERE rnk <= $QuotaCap
+       |ORDER BY doc_id""".stripMargin
+
   /** Eval decontamination — the stage that keeps benchmark answers
     * out of the training set: any TRAIN doc that is a near-duplicate
     * (the dedup_ngram detector: df-capped 3-gram Jaccard ≥ 0.30) of a
@@ -296,6 +333,7 @@ object TrainOps {
     "pipe_sample" -> (pipeSample _),
     "pipe_pack" -> (pipePack _),
     "pipe_mix" -> (pipeMix _),
+    "pipe_quota" -> (pipeQuota _),
     "pipe_shuffle" -> (pipeShuffle _),
     "pipe_split" -> (pipeSplit _))
 
@@ -304,6 +342,7 @@ object TrainOps {
     "pipe_sample" -> pipeSampleSql,
     "pipe_pack" -> pipePackSql,
     "pipe_mix" -> pipeMixSql,
+    "pipe_quota" -> pipeQuotaSql,
     "pipe_shuffle" -> pipeShuffleSql,
     "pipe_split" -> pipeSplitSql)
 }

@@ -86,6 +86,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
   }
 
+  test("pipe_quota: cap enforced per source, longest docs win, WindowGroupLimit below the shuffle") {
+    import graft.operators.TrainOps
+    val df = TrainOps.pipeQuota(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length <= TrainOps.QuotaCap))
+    // within a source, every kept doc is at least as long as any cut one
+    val kept = rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    val all = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+    all.groupBy(_.getAs[String]("source")).foreach { case (src, docs) =>
+      val keptLens = docs.filter(d => kept((src, d.getAs[Long]("doc_id"))))
+        .map(_.getAs[Long]("n_chars"))
+      val cutLens = docs.filterNot(d => kept((src, d.getAs[Long]("doc_id"))))
+        .map(_.getAs[Long]("n_chars"))
+      if (keptLens.nonEmpty && cutLens.nonEmpty)
+        assert(keptLens.min >= cutLens.max)
+    }
+    // the rank<=k filter must plan a WindowGroupLimit under the
+    // exchange — a mega-source then ships cap×partitions rows, not all
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("text_oov: scores are bounded and deterministic across re-runs") {
     val a = TextOps.textOov(spark, sfDir).collect()
     assert(a.nonEmpty)
