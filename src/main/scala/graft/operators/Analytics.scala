@@ -347,6 +347,37 @@ object Analytics {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY status, priority""".stripMargin
 
+  /** Correlated scalar subquery through the SQL surface: customers
+    * whose balance beats their nation's average. Written as the
+    * correlated form on purpose — Catalyst DECORRELATES it
+    * (RewriteCorrelatedScalarSubquery) into one per-nation aggregate
+    * plus a join on the correlation key, so the executed plan is the
+    * scalable two-pass shape, not a per-row re-scan. The average is
+    * compared in floor(×1e4) integer space (sum×10000 div count):
+    * decimal AVG detours through DOUBLE in the oracle engine, integer
+    * floor-of-scaled-sum does not.
+    */
+  def qCorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_qcs")
+    spark.sql(
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4
+        |FROM customer_qcs c
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) >
+        |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT) div COUNT(*)
+        |   FROM customer_qcs c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  def qCorrSubquerySql: String =
+    """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4
+      |FROM customer c
+      |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) >
+      |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT) // COUNT(*)
+      |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   /** [[Salting.saltedAgg]] under the oracle gate: the two-phase salted
     * aggregation over the events table's 5-value event_type key — a
     * genuinely skewed key (~n/5 rows per group at any SF, far past
@@ -616,6 +647,7 @@ object Analytics {
     "q4_priority" -> (q4Priority _),
     "q_pivot" -> (qPivot _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_corr_subquery" -> (qCorrSubquery _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_funcs" -> (qWindowFuncs _),
@@ -638,6 +670,7 @@ object Analytics {
     "q4_priority" -> q4PrioritySql,
     "q_pivot" -> qPivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q_corr_subquery" -> qCorrSubquerySql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_funcs" -> qWindowFuncsSql,

@@ -145,6 +145,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
   }
 
+  test("q_corr_subquery decorrelates to one aggregate + join, matches manual join-back") {
+    val df = Analytics.qCorrSubquery(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // no per-row re-scan: the correlated subquery must decorrelate
+    // (the optimized plan has NO subquery expression left)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"),
+      s"subquery survived decorrelation:\n$optimized")
+    // semantics: matches the manual aggregate + join-back
+    val c = Tables.customer(spark, sfDir)
+      .withColumn("bal_e4", expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT)"))
+    val avg = c.groupBy("c_nationkey")
+      .agg(expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT) div COUNT(*)").as("avg_e4"))
+    val expected = c.join(avg, "c_nationkey")
+      .filter(col("bal_e4") > col("avg_e4"))
+      .select("c_custkey").orderBy("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getAs[Long]("c_custkey")).toSeq == expected)
+  }
+
   test("q_salted_agg is row-identical to the direct groupBy") {
     val salted = Analytics.qSaltedAgg(spark, sfDir).collect()
     val direct = Tables.events(spark, sfDir)
