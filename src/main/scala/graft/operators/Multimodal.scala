@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample as partition-batched
   * transforms — the Scala equivalent of a `mapInPandas` batch UDF.
   *
-  * The decode step is REAL for image and audio rows: `png` and `jpeg`
+  * The decode step is REAL for all four formats: `png` and `jpeg`
   * payloads are genuine encoded streams (the pure-JVM `javax.imageio`
   * codecs, no native libs) and `decodeImage` runs `ImageIO.read`,
   * deriving frame features from the actual decoded pixels — png
@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   * streams written and read back through `javax.sound.sampled.
   * AudioSystem` (also pure-JVM), with frame features tapped from the
   * decoded 16-bit samples. `mp4` payloads are genuine ISO-BMFF
-  * containers (ftyp/moov/stbl/stsz/mdat) DEMUXED by a real box-tree
-  * parser — the one remaining fake is the codec step inside the mp4
-  * arm (no H.264 in a pure JVM): frame features tap the demuxed
-  * sample bytes a real decoder would consume; swapping that tap for
-  * an FFmpeg call changes no plumbing.
+  * containers (ftyp/moov/stbl/stsd+stsz/mdat) carrying MOTION-JPEG
+  * video — JPEG-per-frame, the mp4-compatible codec family a pure JVM
+  * CAN decode — DEMUXED by a real box-tree parser (stsd verifies the
+  * declared codec, stsz slices the samples) and then each frame
+  * DECODED with `ImageIO`: features come from decoded pixels on every
+  * arm. Swapping the per-sample codec call for an FFmpeg binding
+  * (H.264 and friends) changes no plumbing.
   *
   * Scale posture: payloads never leave their partition (mapPartitions,
   * no shuffle until the final presentation agg); decode is
@@ -94,15 +96,23 @@ object Multimodal {
 
   private val WavSampleRate = 8000f
 
-  /** Deterministic per-frame codec samples for the mp4 container —
-    * variable-length (64 + 16f bytes) so the stsz sample table is
-    * genuinely exercised, every byte seed-dependent.
+  /** Per-frame seed: md5 of (doc seed ++ frame index) — each frame of
+    * the Motion-JPEG track is a DIFFERENT seed-derived image, so the
+    * stsz table carries genuinely varying JPEG sizes and a decode that
+    * confuses frames cannot match the checksums.
     */
-  private[graft] def synthesizeSamples(seed: Array[Byte], nFrames: Int): Array[Array[Byte]] =
+  private[graft] def frameSeed(seed: Array[Byte], f: Int): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(seed ++ Array(f.toByte))
+
+  /** Deterministic per-frame codec samples for the mp4 container:
+    * REAL JPEG streams (Motion-JPEG), one seed-derived image per
+    * frame.
+    */
+  private[graft] def synthesizeSamples(seed: Array[Byte], nFrames: Int,
+      side: Int): Array[Array[Byte]] =
     Array.tabulate(nFrames) { f =>
-      val len = 64 + 16 * f
-      Array.tabulate(len)(i =>
-        ((seed((i * 13 + f * 7) % seed.length) ^ (i * 29)) & 0xff).toByte)
+      encodeImage(synthesizeImage(frameSeed(seed, f), side, side), "jpeg")
     }
 
   /** Encode PCM16 mono samples as a genuine RIFF/WAVE stream via the
@@ -148,12 +158,25 @@ object Multimodal {
           case "wav" =>
             // sample count plays the pixel-count role: width*height
             encodeWav(synthesizeWaveform(seed, side * side))
-          case _ => // mp4: a real ISO-BMFF container of synthetic samples
-            encodeMp4(synthesizeSamples(seed, meta.n_frames))
+          case _ => // mp4: a real ISO-BMFF container of Motion-JPEG frames
+            encodeMp4(synthesizeSamples(seed, meta.n_frames, side), side)
         }
         MediaRow(id, payload, meta)
       }
   }
+
+  /** 8 luminance taps across row `y` of a decoded image — THE feature
+    * definition every image-decoding arm shares (png/jpeg bands and
+    * the mp4 track's per-frame decode must agree on what a feature
+    * is).
+    */
+  private def lumTaps(img: BufferedImage, y: Int): Array[Float] =
+    Array.tabulate(8) { i =>
+      val x = i * img.getWidth / 8
+      val rgb = img.getRGB(x, y)
+      val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+      (lum - 128).toFloat / 128f
+    }
 
   /** REAL decode for image payloads (png lossless, jpeg lossy):
     * `ImageIO.read` the compressed stream, then per sampled frame (a
@@ -167,13 +190,7 @@ object Multimodal {
     require(img != null,
       s"graft-mm: payload is not a decodable ${meta.format} stream (meta ${meta.width}x${meta.height})")
     Array.tabulate(meta.n_frames) { f =>
-      val y = f * img.getHeight / meta.n_frames
-      Array.tabulate(8) { i =>
-        val x = i * img.getWidth / 8
-        val rgb = img.getRGB(x, y)
-        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-        (lum - 128).toFloat / 128f
-      }
+      lumTaps(img, f * img.getHeight / meta.n_frames)
     }
   }
 
@@ -229,6 +246,9 @@ object Multimodal {
   private def beInt(v: Int): Array[Byte] =
     java.nio.ByteBuffer.allocate(4).putInt(v).array()
 
+  private def beShort(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
   /** One ISO-BMFF box: 32-bit big-endian size (header included) + 4cc
     * type + payload.
     */
@@ -237,13 +257,47 @@ object Multimodal {
     beInt(8 + content.length) ++ typ.getBytes("US-ASCII") ++ content
   }
 
-  /** Minimal but structurally REAL MP4 container: `ftyp` (isom brand),
-    * `moov > trak > mdia > minf > stbl > stsz` carrying the per-sample
-    * size table, `mdat` carrying the concatenated sample payloads —
-    * the boxes any demuxer needs to slice samples back out.
+  /** The sample-entry 4cc the track declares: Motion-JPEG (QuickTime's
+    * 'jpeg' VisualSampleEntry — each sample is a complete JPEG image).
     */
-  private[graft] def encodeMp4(samples: Array[Array[Byte]]): Array[Byte] = {
+  private[graft] val Mp4Codec = "jpeg"
+
+  /** A real VisualSampleEntry for the stsd box: 6 reserved bytes,
+    * data_reference_index, the 16 pre_defined/reserved bytes, then
+    * width/height, 72-dpi resolutions, frame_count 1, a zero-padded
+    * compressorname, depth 24 and the trailing pre_defined −1 —
+    * exactly the 78-byte layout ISO 14496-12 §12.1.3 prescribes.
+    */
+  private def visualSampleEntry(codec: String, w: Int, h: Int): Array[Byte] =
+    bmffBox(codec,
+      new Array[Byte](6), beShort(1),
+      new Array[Byte](16),
+      beShort(w), beShort(h),
+      beInt(0x00480000), beInt(0x00480000), // 72 dpi horiz/vert
+      beInt(0), beShort(1),
+      new Array[Byte](32), // compressorname (pascal, zero-padded)
+      beShort(24), beShort(0xffff))
+
+  /** Minimal but structurally REAL MP4 container: `ftyp` (isom brand),
+    * `moov > trak > mdia > minf > stbl` holding `stsd` (the codec
+    * declaration — a Motion-JPEG VisualSampleEntry) and `stsz` (the
+    * per-sample size table), `mdat` carrying the concatenated JPEG
+    * frames — the boxes any demuxer needs to slice and decode samples.
+    */
+  private[graft] def encodeMp4(samples: Array[Array[Byte]], side: Int): Array[Byte] =
+    encodeMp4Raw(samples, side, Mp4Codec)
+
+  /** Codec-parametric variant — the corrupt-codec spec builds a track
+    * declaring a sample entry this JVM cannot decode (e.g. 'avc1') to
+    * pin the loud stsd failure.
+    */
+  private[graft] def encodeMp4Raw(samples: Array[Array[Byte]], side: Int,
+      codec: String): Array[Byte] = {
     val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII"), beInt(0), "isom".getBytes("US-ASCII"))
+    val stsd = bmffBox("stsd",
+      beInt(0), // version + flags
+      beInt(1), // entry_count
+      visualSampleEntry(codec, side, side))
     val stsz = bmffBox("stsz",
       beInt(0), // version + flags
       beInt(0), // sample_size = 0 → per-sample table follows
@@ -251,7 +305,7 @@ object Multimodal {
       samples.flatMap(s => beInt(s.length)))
     val moov = bmffBox("moov",
       bmffBox("mvhd", beInt(0), beInt(1000)), // version/flags + timescale
-      bmffBox("trak", bmffBox("mdia", bmffBox("minf", bmffBox("stbl", stsz)))))
+      bmffBox("trak", bmffBox("mdia", bmffBox("minf", bmffBox("stbl", stsd, stsz)))))
     val mdat = bmffBox("mdat", samples.flatten.toArray)
     ftyp ++ moov ++ mdat
   }
@@ -276,13 +330,15 @@ object Multimodal {
   }
 
   /** REAL demux for mp4 payloads: walk the box tree
-    * (ftyp → moov/trak/mdia/minf/stbl/stsz → mdat), read the sample
-    * size table, slice the mdat into per-frame sample payloads — the
-    * container work an FFmpeg-backed pipeline does before the codec.
-    * The CODEC step is the one honest fake left in mm_pipeline (no
-    * H.264 in a pure JVM): frame features tap the demuxed sample
-    * BYTES instead of decoded pixels, so they still depend on exactly
-    * the bytes a real decoder would consume.
+    * (ftyp → moov/trak/mdia/minf/stbl → stsd + stsz → mdat), verify
+    * the declared sample-entry codec, read the sample size table and
+    * slice the mdat into per-frame samples — the container work an
+    * FFmpeg-backed pipeline does before the codec. Demuxed samples
+    * then go through the REAL codec: each is a complete JPEG frame
+    * (Motion-JPEG) decoded with `ImageIO`, features tapped from the
+    * decoded pixels like the still-image arms. A track declaring a
+    * codec this JVM cannot decode (H.264 etc.) fails loudly at the
+    * stsd check instead of faking frames.
     */
   private[graft] def decodeMp4(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] = {
     val top = bmffChildren(payload, 0, payload.length)
@@ -295,7 +351,17 @@ object Multimodal {
       path.foldLeft(("", 0, payload.length): (String, Int, Int)) { (cur, typ) =>
         child(bmffChildren(payload, cur._2, cur._3), typ)
       }
-    val stsz = descend("moov", "trak", "mdia", "minf", "stbl", "stsz")
+    val stbl = descend("moov", "trak", "mdia", "minf", "stbl")
+    val stblBoxes = bmffChildren(payload, stbl._2, stbl._3)
+    // codec declaration: first sample entry of stsd (version/flags +
+    // entry_count precede it)
+    val stsd = child(stblBoxes, "stsd")
+    val entries = bmffChildren(payload, stsd._2 + 8, stsd._3)
+    val codec = entries.headOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException("graft-mm: stsd declares no sample entry"))
+    require(codec == Mp4Codec,
+      s"graft-mm: track codec '$codec' is not decodable here (pure-JVM Motion-JPEG only)")
+    val stsz = child(stblBoxes, "stsz")
     val b = java.nio.ByteBuffer.wrap(payload, stsz._2, stsz._3 - stsz._2)
     b.getInt // version + flags
     val fixedSize = b.getInt
@@ -307,13 +373,14 @@ object Multimodal {
     require(sizes.sum <= mdat._3 - mdat._2,
       s"graft-mm: mdat holds ${mdat._3 - mdat._2} bytes, sample table wants ${sizes.sum}")
     var off = mdat._2
-    sizes.map { len =>
+    sizes.zipWithIndex.map { case (len, f) =>
       val sample = java.util.Arrays.copyOfRange(payload, off, off + len)
       off += len
-      // codec stand-in: 8 byte-taps across the demuxed sample
-      Array.tabulate(8) { i =>
-        ((sample(i * sample.length / 8) & 0xff) - 128).toFloat / 128f
-      }
+      // the real codec step: every sample is a complete JPEG frame
+      val img = ImageIO.read(new ByteArrayInputStream(sample))
+      require(img != null,
+        s"graft-mm: sample $f is not a decodable $Mp4Codec frame (${len} bytes)")
+      lumTaps(img, f * img.getHeight / meta.n_frames)
     }
   }
 
@@ -347,10 +414,12 @@ object Multimodal {
     }
   }
 
-  /** Driver-visible pipeline result (rows-only check — the mp4 arm's
-    * codec step is a byte-tap stand-in, so no SQL oracle is claimed;
-    * the png/jpeg/wav decodes and the mp4 demux are pinned by
-    * roundtrip + known-checksum specs): one row per sampled frame.
+  /** Driver-visible pipeline result (rows-only check — every arm's
+    * decode is a real codec now, but codec output is not
+    * SQL-reproducible, so no DuckDB oracle is claimable by
+    * construction; the png/jpeg/wav decodes and the mp4
+    * demux-then-decode are pinned by roundtrip + known-checksum
+    * specs): one row per sampled frame.
     */
   def mmPipeline(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir).toDF()

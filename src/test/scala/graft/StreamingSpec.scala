@@ -683,33 +683,47 @@ class StreamingSpec extends SparkSpec {
     assert(want.toSeq != decodeStub(payload, dMeta).map(frameChecksum).toSeq)
   }
 
-  test("mm mp4 demux: ISO-BMFF box tree parses back to the exact samples; corrupt boxes fail") {
+  test("mm mp4: Motion-JPEG demux + decode recovers per-frame pixels; corrupt boxes/samples fail") {
     import Multimodal._
     val seed = java.security.MessageDigest.getInstance("MD5").digest("graft-known-seed".getBytes("UTF-8"))
-    val samples = synthesizeSamples(seed, 3)
-    val mp4 = encodeMp4(samples)
-    // 1. a structurally real container: leading ftyp box, isom brand
+    val samples = synthesizeSamples(seed, 3, 16)
+    val mp4 = encodeMp4(samples, 16)
+    // 1. a structurally real container: leading ftyp box, isom brand,
+    //    and every sample in the mdat is a complete JFIF stream
     assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
     assert(new String(mp4.slice(8, 12), "US-ASCII") == "isom")
-    // 2. features equal an INDEPENDENT computation from the sample
-    //    formula — never touching the demuxer — so the box walk + stsz
-    //    table provably recover the sample bytes
+    assert(samples.forall(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xd8))
+    // frame sizes genuinely vary (different images → different entropy)
+    assert(samples.map(_.length).distinct.length > 1)
+    // 2. features equal an INDEPENDENT per-frame decode of the SAME
+    //    frame images — never touching the demuxer — so the box walk +
+    //    stsz slicing provably hand the codec the right bytes
     val meta = MediaMeta("mp4", 16, 16, 3)
     val got = decodeMp4(mp4, meta)
     val expected = Array.tabulate(3) { f =>
-      val len = 64 + 16 * f
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(samples(f)))
+      val y = f * img.getHeight / 3
       Array.tabulate(8) { i =>
-        val idx = i * len / 8
-        val b = (seed((idx * 13 + f * 7) % seed.length) ^ (idx * 29)) & 0xff
-        (b - 128).toFloat / 128f
+        val rgb = img.getRGB(i * img.getWidth / 8, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        (lum - 128).toFloat / 128f
       }
     }
     assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
-    // 3. frame-count mismatch and corrupt box sizes fail loudly
+    // 3. frame-count mismatch, corrupt box sizes, a corrupt SAMPLE
+    //    (valid boxes, broken JPEG), and a codec this JVM cannot
+    //    decode all fail loudly
     intercept[Exception](decodeMp4(mp4, meta.copy(n_frames = 4)))
     val bad = mp4.clone(); bad(0) = 0x7f.toByte // absurd top-box size
     intercept[Exception](decodeFrames(bad, meta))
-    // 4. the pipeline's mp4 rows (doc_id % 4 == 3) carry demuxed-sample
+    val badSample = mp4.clone()
+    val sampleOff = badSample.length - samples.map(_.length).sum // mdat content start
+    badSample(sampleOff) = 0x00 // break the first frame's JFIF magic
+    intercept[Exception](decodeMp4(badSample, meta))
+    val foreign = encodeMp4Raw(samples, 16, "avc1")
+    intercept[Exception](decodeMp4(foreign, meta))
+    // 4. the pipeline's mp4 rows (doc_id % 4 == 3) carry decoded-pixel
     //    checksums — recompute one end-to-end from the document text
     val doc = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 4 === 3).select("doc_id", "text").head()
@@ -717,13 +731,14 @@ class StreamingSpec extends SparkSpec {
     val dSeed = java.security.MessageDigest.getInstance("MD5")
       .digest(doc.getAs[String]("text").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.getBytes("UTF-8")
-    val dMeta = MediaMeta("mp4", 16 << (id % 3).toInt, 16 << (id % 3).toInt, 1 + (id % 5).toInt)
-    val payload = encodeMp4(synthesizeSamples(dSeed, dMeta.n_frames))
+    val side = 16 << (id % 3).toInt
+    val dMeta = MediaMeta("mp4", side, side, 1 + (id % 5).toInt)
+    val payload = encodeMp4(synthesizeSamples(dSeed, dMeta.n_frames, side), side)
     val want = decodeMp4(payload, dMeta).map(frameChecksum)
     val rows = Multimodal.mmPipeline(spark, sfDir)
       .filter(col("doc_id") === id).orderBy("frame_idx").collect()
     assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.toSeq)
-    // and real demux differs from the structure-blind byte stub
+    // and real demux+decode differs from the structure-blind byte stub
     assert(want.toSeq != decodeStub(payload, dMeta).map(frameChecksum).toSeq)
   }
 
