@@ -43,7 +43,8 @@ object Multimodal {
 
   case class MediaMeta(format: String, width: Int, height: Int, n_frames: Int)
   case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
-  case class FrameFeature(doc_id: Long, frame_idx: Int, dim: Int, checksum: Long)
+  case class FrameFeature(doc_id: Long, frame_idx: Int, dim: Int, checksum: Long,
+    thumb_checksum: Long)
 
   private val Formats = Array("jpeg", "png", "wav", "mp4")
 
@@ -178,6 +179,51 @@ object Multimodal {
       (lum - 128).toFloat / 128f
     }
 
+  /** The resize stage: a ThumbSide×ThumbSide nearest-neighbor
+    * downscale of a decoded frame. Deterministic by DEFINITION —
+    * output pixel (x,y) is exactly input pixel
+    * (floor((x+.5)·w/T), floor((y+.5)·h/T)), the pixel whose center
+    * the inverse map hits — so a spec recomputes a thumbnail
+    * pixel-for-pixel from the synthesis formula without touching the
+    * resizer. (Hand-rolled rather than `AffineTransformOp`: the AWT op
+    * throws `ImagingOpException` on some headless JVMs, and its
+    * rounding is implementation-defined where this loop is spec.)
+    * Folded to a checksum per frame; audio rows decimate their
+    * decoded samples with the same rule instead.
+    */
+  private[graft] val ThumbSide = 8
+
+  private[graft] def thumbnail(img: BufferedImage): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(ThumbSide, ThumbSide, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ThumbSide) {
+      val sy = (2 * y + 1) * h / (2 * ThumbSide)
+      var x = 0
+      while (x < ThumbSide) {
+        out.setRGB(x, y, img.getRGB((2 * x + 1) * w / (2 * ThumbSide), sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** FNV fold of every RGB pixel of a thumbnail, row-major. */
+  private[graft] def thumbChecksum(img: BufferedImage): Long = {
+    var acc = 1469598103934665603L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        acc = (acc ^ (img.getRGB(x, y) & 0xffffff)) * 1099511628211L
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
   /** REAL decode for image payloads (png lossless, jpeg lossy):
     * `ImageIO.read` the compressed stream, then per sampled frame (a
     * horizontal band) extract 8 luminance taps from the decoded
@@ -185,12 +231,14 @@ object Multimodal {
     * stream the codec rejects fails with a descriptive error instead
     * of producing plausible frames.
     */
-  private[graft] def decodeImage(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] = {
+  private[graft] def decodeImage(payload: Array[Byte], meta: MediaMeta): Array[(Array[Float], Long)] = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null,
       s"graft-mm: payload is not a decodable ${meta.format} stream (meta ${meta.width}x${meta.height})")
+    // a still image frame-samples into bands but has ONE thumbnail
+    val thumb = thumbChecksum(thumbnail(img))
     Array.tabulate(meta.n_frames) { f =>
-      lumTaps(img, f * img.getHeight / meta.n_frames)
+      (lumTaps(img, f * img.getHeight / meta.n_frames), thumb)
     }
   }
 
@@ -201,7 +249,25 @@ object Multimodal {
     * A stream the parser rejects (corrupt RIFF header) fails with a
     * descriptive error instead of producing plausible frames.
     */
-  private[graft] def decodeWav(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] = {
+  /** Audio "thumbnail": the waveform decimated to ThumbSide² samples
+    * (nearest-neighbor, the same floor((i+.5)·n/N) rule as the image
+    * resize), folded to a checksum — the preview a media pipeline
+    * stores next to the full track.
+    */
+  private[graft] def waveThumbChecksum(samples: Array[Short]): Long = {
+    val n = samples.length
+    val taps = ThumbSide * ThumbSide
+    var acc = 1469598103934665603L
+    var i = 0
+    while (i < taps) {
+      val idx = math.min((2 * i + 1) * n / (2 * taps), n - 1)
+      acc = (acc ^ (samples(idx) & 0xffff)) * 1099511628211L
+      i += 1
+    }
+    acc
+  }
+
+  private[graft] def decodeWav(payload: Array[Byte], meta: MediaMeta): Array[(Array[Float], Long)] = {
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(payload))
@@ -219,12 +285,13 @@ object Multimodal {
     val samples = Array.tabulate(n) { i =>
       (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
     }
+    val thumb = waveThumbChecksum(samples)
     Array.tabulate(meta.n_frames) { f =>
       val start = f * n / meta.n_frames
       val band = math.max(n / meta.n_frames, 1)
-      Array.tabulate(8) { i =>
+      (Array.tabulate(8) { i =>
         samples(math.min(start + i * band / 8, n - 1)) / 32768f
-      }
+      }, thumb)
     }
   }
 
@@ -340,7 +407,7 @@ object Multimodal {
     * codec this JVM cannot decode (H.264 etc.) fails loudly at the
     * stsd check instead of faking frames.
     */
-  private[graft] def decodeMp4(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] = {
+  private[graft] def decodeMp4(payload: Array[Byte], meta: MediaMeta): Array[(Array[Float], Long)] = {
     val top = bmffChildren(payload, 0, payload.length)
     require(top.headOption.exists(_._1 == "ftyp"),
       s"graft-mm: payload is not an ISO-BMFF stream (no leading ftyp; meta ${meta.format})")
@@ -376,15 +443,17 @@ object Multimodal {
     sizes.zipWithIndex.map { case (len, f) =>
       val sample = java.util.Arrays.copyOfRange(payload, off, off + len)
       off += len
-      // the real codec step: every sample is a complete JPEG frame
+      // the real codec step: every sample is a complete JPEG frame —
+      // and a video track gets a DISTINCT thumbnail per frame
       val img = ImageIO.read(new ByteArrayInputStream(sample))
       require(img != null,
         s"graft-mm: sample $f is not a decodable $Mp4Codec frame (${len} bytes)")
-      lumTaps(img, f * img.getHeight / meta.n_frames)
+      (lumTaps(img, f * img.getHeight / meta.n_frames),
+        thumbChecksum(thumbnail(img)))
     }
   }
 
-  private[graft] def decodeFrames(payload: Array[Byte], meta: MediaMeta): Array[Array[Float]] =
+  private[graft] def decodeFrames(payload: Array[Byte], meta: MediaMeta): Array[(Array[Float], Long)] =
     meta.format match {
       case "png" | "jpeg" => decodeImage(payload, meta)
       case "wav"          => decodeWav(payload, meta)
@@ -407,8 +476,8 @@ object Multimodal {
       // per-partition codec init goes here (ImageIO readers are
       // created per call; heavier codecs would be cached in this scope)
       rows.flatMap { r =>
-        decodeFrames(r.payload, r.meta).zipWithIndex.map { case (feat, idx) =>
-          FrameFeature(r.doc_id, idx, feat.length, frameChecksum(feat))
+        decodeFrames(r.payload, r.meta).zipWithIndex.map { case ((feat, thumb), idx) =>
+          FrameFeature(r.doc_id, idx, feat.length, frameChecksum(feat), thumb)
         }
       }
     }

@@ -606,9 +606,17 @@ class StreamingSpec extends SparkSpec {
         ((r * 299 + g * 587 + b * 114) / 1000 - 128).toFloat / 128f
       }
     }
-    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    assert(got.map(_._1.toSeq).toSeq == expected.map(_.toSeq).toSeq)
     // 3. known-image checksum pin (regression guard on formula + fold)
-    assert(frameChecksum(got(0)) == 9180221312646271459L)
+    assert(frameChecksum(got(0)._1) == 9180221312646271459L)
+    // 3b. the resize stage is nearest-neighbor with the inverse-map
+    //     rule: 16→8 thumb pixel (x,y) is EXACTLY source (2x+1, 2y+1)
+    val th = thumbnail(back)
+    for (y <- 0 until ThumbSide; x <- 0 until ThumbSide)
+      assert((th.getRGB(x, y) & 0xffffff) == (img.getRGB(2 * x + 1, 2 * y + 1) & 0xffffff))
+    // a still image carries ONE thumbnail across its sampled frames
+    assert(got.map(_._2).distinct.length == 1)
+    assert(got(0)._2 == thumbChecksum(th))
     // 4. a corrupted payload fails loudly instead of producing frames
     val bad = png.clone(); bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x7f).toByte
     intercept[Exception](decodeFrames(bad, meta))
@@ -623,10 +631,11 @@ class StreamingSpec extends SparkSpec {
       .map("%02x".format(_)).mkString.getBytes("UTF-8")
     val side = 16 << (id % 3).toInt
     val dMeta = MediaMeta("png", side, side, 1 + (id % 5).toInt)
-    val want = decodeImage(encodePng(synthesizeImage(dSeed, side, side)), dMeta).map(frameChecksum)
+    val want = decodeImage(encodePng(synthesizeImage(dSeed, side, side)), dMeta)
     val rows = Multimodal.mmPipeline(spark, sfDir)
       .filter(col("doc_id") === id).orderBy("frame_idx").collect()
-    assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.toSeq)
+    assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.map(w => frameChecksum(w._1)).toSeq)
+    assert(rows.map(_.getAs[Long]("thumb_checksum")).toSeq == want.map(_._2).toSeq)
   }
 
   test("mm wav decode: RIFF roundtrip is sample-exact and features come from decoded samples") {
@@ -658,9 +667,13 @@ class StreamingSpec extends SparkSpec {
         (((hi << 8) | lo) - 32768).toShort / 32768f
       }
     }
-    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    assert(got.map(_._1.toSeq).toSeq == expected.map(_.toSeq).toSeq)
     // 3. known-waveform checksum pin (regression guard on formula + fold)
-    assert(frameChecksum(got(0)) == -1204034326619418653L)
+    assert(frameChecksum(got(0)._1) == -1204034326619418653L)
+    // 3b. the audio "thumbnail" decimates the DECODED samples with the
+    //     same nearest rule as the image resize — recompute from the
+    //     waveform, never touching the codec
+    assert(got.map(_._2).distinct.toSeq == Seq(waveThumbChecksum(wave)))
     // 4. a corrupted RIFF header fails loudly instead of producing frames
     val bad = wav.clone(); bad(1) = (bad(1) ^ 0x7f).toByte
     intercept[Exception](decodeFrames(bad, meta))
@@ -675,7 +688,7 @@ class StreamingSpec extends SparkSpec {
     val side = 16 << (id % 3).toInt
     val dMeta = MediaMeta("wav", side, side, 1 + (id % 5).toInt)
     val payload = encodeWav(synthesizeWaveform(dSeed, side * side))
-    val want = decodeWav(payload, dMeta).map(frameChecksum)
+    val want = decodeWav(payload, dMeta).map(w => frameChecksum(w._1))
     val rows = Multimodal.mmPipeline(spark, sfDir)
       .filter(col("doc_id") === id).orderBy("frame_idx").collect()
     assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.toSeq)
@@ -710,7 +723,15 @@ class StreamingSpec extends SparkSpec {
         (lum - 128).toFloat / 128f
       }
     }
-    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    assert(got.map(_._1.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    // 2b. a VIDEO track gets a DISTINCT thumbnail per decoded frame,
+    //     each matching an independent resize of that frame's image
+    val wantThumbs = Array.tabulate(3) { f =>
+      thumbChecksum(thumbnail(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(samples(f)))))
+    }
+    assert(got.map(_._2).toSeq == wantThumbs.toSeq)
+    assert(wantThumbs.distinct.length == 3)
     // 3. frame-count mismatch, corrupt box sizes, a corrupt SAMPLE
     //    (valid boxes, broken JPEG), and a codec this JVM cannot
     //    decode all fail loudly
@@ -734,12 +755,14 @@ class StreamingSpec extends SparkSpec {
     val side = 16 << (id % 3).toInt
     val dMeta = MediaMeta("mp4", side, side, 1 + (id % 5).toInt)
     val payload = encodeMp4(synthesizeSamples(dSeed, dMeta.n_frames, side), side)
-    val want = decodeMp4(payload, dMeta).map(frameChecksum)
+    val want = decodeMp4(payload, dMeta)
     val rows = Multimodal.mmPipeline(spark, sfDir)
       .filter(col("doc_id") === id).orderBy("frame_idx").collect()
-    assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.toSeq)
+    assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.map(w => frameChecksum(w._1)).toSeq)
+    assert(rows.map(_.getAs[Long]("thumb_checksum")).toSeq == want.map(_._2).toSeq)
     // and real demux+decode differs from the structure-blind byte stub
-    assert(want.toSeq != decodeStub(payload, dMeta).map(frameChecksum).toSeq)
+    assert(want.map(w => frameChecksum(w._1)).toSeq !=
+      decodeStub(payload, dMeta).map(frameChecksum).toSeq)
   }
 
   test("mm jpeg decode: features come from the (lossy) codec reconstruction, not the stub") {
@@ -756,7 +779,7 @@ class StreamingSpec extends SparkSpec {
     val payload = encodeImage(synthesizeImage(seed, side, side), "jpeg")
     // real JFIF stream
     assert((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
-    val want = decodeImage(payload, meta).map(frameChecksum)
+    val want = decodeImage(payload, meta).map(w => frameChecksum(w._1))
     val rows = Multimodal.mmPipeline(spark, sfDir)
       .filter(col("doc_id") === id).orderBy("frame_idx").collect()
     assert(rows.map(_.getAs[Long]("checksum")).toSeq == want.toSeq)
