@@ -249,6 +249,69 @@ object TrainOps {
        |  h_e4
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary size for [[pipeTokenize]] — bounded by construction,
+    * the contract that keeps the id-assignment join a broadcast.
+    */
+  val TokenizeVocab = 16
+
+  /** The BPE-ish pretokenizer rule, shared with text_tokens: letter
+    * runs, digit runs, single punctuation.
+    */
+  private val PretokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Tokenization to vocabulary ids — the stage that turns filtered
+    * text into the integer sequences a trainer consumes: pretokenize
+    * (the BPE-ish regex), build a bounded top-V vocabulary by global
+    * frequency (count desc, token asc — deterministic at the cut; ids
+    * are 1-based frequency ranks), then map each doc's pretokens to
+    * ids IN ORDER (OOV → 0, where a production BPE would recurse into
+    * subword merges). The id sequence travels as a comma-joined
+    * string so the oracle compare stays representation-independent.
+    *
+    * Scale posture: the vocab pass ends in a TakeOrderedAndProject
+    * (per-partition top-V, never a global sort) like [[TextOps]]'s
+    * OOV scorer; the id-assignment join is a V-row broadcast; order
+    * restores from the exploded position inside the one doc_id
+    * rollup (sort_array over per-doc structs — per-doc cost, not a
+    * global sort).
+    */
+  def pipeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, posexplode, row_number}
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr(s"regexp_extract_all(text, '$PretokRe', 0)")).as(Seq("pos", "t")))
+    val byFreq = Window.orderBy(col("c").desc, col("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(TokenizeVocab)
+      // the window runs on TokenizeVocab rows — bounded by construction
+      .withColumn("vid", row_number().over(byFreq).cast(LongType))
+      .select(col("t").as("vt"), col("vid"))
+    tok.join(broadcast(vocab), col("t") === col("vt"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("vid"), lit(0L)).as("id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_pretokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, id))), s -> CAST(s.id AS STRING)), ',')")
+          .as("ids"))
+      .orderBy("doc_id")
+  }
+
+  def pipeTokenizeSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '$PretokRe')) AS t,
+       |    generate_subscripts(regexp_extract_all(text, '$PretokRe'), 1) AS pos
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT t AS vt, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) AS vid
+       |  FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+       |        ORDER BY c DESC, t LIMIT $TokenizeVocab)),
+       |j AS (
+       |  SELECT doc_id, pos, COALESCE(vid, 0) AS id
+       |  FROM tok LEFT JOIN vocab ON t = vt)
+       |SELECT doc_id, COUNT(*) AS n_pretokens,
+       |  STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-source quota shared by [[pipeQuota]] and its oracle. */
   val QuotaCap = 15L
 
@@ -334,6 +397,7 @@ object TrainOps {
     "pipe_pack" -> (pipePack _),
     "pipe_mix" -> (pipeMix _),
     "pipe_quota" -> (pipeQuota _),
+    "pipe_tokenize" -> (pipeTokenize _),
     "pipe_shuffle" -> (pipeShuffle _),
     "pipe_split" -> (pipeSplit _))
 
@@ -343,6 +407,7 @@ object TrainOps {
     "pipe_pack" -> pipePackSql,
     "pipe_mix" -> pipeMixSql,
     "pipe_quota" -> pipeQuotaSql,
+    "pipe_tokenize" -> pipeTokenizeSql,
     "pipe_shuffle" -> pipeShuffleSql,
     "pipe_split" -> pipeSplitSql)
 }

@@ -111,6 +111,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("pipe_tokenize: ids are frequency ranks in doc order, recomputed per doc in Scala") {
+    import graft.operators.TrainOps
+    val rows = TrainOps.pipeTokenize(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == docs.size)
+    // reference vocabulary from plain Scala: top-V pretokens by
+    // (count desc, token asc), ids = 1-based ranks
+    val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val allToks = docs.values.toSeq.flatMap(t => re.findAllIn(t).toSeq)
+    val vocab = allToks.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(TrainOps.TokenizeVocab)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    rows.foreach { r =>
+      val toks = re.findAllIn(docs(r.getAs[Long]("doc_id"))).toSeq
+      val want = toks.map(t => vocab.getOrElse(t, 0L)).mkString(",")
+      assert(r.getAs[Long]("n_pretokens") == toks.length)
+      assert(r.getAs[String]("ids") == want)
+    }
+    // the in-vocab share is real (ids aren't all OOV) but OOV exists
+    val ids = rows.flatMap(_.getAs[String]("ids").split(",")).map(_.toLong)
+    assert(ids.exists(_ > 0) && ids.exists(_ == 0))
+    assert(ids.forall(i => i >= 0 && i <= TrainOps.TokenizeVocab))
+  }
+
   test("text_oov: scores are bounded and deterministic across re-runs") {
     val a = TextOps.textOov(spark, sfDir).collect()
     assert(a.nonEmpty)
