@@ -19,7 +19,9 @@ object Plans {
       "q1_pricing", "q3_shipping", "q5_regional", "q9_profit",
       "imp_entity_transfers", "imp_entity_incremental",
       "dedup_minhash", "dedup_ngram", "ann_bruteforce", "q_sessionize",
-      "sketch_hll", "sketch_topk", "sketch_quantile", "text_bigram")
+      "sketch_hll", "sketch_topk", "sketch_quantile", "text_bigram",
+      "q4_priority", "q_pivot", "q_grouping_sets", "q_corr_subquery",
+      "q_salted_agg", "text_repetition", "pipe_quota", "pipe_tokenize")
     names.foreach { name =>
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
