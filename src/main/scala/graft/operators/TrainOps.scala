@@ -277,22 +277,24 @@ object TrainOps {
     */
   def pipeTokenize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, posexplode, row_number}
-    val tok = Tables.documents(spark, dir)
+    // the regex pretokenize + explode feeds TWO consumers (vocab pass
+    // and the id-assignment probe) — materialize it once
+    val tok = graft.Scratch.cp(Tables.documents(spark, dir)
       .select(col("doc_id"),
-        posexplode(expr(s"regexp_extract_all(text, '$PretokRe', 0)")).as(Seq("pos", "t")))
+        posexplode(expr(s"regexp_extract_all(text, '$PretokRe', 0)")).as(Seq("pos", "t"))))
     val byFreq = Window.orderBy(col("c").desc, col("t"))
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t")).limit(TokenizeVocab)
       // the window runs on TokenizeVocab rows — bounded by construction
       .withColumn("vid", row_number().over(byFreq).cast(LongType))
       .select(col("t").as("vt"), col("vid"))
-    tok.join(broadcast(vocab), col("t") === col("vt"), "left")
+    val ids = tok.join(broadcast(vocab), col("t") === col("vt"), "left")
       .select(col("doc_id"), col("pos"), coalesce(col("vid"), lit(0L)).as("id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_pretokens"),
         expr("array_join(transform(array_sort(collect_list(struct(pos, id))), s -> CAST(s.id AS STRING)), ',')")
           .as("ids"))
-      .orderBy("doc_id")
+    graft.Scratch.seal(ids, tok).orderBy("doc_id")
   }
 
   def pipeTokenizeSql: String =
