@@ -50,7 +50,7 @@ object Components {
     // convergence proof. Sum over zero rows is null — an empty node
     // set is already converged.
     def witnessOf(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head()
         .getDecimal(0)
     val first = witnessOf(labels)
     if (first == null) { graft.Scratch.free(sym); return labels }

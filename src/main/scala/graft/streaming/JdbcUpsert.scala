@@ -192,6 +192,6 @@ object JdbcUpsert {
         .option("dbtable", tableFor(baseTable, t))
         .load()
     }.reduce(_ unionByName _)
-    all.toDF(all.columns.map(_.toLowerCase): _*)
+    all.toDF(all.columns.toIndexedSeq.map(_.toLowerCase): _*)
   }
 }

@@ -40,6 +40,10 @@ class ExtensionsSpec extends SparkSpec {
       val hashed = one("SELECT graft_hash60_all(array('a','b'))")
         .asInstanceOf[scala.collection.Seq[Long]].toSeq
       assert(hashed.length == 2 && hashed.forall(_ > 0))
+      assert(one("SELECT graft_maxrun(array('a','a','b','a'))") == 2L)
+      // null elements equal nothing (they break runs); empty folds to 0
+      assert(one("SELECT graft_maxrun(array('a', CAST(NULL AS STRING), 'a'))") == 1L)
+      assert(one("SELECT graft_maxrun(CAST(array() AS array<string>))") == 0L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
