@@ -34,6 +34,33 @@ class SaltingSpec extends SparkSpec {
       s"hot key not spread: ${sizes.mkString(",")}")
   }
 
+  test("AQE skew-join split fires on a hot key (the runtime path salting backstops)") {
+    // Graft.session claims adaptive skew handling; prove the config
+    // path actually fires. A child session scopes the lowered split
+    // thresholds (production values would never split a toy corpus).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    // keep the join an SMJ so there is a shuffle to split
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    val big = s.range(40000)
+      .select(when(col("id") % 100 < 97, 1L).otherwise(col("id") % 100).as("k"),
+        concat(lit("pad_pad_pad_pad_pad_"), col("id")).as("payload"))
+    val dim = s.range(100).select(col("id").as("k"), concat(lit("d"), col("id")).as("label"))
+    val joined = big.join(dim, "k")
+    // collect() runs joined's OWN QueryExecution (count() would build a
+    // derived aggregate and leave this plan un-executed, AQE unfired)
+    assert(joined.collect().length == 40000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n$plan")
+  }
+
   test("saltedAgg two-phase aggregation matches direct aggregation") {
     import spark.implicits._
     val df = spark.range(5000)
