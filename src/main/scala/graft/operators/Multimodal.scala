@@ -48,6 +48,12 @@ object Multimodal {
 
   private val Formats = Array("jpeg", "png", "wav", "mp4")
 
+  /** FNV-1a fold shared by every checksum in this pipeline (frame
+    * features, image thumbnails, audio previews).
+    */
+  private val FnvOffset = 1469598103934665603L
+  private val FnvPrime = 1099511628211L
+
   /** Deterministic pixel pattern seeded by the doc's md5: the image a
     * png row's payload encodes. Channel mix keeps every pixel
     * dependent on the seed bytes so a decode that ignores the payload
@@ -211,12 +217,12 @@ object Multimodal {
 
   /** FNV fold of every RGB pixel of a thumbnail, row-major. */
   private[graft] def thumbChecksum(img: BufferedImage): Long = {
-    var acc = 1469598103934665603L
+    var acc = FnvOffset
     var y = 0
     while (y < img.getHeight) {
       var x = 0
       while (x < img.getWidth) {
-        acc = (acc ^ (img.getRGB(x, y) & 0xffffff)) * 1099511628211L
+        acc = (acc ^ (img.getRGB(x, y) & 0xffffff)) * FnvPrime
         x += 1
       }
       y += 1
@@ -257,11 +263,11 @@ object Multimodal {
   private[graft] def waveThumbChecksum(samples: Array[Short]): Long = {
     val n = samples.length
     val taps = ThumbSide * ThumbSide
-    var acc = 1469598103934665603L
+    var acc = FnvOffset
     var i = 0
     while (i < taps) {
       val idx = math.min((2 * i + 1) * n / (2 * taps), n - 1)
-      acc = (acc ^ (samples(idx) & 0xffff)) * 1099511628211L
+      acc = (acc ^ (samples(idx) & 0xffff)) * FnvPrime
       i += 1
     }
     acc
@@ -462,8 +468,8 @@ object Multimodal {
     }
 
   private[graft] def frameChecksum(feat: Array[Float]): Long =
-    feat.foldLeft(1469598103934665603L) { (acc, f) =>
-      (acc ^ java.lang.Float.floatToIntBits(f)) * 1099511628211L
+    feat.foldLeft(FnvOffset) { (acc, f) =>
+      (acc ^ java.lang.Float.floatToIntBits(f)) * FnvPrime
     }
 
   /** Frame features, partition-batched: the mapPartitions boundary is

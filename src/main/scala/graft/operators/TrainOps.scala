@@ -276,7 +276,6 @@ object TrainOps {
     * global sort).
     */
   def pipeTokenize(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, posexplode, row_number}
     // the regex pretokenize + explode feeds TWO consumers (vocab pass
     // and the id-assignment probe) — materialize it once
     val tok = graft.Scratch.cp(Tables.documents(spark, dir)
