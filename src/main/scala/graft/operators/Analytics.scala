@@ -293,9 +293,17 @@ object Analytics {
     */
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
-  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    qPivotOf(Tables.events(spark, dir))
+
+  /** Pivot over an externally supplied events-shaped frame — the
+    * missing-cell spec feeds a synthetic corpus through it (every
+    * corpus SF happens to fill all user×type cells, so the zero-fill
+    * path is pinned synthetically).
+    */
+  def qPivotOf(events: DataFrame): DataFrame = {
     val zero = lit(0).cast("decimal(18,2)")
-    Tables.events(spark, dir)
+    events
       .groupBy(col("user_id"))
       .pivot("event_type", EventTypes)
       .agg(sum(dec2(col("value"))))

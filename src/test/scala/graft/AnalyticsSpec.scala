@@ -126,6 +126,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head.getAs[String]("click") == direct)
     // explicit value list => static schema, no distinct-values job
     assert(df.columns.toSeq == Seq("user_id", "click", "error", "purchase", "signup", "view"))
+    // the corpus fills every user×type cell at every SF, so pin the
+    // missing-cell zero-fill synthetically: a user with no 'view'
+    // events renders '0.00', never null
+    import spark.implicits._
+    val synth = Seq((1L, "click", 2.5), (1L, "purchase", 4.0), (2L, "view", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val p = Analytics.qPivotOf(synth).collect()
+    val u1 = p.find(_.getAs[Long]("user_id") == 1L).get
+    assert(u1.getAs[String]("view") == "0.00" && u1.getAs[String]("error") == "0.00")
+    assert(u1.getAs[String]("click") == "2.50" && u1.getAs[String]("purchase") == "4.00")
   }
 
   test("q_grouping_sets: exactly the two marginals, markers consistent, one shuffle") {
