@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 /** Sketch operators for 100 TB-scale counting and ranking: a
-  * mergeable HyperLogLog distinct-count register table, Misra-Gries
-  * two-pass heavy hitters (approximation internal, output exact), and
-  * histogram quantiles (exact on fixed-decimal data). Common design:
-  * the approximation bounds SHUFFLE VOLUME (registers, candidates,
-  * bins — never the raw rows), and everything oracle-checked stays in
-  * deterministic integer space.
+  * mergeable HyperLogLog distinct-count register table, a KMV/theta
+  * bottom-k sketch (distinct counts PLUS set-operation estimates),
+  * Misra-Gries two-pass heavy hitters (approximation internal, output
+  * exact), and histogram quantiles (exact on fixed-decimal data).
+  * Common design: the approximation bounds SHUFFLE VOLUME (registers,
+  * hash samples, candidates, bins — never the raw rows), and
+  * everything oracle-checked stays in deterministic integer space.
   *
   * Exact `COUNT(DISTINCT key)` shuffles every distinct key
   * (q_distinct_users' two-phase expand); a HyperLogLog register sketch
@@ -170,6 +171,107 @@ object ApproxOps {
       |HAVING COUNT(*) * 50 >= n
       |ORDER BY t""".stripMargin
 
+  /** Bottom-k sketch size. 2^60 is the hash space — the estimator's
+    * scale constant.
+    */
+  val KmvK = 32
+  private val HashSpace = math.pow(2.0, 60)
+
+  /** KMV / bottom-k distinct sketch (the theta-sketch family): per
+    * group, the k SMALLEST distinct 60-bit hashes of the key. Where
+    * HLL compresses to registers (union-only), a KMV sketch is a SET
+    * of real hash samples — so sketches also support INTERSECTION /
+    * difference estimates ([[kmvIntersectEstimate]]), the set
+    * operations registers cannot answer. The sketch rows themselves
+    * are exact integers with a full oracle (k smallest distinct
+    * hashes is a deterministic set); only the driver-side estimators
+    * leave integer space.
+    *
+    * Scale posture: pass 1 is a per-partition DISTINCT bottom-k
+    * (row-local `mapPartitions` with one capped tree per group — the
+    * [[sketchTopk]] pattern), so the raw key stream never shuffles; a
+    * plain rank<=k window pre-trim would be WRONG here (duplicate
+    * hashes of a hot key could evict genuinely smaller distinct
+    * hashes from the per-partition cut). Pass 2 ranks the ≤
+    * groups × k × partitions candidate rows — bottom-k is a monoid
+    * (bottom-k of unions = bottom-k of concatenated bottom-ks,
+    * spec-pinned), so the merged result is EXACTLY the global sketch.
+    */
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val hashed = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("graft_hash60(cast(user_id as string))").as("h"))
+      .as[(String, Long)]
+    val candidates = hashed.mapPartitions { it =>
+      val perGroup = scala.collection.mutable.HashMap
+        .empty[String, java.util.TreeSet[java.lang.Long]]
+      it.foreach { case (g, h) =>
+        val set = perGroup.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long]())
+        set.add(h)
+        if (set.size > KmvK) set.pollLast() // keep the k smallest
+      }
+      perGroup.iterator.flatMap { case (g, set) =>
+        val out = new Array[(String, Long)](set.size)
+        val i = set.iterator()
+        var j = 0
+        while (i.hasNext) { out(j) = (g, i.next()); j += 1 }
+        out.iterator
+      }
+    }.toDF("event_type", "h").distinct() // ≤ groups × k × partitions rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h")
+    candidates.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= KmvK)
+      .select(col("event_type"), col("rnk"), col("h"))
+      .orderBy("event_type", "rnk")
+  }
+
+  /** The oracle is the NAIVE exact bottom-k over the distinct hash
+    * set — the per-partition pruning must be invisible in the result.
+    */
+  def sketchKmvSql: String = {
+    val h = graft.functions.Portable.hash60Duck("CAST(user_id AS VARCHAR)")
+    s"""WITH d AS (SELECT DISTINCT event_type, $h AS h FROM events)
+       |SELECT event_type, rnk, h FROM (
+       |  SELECT event_type, h,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS rnk
+       |  FROM d) t
+       |WHERE rnk <= $KmvK
+       |ORDER BY event_type, rnk""".stripMargin
+  }
+
+  /** Merge bottom-k sketches: k smallest of the deduped union — the
+    * monoid property that lets per-partition/per-day sketches combine
+    * into the exact global sketch.
+    */
+  def kmvMerge(sketches: Seq[Seq[Long]], k: Int = KmvK): Seq[Long] =
+    sketches.flatten.distinct.sorted.take(k)
+
+  /** KMV estimator: with k-th smallest hash h_k over a space of 2^60,
+    * distinct ≈ (k−1) · 2^60 / h_k. A sketch smaller than k saw every
+    * distinct value — return the exact size. Driver-side float math,
+    * never part of an oracle-checked frame.
+    */
+  def kmvEstimate(sketch: Seq[Long], k: Int = KmvK): Double =
+    if (sketch.size < k) sketch.size.toDouble
+    else (k - 1).toDouble * HashSpace / sketch.max.toDouble
+
+  /** Theta-style intersection estimate: under the shared threshold
+    * θ = min(max_A, max_B), both sketches are uniform samples of
+    * their sets, so |A∩B| ≈ |{h ∈ A∩B : h < θ}| · 2^60 / θ. This is
+    * the query family (intersections, differences) that register
+    * sketches cannot answer — the reason production pipelines keep a
+    * theta/KMV sketch next to HLL.
+    */
+  def kmvIntersectEstimate(a: Seq[Long], b: Seq[Long], k: Int = KmvK): Double = {
+    if (a.size < k && b.size < k) return a.toSet.intersect(b.toSet).size.toDouble
+    val theta = math.min(a.max, b.max).toDouble
+    val common = a.toSet.intersect(b.toSet).count(_ < theta)
+    common * HashSpace / theta
+  }
+
   /** Percentiles via a value histogram — the scale path for
     * [[Analytics.qPercentiles]]'s per-group positional window, and
     * EXACT here, not approximate: the corpus values carry two
@@ -207,11 +309,13 @@ object ApproxOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (sketchHll _),
+    "sketch_kmv" -> (sketchKmv _),
     "sketch_topk" -> (sketchTopk _),
     "sketch_quantile" -> (sketchQuantile _))
 
   def oracles: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
+    "sketch_kmv" -> sketchKmvSql,
     "sketch_topk" -> sketchTopkSql,
     // the histogram form must reproduce the positional form exactly
     "sketch_quantile" -> Analytics.qPercentilesSql)

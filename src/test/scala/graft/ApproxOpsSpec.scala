@@ -39,6 +39,52 @@ class ApproxOpsSpec extends SparkSpec {
       s"merged estimate $est vs exact $globalExact exceeds 15%")
   }
 
+  private def kmvByType(): Map[String, Seq[Long]] =
+    ApproxOps.sketchKmv(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (et, rows) => et -> rows.map(_.getAs[Long]("h")).toSeq }
+
+  test("sketch_kmv: bottom-k is exact, mergeable, and estimates within KMV error bounds") {
+    val sketches = kmvByType()
+    assert(sketches.nonEmpty)
+    // exact: each sketch IS the k smallest distinct hashes (re-derived
+    // naively in-engine)
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val naive = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("graft_hash60(cast(user_id as string))").as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rows) =>
+        et -> rows.map(_.getAs[Long]("h")).sorted.take(ApproxOps.KmvK).toSeq }
+    assert(sketches == naive, "per-partition pruning changed the bottom-k set")
+    // estimator: within 2/sqrt(k) ≈ 35% at k=32 (generous CI bound)
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    sketches.foreach { case (et, s) =>
+      val est = ApproxOps.kmvEstimate(s)
+      val ex = exact(et).toDouble
+      assert(math.abs(est - ex) / ex <= 2.0 / math.sqrt(ApproxOps.KmvK),
+        s"$et: estimate $est vs exact $ex exceeds the KMV bound")
+    }
+    // monoid: bottom-k of the union = merge of per-type sketches; the
+    // merged estimate tracks the global distinct count
+    val merged = ApproxOps.kmvMerge(sketches.values.toSeq)
+    assert(merged == ApproxOps.kmvMerge(sketches.values.toSeq.reverse))
+    assert(merged == ApproxOps.kmvMerge(Seq(merged, merged)))
+    val global = Tables.events(spark, sfDir).select("user_id").distinct().count().toDouble
+    val gEst = ApproxOps.kmvEstimate(merged)
+    assert(math.abs(gEst - global) / global <= 2.0 / math.sqrt(ApproxOps.KmvK))
+    // intersection: every type shares the same user pool here, so the
+    // pairwise estimate must be comparable to the per-type counts
+    val pair = sketches.values.toSeq.take(2)
+    if (pair.length == 2) {
+      val iEst = ApproxOps.kmvIntersectEstimate(pair.head, pair(1))
+      assert(iEst > 0, "disjoint estimate for overlapping user pools")
+    }
+  }
+
   test("sketch_topk equals the naive exact heavy-hitter computation") {
     import org.apache.spark.sql.functions._
     val sketched = ApproxOps.sketchTopk(spark, sfDir).collect()
