@@ -41,13 +41,14 @@ object ApproxOps {
   private val RhoWidth = 52 // 60 hash bits - 8 bucket bits
   private val RhoMax = RhoWidth + 1
 
-  /** Per-event-type HLL register table over distinct users: ONE
-    * shuffled groupBy of (type, bucket) — at most `types × 256` rows
-    * cross the exchange after map-side partial max.
+  /** The register fold over an events-shaped frame — ONE derivation
+    * shared by the batch sketch and the STREAMING register maintainer
+    * ([[graft.streaming.StreamImport]]'s stream_hll): batch and
+    * stream must agree bucket-for-bucket because they answer the same
+    * oracle. Caller registers graft functions on the frame's session.
     */
-  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    Tables.events(spark, dir)
+  private[graft] def hllRegisters(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         expr("graft_hash60(cast(user_id as string))").as("h"))
       .select(col("event_type"),
@@ -56,6 +57,14 @@ object ApproxOps {
           s"ELSE $RhoMax - length(bin(h div $HllBuckets)) END").as("rho"))
       .groupBy("event_type", "bucket")
       .agg(max("rho").cast(LongType).as("max_rho"))
+
+  /** Per-event-type HLL register table over distinct users: ONE
+    * shuffled groupBy of (type, bucket) — at most `types × 256` rows
+    * cross the exchange after map-side partial max.
+    */
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    hllRegisters(Tables.events(spark, dir))
       .orderBy("event_type", "bucket")
   }
 

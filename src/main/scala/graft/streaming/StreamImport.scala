@@ -625,6 +625,37 @@ object StreamImport {
       .select("event_type", "window_h", "n", "sum_value")
       .orderBy("event_type", "window_h")
 
+  // ------------------------------------------------ Streaming sketch
+
+  /** Streaming distinct counting in CONSTANT state: the HLL register
+    * table maintained as a streaming aggregate. The state is exactly
+    * groups × 256 register rows no matter how many billions of keys
+    * stream through — where [[dedupStream]]'s exact state grows with
+    * distinct keys, this is the sketch answer to infinite-stream
+    * cardinality. Update mode re-emits a register row only when its
+    * max grows; the keyed sink upserts it. Same register derivation —
+    * and the SAME oracle — as the batch
+    * [[graft.operators.ApproxOps.sketchHll]]: register-wise max is
+    * order-insensitive and idempotent, so any micro-batch split folds
+    * to the identical table.
+    */
+  def hllStream(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    graft.operators.ApproxOps.hllRegisters(events)
+  }
+
+  /** Driver-checked streaming register table — oracle = the batch
+    * sketch_hll SQL.
+    */
+  def runHllToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events =>
+      hllStream(events)
+        .withColumn("rkey", concat(col("event_type"), lit("_"), col("bucket")))
+        .withColumn("tenant", col("event_type")),
+      "rkey")
+      .select("event_type", "bucket", "max_rho")
+      .orderBy("event_type", "bucket")
+
   // ------------------------------------------------- Session windows
 
   /** Native `session_window` sessionization — the streaming
@@ -817,6 +848,7 @@ object StreamImport {
     "stream_dedup" -> (runDedupToCompletion _),
     "stream_window" -> (runWindowToCompletion _),
     "stream_join" -> (runJoinToCompletion _),
+    "stream_hll" -> (runHllToCompletion _),
     "stream_sessionize" -> (runSessionizeToCompletion _))
 
   /** Streaming paths answer the SAME oracles as the batch entities. */
@@ -839,6 +871,7 @@ object StreamImport {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts) AND epoch_ms(c.ts) + 3600000
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "stream_hll" -> graft.operators.ApproxOps.sketchHllSql,
     "stream_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,

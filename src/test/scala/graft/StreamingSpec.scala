@@ -313,6 +313,42 @@ class StreamingSpec extends SparkSpec {
       Seq(Seq(1L, "click"), Seq(2L, "view"), Seq(3L, "error")))
   }
 
+  test("stream_hll: registers maintained across micro-batches equal the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    // adversarial order: register-wise max must be arrival-insensitive
+    val shuffled = new scala.util.Random(11).shuffle(recs.toVector)
+    val stream = MemoryStream[StreamImport.Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_hll_").toString + "/t"
+    val q = StreamImport.hllStream(stream.toDF())
+      .withColumn("rkey", concat(col("event_type"), lit("_"), col("bucket")))
+      .withColumn("tenant", col("event_type"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_hllchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "rkey")
+      }
+      .start()
+    shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("event_type", "bucket", "max_rho")
+      .orderBy("event_type", "bucket").collect()
+    val batch = graft.operators.ApproxOps.sketchHll(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+    // the state the stream holds is register-bounded, not key-bounded
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(streamed.length <= types * graft.operators.ApproxOps.HllBuckets)
+  }
+
   test("stream_window over micro-batches equals the batch hour buckets") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
