@@ -410,6 +410,61 @@ object Analytics {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Set operators over key sets: engaged users = clickers ∩
+    * purchasers, minus anyone with a HIGH-SEVERITY error (value > 90 —
+    * a plain "ever errored" arm is vacuous on this corpus, where every
+    * user carries every event type) — INTERSECT and EXCEPT composed.
+    * Spark plans both as LEFT-SEMI / LEFT-ANTI joins over
+    * pre-distincted sides (set semantics, not bag): each side prunes
+    * to one column at the scan, so what shuffles is three key sets,
+    * never event payloads.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def users(t: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === t).select("user_id")
+    val severe = Tables.events(spark, dir)
+      .filter(col("event_type") === "error" && col("value") > 90)
+      .select("user_id")
+    users("click").intersect(users("purchase"))
+      .except(severe)
+      .orderBy("user_id")
+  }
+
+  def qSetOpsSql: String =
+    """(SELECT user_id FROM events WHERE event_type = 'click'
+      | INTERSECT
+      | SELECT user_id FROM events WHERE event_type = 'purchase')
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+      |ORDER BY user_id""".stripMargin
+
+  /** Time-RANGE window frame: each event's trailing one-hour per-user
+    * spend — a moving aggregate whose frame is an event-time INTERVAL,
+    * not a row count (rows-frames answer "last N events"; ops
+    * monitoring asks "the last hour", however many events that is).
+    * One window shuffle on user_id; the range frame runs on the
+    * epoch-millis ordering both engines share.
+    */
+  def qMovingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-hourMs, 0)
+    Tables.events(spark, dir)
+      .withColumn("hour_value", moneyStr(sum(dec2(col("value"))).over(w)))
+      .withColumn("hour_events", count(lit(1)).over(w).cast(LongType))
+      .select(col("user_id"), col("event_id"), col("hour_value"), col("hour_events"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def qMovingWindowSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS hour_value,
+      |  COUNT(*) OVER w AS hour_events
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Per-user top-3 events by value: one window shuffle on user_id. */
   def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -657,6 +712,8 @@ object Analytics {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_set_ops" -> (qSetOps _),
+    "q_moving_window" -> (qMovingWindow _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_sessionize" -> (qSessionize _),
@@ -680,6 +737,8 @@ object Analytics {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_moving_window" -> qMovingWindowSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_sessionize" -> qSessionizeSql,

@@ -176,6 +176,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("c_custkey")).toSeq == expected)
   }
 
+  test("q_set_ops: set semantics (distinct, no bag counting), matches manual joins") {
+    val rows = Analytics.qSetOps(spark, sfDir).collect().map(_.getLong(0))
+    assert(rows.nonEmpty, "empty set-op result — vacuous")
+    assert(rows.distinct.length == rows.length, "INTERSECT/EXCEPT must emit sets")
+    val clicks = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").select("user_id")
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").select("user_id")
+    val severe = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error" && col("value") > 90).select("user_id")
+    val manual = clicks.distinct()
+      .join(purchases, Seq("user_id"), "left_semi")
+      .join(severe, Seq("user_id"), "left_anti")
+      .orderBy("user_id").collect().map(_.getLong(0))
+    assert(rows.toSeq == manual.toSeq)
+  }
+
+  test("q_moving_window: trailing-hour frame is an event-time interval, not a row count") {
+    val df = Analytics.qMovingWindow(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == Tables.events(spark, sfDir).count())
+    // recompute one user's trailing-hour sums from raw events
+    val u = rows.head.getAs[Long]("user_id")
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") === u)
+      .select("event_id", "ts_ms", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("ts_ms"), r.getAs[Double]("value")))
+      .sortBy(_._2)
+    val got = rows.filter(_.getAs[Long]("user_id") == u)
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("hour_events")).toMap
+    ev.foreach { case (id, ts, _) =>
+      val n = ev.count { case (_, t2, _) => t2 >= ts - 3600000L && t2 <= ts }
+      assert(got(id) == n, s"event $id: trailing-hour count ${got(id)} != $n")
+    }
+  }
+
   test("q_salted_agg is row-identical to the direct groupBy") {
     val salted = Analytics.qSaltedAgg(spark, sfDir).collect()
     val direct = Tables.events(spark, sfDir)
