@@ -26,6 +26,14 @@ object Portable {
   def hash60Duck(x: String): String =
     s"CAST(CONCAT('0x', SUBSTRING(md5($x),1,15)) AS BIGINT)"
 
+  /** THE BPE-ish pretokenizer rule (letter runs, digit runs, single
+    * punctuation) — one constant shared by text_tokens' counting and
+    * pipe_tokenize's id assignment, on BOTH engine sides: the regex is
+    * RE2-compatible, so Java and DuckDB agree match-for-match, and a
+    * single definition keeps the two families from silently drifting.
+    */
+  val PretokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
   /** Double → exact decimal(18,2); both engines round half-up here. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 

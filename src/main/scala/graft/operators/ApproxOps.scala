@@ -268,15 +268,21 @@ object ApproxOps {
     else (k - 1).toDouble * HashSpace / sketch.max.toDouble
 
   /** Theta-style intersection estimate: under the shared threshold
-    * θ = min(max_A, max_B), both sketches are uniform samples of
-    * their sets, so |A∩B| ≈ |{h ∈ A∩B : h < θ}| · 2^60 / θ. This is
-    * the query family (intersections, differences) that register
-    * sketches cannot answer — the reason production pipelines keep a
-    * theta/KMV sketch next to HLL.
+    * θ = min(θ_A, θ_B), both sketches are uniform samples of their
+    * sets, so |A∩B| ≈ |{h ∈ A∩B : h < θ}| · 2^60 / θ. An UNSATURATED
+    * sketch (size < k) sampled its whole set, so its threshold is the
+    * full hash space — never its largest real sample (treating a
+    * complete set's max as a cut would zero out or crash mixed-
+    * saturation pairs). Both-unsaturated pairs intersect exactly.
+    * This is the query family (intersections, differences) that
+    * register sketches cannot answer — the reason production
+    * pipelines keep a theta/KMV sketch next to HLL.
     */
   def kmvIntersectEstimate(a: Seq[Long], b: Seq[Long], k: Int = KmvK): Double = {
-    if (a.size < k && b.size < k) return a.toSet.intersect(b.toSet).size.toDouble
-    val theta = math.min(a.max, b.max).toDouble
+    def thetaOf(s: Seq[Long]): Double =
+      if (s.size < k) HashSpace else s.max.toDouble
+    val theta = math.min(thetaOf(a), thetaOf(b))
+    if (theta == HashSpace) return a.toSet.intersect(b.toSet).size.toDouble
     val common = a.toSet.intersect(b.toSet).count(_ < theta)
     common * HashSpace / theta
   }

@@ -262,6 +262,9 @@ object Multimodal {
     */
   private[graft] def waveThumbChecksum(samples: Array[Short]): Long = {
     val n = samples.length
+    // decodeWav rejects empty streams before reaching here; guard the
+    // direct-call path too (idx would otherwise be -1)
+    require(n > 0, "graft-mm: cannot thumbnail an empty waveform")
     val taps = ThumbSide * ThumbSide
     var acc = FnvOffset
     var i = 0

@@ -73,15 +73,15 @@ object TextOps {
     Tables.documents(spark, dir).select(
       col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
-      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+      size(expr(s"regexp_extract_all(text, '${graft.functions.Portable.PretokRe}', 0)"))
         .cast(LongType).as("re_tokens"),
       length(col("text")).cast(LongType).as("n_chars_calc"))
       .orderBy("doc_id")
 
   def textTokensSql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+      |  CAST(len(regexp_extract_all(text, '${graft.functions.Portable.PretokRe}')) AS BIGINT) AS re_tokens,
       |  CAST(length(text) AS BIGINT) AS n_chars_calc
       |FROM documents ORDER BY doc_id""".stripMargin
 

@@ -254,10 +254,11 @@ object TrainOps {
     */
   val TokenizeVocab = 16
 
-  /** The BPE-ish pretokenizer rule, shared with text_tokens: letter
-    * runs, digit runs, single punctuation.
+  /** The BPE-ish pretokenizer rule — ONE constant with text_tokens
+    * (graft.functions.Portable.PretokRe), so the token-count and
+    * id-assignment families cannot drift.
     */
-  private val PretokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private val PretokRe = graft.functions.Portable.PretokRe
 
   /** Tokenization to vocabulary ids — the stage that turns filtered
     * text into the integer sequences a trainer consumes: pretokenize

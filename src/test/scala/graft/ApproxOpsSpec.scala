@@ -83,6 +83,14 @@ class ApproxOpsSpec extends SparkSpec {
       val iEst = ApproxOps.kmvIntersectEstimate(pair.head, pair(1))
       assert(iEst > 0, "disjoint estimate for overlapping user pools")
     }
+    // mixed saturation: an unsaturated sketch sampled its WHOLE set —
+    // its threshold is the full hash space, never its largest sample
+    // (which would zero out or crash these cases)
+    val sat = (1L to ApproxOps.KmvK.toLong).map(_ * 1000L) // saturated
+    assert(ApproxOps.kmvIntersectEstimate(Seq(5000L), sat) > 0.0)
+    assert(ApproxOps.kmvIntersectEstimate(Seq.empty, sat) == 0.0)
+    // both unsaturated = both complete: exact intersection
+    assert(ApproxOps.kmvIntersectEstimate(Seq(1L, 2L), Seq(2L, 3L)) == 1.0)
   }
 
   test("sketch_topk equals the naive exact heavy-hitter computation") {
