@@ -386,6 +386,42 @@ object Analytics {
       |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** LATERAL correlated subquery: each nation's top-balance customer —
+    * the per-row-subquery surface (ANSI LATERAL) next to
+    * [[qCorrSubquery]]'s scalar form. Catalyst decorrelates the
+    * correlated ORDER BY … LIMIT 1 into a per-nation window/aggregate
+    * + join, so the executed plan never re-scans customer per nation
+    * row. Balances compare in floor(×1e4) integer space like the
+    * scalar-subquery query.
+    */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_ql")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_ql")
+    spark.sql(
+      """SELECT n_name, c_custkey, bal_e4
+        |FROM nation_ql n,
+        |LATERAL (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4
+        |  FROM customer_ql
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+        |  LIMIT 1) t
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  def qLateralSql: String =
+    """SELECT n_name, c_custkey, bal_e4
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4
+      |  FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+      |  LIMIT 1) t
+      |ORDER BY n_name""".stripMargin
+
   /** [[Salting.saltedAgg]] under the oracle gate: the two-phase salted
     * aggregation over the events table's 5-value event_type key — a
     * genuinely skewed key (~n/5 rows per group at any SF, far past
@@ -711,6 +747,7 @@ object Analytics {
     "q_pivot" -> (qPivot _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_corr_subquery" -> (qCorrSubquery _),
+    "q_lateral" -> (qLateral _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_set_ops" -> (qSetOps _),
     "q_moving_window" -> (qMovingWindow _),
@@ -736,6 +773,7 @@ object Analytics {
     "q_pivot" -> qPivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_corr_subquery" -> qCorrSubquerySql,
+    "q_lateral" -> qLateralSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_set_ops" -> qSetOpsSql,
     "q_moving_window" -> qMovingWindowSql,

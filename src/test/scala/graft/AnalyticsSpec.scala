@@ -211,6 +211,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_lateral decorrelates and matches the manual window top-1 per nation") {
+    val df = Analytics.qLateral(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("LateralJoin") && !optimized.toLowerCase.contains("lateral-subquery"),
+      s"lateral survived decorrelation:\n$optimized")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey")
+      .orderBy(expr("CAST(c_acctbal AS DECIMAL(18,2))").desc, col("c_custkey"))
+    val manual = Tables.customer(spark, sfDir)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"))
+      .orderBy("n_name").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("c_custkey")))
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("c_custkey"))).toSeq == manual.toSeq)
+  }
+
   test("q_salted_agg is row-identical to the direct groupBy") {
     val salted = Analytics.qSaltedAgg(spark, sfDir).collect()
     val direct = Tables.events(spark, sfDir)
