@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.ApproxOps
+
+/** Seeded generative checks for the newest primitives: the native
+  * `graft_maxrun` fold against a plain-Scala reference over random
+  * arrays (runs, nulls, empties, singletons — shapes the corpus can't
+  * force), and the KMV bottom-k merge's monoid laws over random hash
+  * sets. Deterministic seeds — a failure replays exactly.
+  */
+class FunctionsPropertySpec extends SparkSpec {
+
+  private def refMaxRun(xs: Seq[Option[String]]): Long = {
+    var best = 0L; var run = 0L; var prev: Option[String] = None
+    xs.foreach {
+      case None => run = 0L; prev = None
+      case some @ Some(x) =>
+        run = if (prev.contains(x)) run + 1 else 1L
+        best = math.max(best, run); prev = some
+    }
+    best
+  }
+
+  test("graft_maxrun matches the reference fold on 200 seeded random arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    // small alphabet forces runs; occasional nulls break them
+    val cases = Seq.fill(200) {
+      Seq.fill(rnd.nextInt(30)) {
+        if (rnd.nextInt(10) == 0) None
+        else Some(("a" + rnd.nextInt(3)).intern())
+      }
+    } :+ Seq.empty[Option[String]] :+ Seq(Some("x")) :+ Seq(None)
+    cases.foreach { xs =>
+      val lit = xs.map {
+        case Some(s) => s"'$s'"
+        case None => "CAST(NULL AS STRING)"
+      }.mkString(", ")
+      val arr = if (xs.isEmpty) "CAST(array() AS array<string>)" else s"array($lit)"
+      val got = spark.sql(s"SELECT graft_maxrun($arr)").head().getLong(0)
+      assert(got == refMaxRun(xs), s"maxrun mismatch on $xs: got $got")
+    }
+  }
+
+  test("kmvMerge is a commutative, associative, idempotent monoid on random sketches") {
+    val rnd = new scala.util.Random(7)
+    val k = ApproxOps.KmvK
+    for (_ <- 1 to 50) {
+      // three random "per-partition" sketches drawn from one universe
+      // (overlap guaranteed), each already bottom-k'd
+      val universe = Seq.fill(200)(rnd.nextLong().abs % 1000000L)
+      def sketchOf(s: Seq[Long]) = s.distinct.sorted.take(k)
+      val Seq(a, b, c) = Seq.fill(3)(
+        sketchOf(rnd.shuffle(universe).take(80 + rnd.nextInt(80))))
+      val m = ApproxOps.kmvMerge _
+      assert(m(Seq(a, b), k) == m(Seq(b, a), k))
+      assert(m(Seq(m(Seq(a, b), k), c), k) == m(Seq(a, m(Seq(b, c), k)), k))
+      assert(m(Seq(a, a), k) == a)
+      // merge == the sketch of the union (the incremental-count law)
+      assert(m(Seq(a, b, c), k) == sketchOf(a ++ b ++ c))
+    }
+  }
+}
