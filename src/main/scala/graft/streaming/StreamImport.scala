@@ -625,6 +625,52 @@ object StreamImport {
       .select("event_type", "window_h", "n", "sum_value")
       .orderBy("event_type", "window_h")
 
+  // -------------------------------------------------- Streaming top-n
+
+  /** One emitted leaderboard row. */
+  case class TopRow(user_id: Long, rnk: Long, event_id: Long, event_type: String)
+
+  /** Streaming per-key top-n in BOUNDED state: each user's running
+    * top-3 events by value, held as an n-row selection in
+    * `flatMapGroupsWithState` — the arbitrary-state shape for an
+    * aggregate SQL streaming cannot express (per-key ORDER BY…LIMIT).
+    * Bounded selection is a monoid (top-3 of a union = top-3 of
+    * merged top-3s), so arrival order is irrelevant and the state per
+    * key is exactly n rows forever. Each batch re-emits a touched
+    * user's FULL current leaderboard under stable (user, rank) keys,
+    * so the keyed sink upsert replaces displaced entries instead of
+    * leaking them. Answers the batch q_window_topn's SAME oracle.
+    */
+  private def updateTopn(user: Long, recs: Iterator[Rec],
+      state: GroupState[Seq[Rec]]): Iterator[TopRow] = {
+    val merged = (state.getOption.getOrElse(Seq.empty) ++ recs)
+      .sortBy(r => (-r.value, r.event_id)).take(3)
+    state.update(merged)
+    merged.iterator.zipWithIndex.map { case (r, i) =>
+      TopRow(user, i + 1L, r.event_id, r.event_type)
+    }
+  }
+
+  def topnStream(events: DataFrame): Dataset[TopRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    toRecs(events)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateTopn)
+  }
+
+  /** Driver-checked streaming leaderboard — oracle = the batch
+    * per-user window top-3.
+    */
+  def runTopnToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events =>
+      topnStream(events).toDF()
+        .withColumn("top_key", concat(col("user_id"), lit("_"), col("rnk")))
+        .withColumn("tenant", concat(lit("t"), col("user_id") % 10)),
+      "top_key")
+      .select("user_id", "rnk", "event_id", "event_type")
+      .orderBy("user_id", "rnk")
+
   // ------------------------------------------------ Streaming sketch
 
   /** Streaming distinct counting in CONSTANT state: the HLL register
@@ -849,6 +895,7 @@ object StreamImport {
     "stream_window" -> (runWindowToCompletion _),
     "stream_join" -> (runJoinToCompletion _),
     "stream_hll" -> (runHllToCompletion _),
+    "stream_topn" -> (runTopnToCompletion _),
     "stream_sessionize" -> (runSessionizeToCompletion _))
 
   /** Streaming paths answer the SAME oracles as the batch entities. */
@@ -872,6 +919,7 @@ object StreamImport {
         | AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts) AND epoch_ms(c.ts) + 3600000
         |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_hll" -> graft.operators.ApproxOps.sketchHllSql,
+    "stream_topn" -> graft.operators.Analytics.qWindowTopNSql,
     "stream_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,

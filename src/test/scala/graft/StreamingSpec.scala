@@ -313,6 +313,40 @@ class StreamingSpec extends SparkSpec {
       Seq(Seq(1L, "click"), Seq(2L, "view"), Seq(3L, "error")))
   }
 
+  test("stream_topn: displaced leaderboard entries are overwritten across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    // adversarial order: later chunks must DISPLACE earlier top rows,
+    // exercising the stable-(user, rank)-key overwrite path
+    val shuffled = new scala.util.Random(13).shuffle(recs.toVector)
+    val stream = MemoryStream[StreamImport.Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_topn_").toString + "/t"
+    val q = StreamImport.topnStream(stream.toDF()).toDF()
+      .withColumn("top_key", concat(col("user_id"), lit("_"), col("rnk")))
+      .withColumn("tenant", concat(lit("t"), col("user_id") % 10))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_topnchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "top_key")
+      }
+      .start()
+    shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("user_id", "rnk", "event_id", "event_type")
+      .orderBy("user_id", "rnk").collect()
+    val batch = graft.operators.Analytics.qWindowTopN(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_hll: registers maintained across micro-batches equal the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
