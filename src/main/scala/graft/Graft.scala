@@ -33,6 +33,16 @@ object Graft {
       // the corpus' events table carries parquet TIMESTAMP(NANOS),
       // which the vectorized reader only accepts as a raw long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming state lives OFF-HEAP in RocksDB (in-box in Spark 4):
+      // even watermark-bounded state at 100 TB (dedup keys, join
+      // buffers, the entity folds' active-horizon keys) should not
+      // compete with execution memory the way the default in-memory
+      // HDFSBackedStateStore does; changelog checkpointing keeps the
+      // per-batch upload incremental
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     functions.GraftFunctions.register(spark)

@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.LongType
   * order-insensitive (min/max/sum + arg-max by composite ord) so
   * late/out-of-order records need no reprocessing, and the sink is an
   * idempotent keyed upsert — the three properties that let the
-  * pipeline run with thousands of parallel state partitions.
+  * pipeline run with thousands of parallel state partitions. The KEY
+  * SET is bounded too: every keyed fold defaults to watermark-driven
+  * eviction ([[evicting]]) so state is O(keys active within the
+  * horizon), not O(keys ever seen); the state itself lives in RocksDB
+  * ([[graft.Graft.session]]), off-heap.
   */
 object StreamImport {
 
@@ -106,6 +110,89 @@ object StreamImport {
     Iterator.single(render(key, st))
   }
 
+  // ------------------------------------------- bounded-state plumbing
+
+  /** Watermark delay of the bounded keyed folds: how long a record may
+    * trail the stream's max event time before it counts as late.
+    */
+  val FoldWatermark = "30 minutes"
+
+  /** Idle horizon of the bounded keyed folds: a key's state is evicted
+    * once the watermark passes its newest record by this much — the
+    * bound the reference effectively gets by flushing completed
+    * entities to MySQL instead of caching every instance forever
+    * (Inflight*Manager caches + the repository save).
+    */
+  val EvictHorizonMs: Long = 60L * 60 * 1000L
+
+  /** Wrap a keyed fold with watermark-driven state EVICTION — the
+    * 100 TB posture for the five entity/top-n folds, whose PER-KEY
+    * state is bounded but whose key set is every instance ever seen:
+    *
+    *   - each batch re-arms the key's event-time timeout at
+    *     (newest record + [[EvictHorizonMs]]); when the watermark
+    *     passes it the state is REMOVED and nothing is emitted — the
+    *     idempotent keyed sink already holds the key's final row, so
+    *     eviction is invisible downstream;
+    *   - records at-or-behind the watermark are DROPPED before the
+    *     fold (the reference's first-write rule makes late duplicates
+    *     droppable) so a straggler can never RESTART an evicted key's
+    *     state and overwrite the sunk row with a partial entity —
+    *     the corruption StreamingSpec pins against.
+    *
+    * State is then O(keys active within the horizon), not O(keys ever
+    * seen). Exact replay under ARBITRARY disorder (the chunked
+    * adversarial-order specs) needs the unbounded form instead — the
+    * watermark is precisely a bound on tolerated disorder.
+    */
+  private def evicting[S, O](inner: (Long, Iterator[Rec], GroupState[S]) => Iterator[O])
+      : (Long, Iterator[Rec], GroupState[S]) => Iterator[O] = (key, recs, state) => {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val wm = state.getCurrentWatermarkMs()
+      var maxTs = Long.MinValue
+      val live = recs.filter { r =>
+        if (r.ts_ms > maxTs) maxTs = r.ts_ms
+        r.ts_ms >= wm
+      }
+      // hasNext pulls through the filter, so a no-live-records batch
+      // is detected without running the fold (which would re-emit —
+      // or worse, resurrect — this key from an empty accumulator)
+      if (!live.hasNext) Iterator.empty
+      else {
+        val out = inner(key, live, state)
+        // every inner fold is strict (foldLeft), so maxTs is final
+        state.setTimeoutTimestamp(math.max(maxTs, wm) + EvictHorizonMs)
+        out
+      }
+    }
+  }
+
+  /** Shared keyed-fold constructor: bounded (watermark +
+    * EventTimeTimeout eviction, the production default) or unbounded
+    * (NoTimeout — exact replay under arbitrary disorder, used by the
+    * adversarial-order specs).
+    */
+  private def foldStream[S: org.apache.spark.sql.Encoder, O: org.apache.spark.sql.Encoder](
+      events: DataFrame, bounded: Boolean)(
+      inner: (Long, Iterator[Rec], GroupState[S]) => Iterator[O]): Dataset[O] = {
+    import events.sparkSession.implicits._
+    if (bounded)
+      toRecs(events)
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .withWatermark("event_time", FoldWatermark)
+        .as[Rec]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+          evicting(inner))
+    else
+      toRecs(events)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(inner)
+  }
+
   /** events DataFrame (batch or streaming) → typed record stream:
     * parse + route, dropping the record classes the reference drops
     * is NOT done here — the state machine consumes every class
@@ -124,13 +211,13 @@ object StreamImport {
   }
 
   /** Incrementally materialized transfers from a streaming events
-    * source.
+    * source. Bounded state by default ([[evicting]]); `bounded=false`
+    * keeps every key forever for exact replay under arbitrary
+    * disorder.
     */
-  def transfersStream(events: DataFrame): Dataset[TransferRow] = {
+  def transfersStream(events: DataFrame, bounded: Boolean = true): Dataset[TransferRow] = {
     import events.sparkSession.implicits._
-    toRecs(events)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    foldStream[St, TransferRow](events, bounded)(update)
   }
 
   // ------------------------------------------------ TransactionRequest
@@ -225,11 +312,9 @@ object StreamImport {
       n_events = st.n))
   }
 
-  def txnreqStream(events: DataFrame): Dataset[TxnRow] = {
+  def txnreqStream(events: DataFrame, bounded: Boolean = true): Dataset[TxnRow] = {
     import events.sparkSession.implicits._
-    toRecs(events)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateTxn)
+    foldStream[TxnSt, TxnRow](events, bounded)(updateTxn)
   }
 
   /** Streaming TransactionRequest materialization, driver-checked
@@ -300,11 +385,9 @@ object StreamImport {
       completed = st.done))
   }
 
-  def batchesStream(events: DataFrame): Dataset[BatchRow] = {
+  def batchesStream(events: DataFrame, bounded: Boolean = true): Dataset[BatchRow] = {
     import events.sparkSession.implicits._
-    toRecs(events)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateBatch)
+    foldStream[BatchSt, BatchRow](events, bounded)(updateBatch)
   }
 
   /** Streaming Batch materialization — same oracle as the batch
@@ -555,11 +638,9 @@ object StreamImport {
       status = st.err.status))
   }
 
-  def wideStream(events: DataFrame): Dataset[WideRow] = {
+  def wideStream(events: DataFrame, bounded: Boolean = true): Dataset[WideRow] = {
     import events.sparkSession.implicits._
-    toRecs(events)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateWide)
+    foldStream[WideSt, WideRow](events, bounded)(updateWide)
   }
 
   /** Streaming wide-entity materialization — same oracle as the batch
@@ -643,7 +724,12 @@ object StreamImport {
     */
   private def updateTopn(user: Long, recs: Iterator[Rec],
       state: GroupState[Seq[Rec]]): Iterator[TopRow] = {
+    // dedup the merge by event_id: a re-delivered event (at-least-once
+    // source) must not occupy two leaderboard ranks — within Spark's
+    // exactly-once state replay this is a no-op, but the monoid stays
+    // correct against duplicate delivery at the source
     val merged = (state.getOption.getOrElse(Seq.empty) ++ recs)
+      .groupBy(_.event_id).map(_._2.head).toSeq
       .sortBy(r => (-r.value, r.event_id)).take(3)
     state.update(merged)
     merged.iterator.zipWithIndex.map { case (r, i) =>
@@ -651,12 +737,9 @@ object StreamImport {
     }
   }
 
-  def topnStream(events: DataFrame): Dataset[TopRow] = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    toRecs(events)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateTopn)
+  def topnStream(events: DataFrame, bounded: Boolean = true): Dataset[TopRow] = {
+    import events.sparkSession.implicits._
+    foldStream[Seq[Rec], TopRow](events, bounded)(updateTopn)
   }
 
   /** Driver-checked streaming leaderboard — oracle = the batch

@@ -19,10 +19,12 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
     val allRecs = StreamImport.toRecs(events).collect().sortBy(_.event_id)
-    // feed in three arbitrary chunks to force incremental folding
+    // feed in three arbitrary chunks to force incremental folding;
+    // bounded=false: exact replay under arbitrary disorder needs the
+    // unbounded fold (the watermark is a bound on tolerated disorder)
     val stream = MemoryStream[Rec]
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString + "/t"
-    val q = StreamImport.transfersStream(stream.toDF())
+    val q = StreamImport.transfersStream(stream.toDF(), bounded = false)
       .toDF()
       .writeStream.outputMode("update")
       .option("checkpointLocation",
@@ -57,7 +59,7 @@ class StreamingSpec extends SparkSpec {
     val shuffled = new scala.util.Random(7).shuffle(recs.toVector)
     val stream = MemoryStream[StreamImport.Rec]
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_txn_").toString + "/t"
-    val q = StreamImport.txnreqStream(stream.toDF()).toDF()
+    val q = StreamImport.txnreqStream(stream.toDF(), bounded = false).toDF()
       .withColumn("tenant", concat(lit("t"), col("txn_key") % 10))
       .writeStream.outputMode("update")
       .option("checkpointLocation",
@@ -92,7 +94,7 @@ class StreamingSpec extends SparkSpec {
     val shuffled = new scala.util.Random(13).shuffle(recs.toVector)
     val stream = MemoryStream[StreamImport.Rec]
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_wide_").toString + "/t"
-    val q = StreamImport.wideStream(stream.toDF()).toDF()
+    val q = StreamImport.wideStream(stream.toDF(), bounded = false).toDF()
       .writeStream.outputMode("update")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_widechk_").toString)
@@ -141,7 +143,7 @@ class StreamingSpec extends SparkSpec {
       val stream = spark.readStream
         .schema(spark.createDataset(recs.toIndexedSeq).toDF().schema)
         .parquet(inDir)
-      val q = StreamImport.transfersStream(stream).toDF()
+      val q = StreamImport.transfersStream(stream, bounded = false).toDF()
         .writeStream.outputMode("update")
         .option("checkpointLocation", chkDir)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -313,6 +315,78 @@ class StreamingSpec extends SparkSpec {
       Seq(Seq(1L, "click"), Seq(2L, "view"), Seq(3L, "error")))
   }
 
+  test("bounded stream_import: watermark-passed keys evict; a late record cannot corrupt the sunk row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val stream = MemoryStream[Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_bnd_").toString + "/t"
+    val q = StreamImport.transfersStream(stream.toDF()).toDF() // bounded DEFAULT
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_bndchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "transfer_key")
+      }
+      .start()
+    def feed(rs: Rec*): Unit = { stream.addData(rs.toIndexedSeq); q.processAllAvailable() }
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    def key1Row(): Seq[Any] = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .filter(col("transfer_key") === 1)
+      .select("started_ms", "completed_ms", "amount", "status", "n_events")
+      .collect().map(_.toSeq).toSeq.flatten
+    // key 1 COMPLETES (signup + purchase) and lands in the sink
+    feed(mkRec(1, t0, 1, "signup"), mkRec(2, t0 + 1000, 1, "purchase", value = 25.0))
+    val settled = key1Row()
+    assert(settled == Seq(t0, t0 + 1000, "25.00", "COMPLETED", 2L), s"got $settled")
+    // another key 3 h later pushes the watermark past key 1's idle
+    // horizon (30 min delay + 1 h eviction); the NEXT batch runs with
+    // that watermark and key 1's state is REMOVED
+    feed(mkRec(3, t0 + 3 * 3600 * 1000L, 2, "signup"))
+    feed(mkRec(4, t0 + 3 * 3600 * 1000L + 1000, 2, "click"))
+    assert(stateRows == 1, s"expected key 1 evicted, state holds $stateRows rows")
+    // a LATE record for the evicted key (behind the watermark) is
+    // dropped BEFORE the fold: state is not resurrected from an empty
+    // accumulator and the sunk COMPLETED row survives untouched
+    feed(mkRec(5, t0 + 2000, 1, "click", value = 99.0))
+    assert(stateRows == 1, "late record resurrected the evicted key's state")
+    assert(key1Row() == settled, "late record corrupted the sunk row")
+    q.stop()
+  }
+
+  test("bounded keyed folds: txnreq/batches/wide/topn evict watermark-passed keys too") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val builders = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "txnreq" -> (df => StreamImport.txnreqStream(df).toDF()),
+      "batches" -> (df => StreamImport.batchesStream(df).toDF()),
+      "wide" -> (df => StreamImport.wideStream(df).toDF()),
+      "topn" -> (df => StreamImport.topnStream(df).toDF()))
+    for ((name, build) <- builders) {
+      val stream = MemoryStream[Rec]
+      val q = build(stream.toDF())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft_bnd_${name}_").toString)
+        // the batch must be MATERIALIZED or the state stores never
+        // load/commit (Spark 4 validates per-batch store commits)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.count(); () }
+        .start()
+      def feed(rs: Rec*): Unit = { stream.addData(rs.toIndexedSeq); q.processAllAvailable() }
+      feed(mkRec(1, t0, 1, "signup"), mkRec(2, t0 + 1000, 1, "purchase", value = 5.0))
+      feed(mkRec(3, t0 + 3 * 3600 * 1000L, 2, "signup"))
+      feed(mkRec(4, t0 + 3 * 3600 * 1000L + 1000, 2, "view"))
+      val rows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(rows == 1, s"$name: expected key 1 evicted, state holds $rows rows")
+      // and a late record cannot resurrect it
+      feed(mkRec(5, t0 + 2000, 1, "view"))
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after == 1, s"$name: late record resurrected the evicted key")
+      q.stop()
+    }
+  }
+
   test("stream_topn: displaced leaderboard entries are overwritten across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -322,7 +396,7 @@ class StreamingSpec extends SparkSpec {
     val shuffled = new scala.util.Random(13).shuffle(recs.toVector)
     val stream = MemoryStream[StreamImport.Rec]
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_topn_").toString + "/t"
-    val q = StreamImport.topnStream(stream.toDF()).toDF()
+    val q = StreamImport.topnStream(stream.toDF(), bounded = false).toDF()
       .withColumn("top_key", concat(col("user_id"), lit("_"), col("rnk")))
       .withColumn("tenant", concat(lit("t"), col("user_id") % 10))
       .writeStream.outputMode("update")
@@ -539,7 +613,7 @@ class StreamingSpec extends SparkSpec {
     val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect().sortBy(_.event_id)
     val stream = MemoryStream[Rec]
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_jdbc_").toString + "/t"
-    val q = StreamImport.transfersStream(stream.toDF()).toDF()
+    val q = StreamImport.transfersStream(stream.toDF(), bounded = false).toDF()
       .writeStream.outputMode("update")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_jdbcchk_").toString)
