@@ -85,6 +85,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // compact summary printed LAST: the driver keeps only a short tail
+    // of this output, which truncated the (long) per-query line in
+    // rounds 4-5 and lost the total — this line survives any tail
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -360,10 +360,15 @@ object Analytics {
     * correlated form on purpose — Catalyst DECORRELATES it
     * (RewriteCorrelatedScalarSubquery) into one per-nation aggregate
     * plus a join on the correlation key, so the executed plan is the
-    * scalable two-pass shape, not a per-row re-scan. The average is
-    * compared in floor(×1e4) integer space (sum×10000 div count):
-    * decimal AVG detours through DOUBLE in the oracle engine, integer
-    * floor-of-scaled-sum does not.
+    * scalable two-pass shape, not a per-row re-scan. "Beats the
+    * average" is compared by CROSS-MULTIPLICATION in ×1e4 integer
+    * space (`bal_e4 * count > sum_e4`): no division at all, so there
+    * is no floor-vs-truncate divergence between engines — Spark's
+    * `div` truncates toward zero while other engines' integer
+    * division floors, which disagree exactly when a nation's balance
+    * sum is negative (AnalyticsSpec pins that case with a synthesized
+    * corpus). The two correlated aggregates share one subquery plan
+    * (Catalyst's MergeScalarSubqueries).
     */
   def qCorrSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("customer_qcs")
@@ -371,9 +376,10 @@ object Analytics {
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4
         |FROM customer_qcs c
-        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) >
-        |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT) div COUNT(*)
-        |   FROM customer_qcs c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) *
+        |  (SELECT COUNT(*) FROM customer_qcs c2 WHERE c2.c_nationkey = c.c_nationkey) >
+        |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |   FROM customer_qcs c3 WHERE c3.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin)
   }
 
@@ -381,9 +387,10 @@ object Analytics {
     """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4
       |FROM customer c
-      |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) >
-      |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT) // COUNT(*)
-      |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) *
+      |  (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) >
+      |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT)
+      |   FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
   /** LATERAL correlated subquery: each nation's top-balance customer —

@@ -837,7 +837,11 @@ object ImporterCore {
     * view; `initiatorFspId` → payee_dfsp_id (:74) is
     * DIRECTION-GUARDED (parseInitiatorFspId:285-289 writes only when
     * the request's direction is OUTGOING, odd user_id in the gate's
-    * parity stand-in) — click. All last-write-wins by (ts, event_id).
+    * parity stand-in) — click; `mpesaChannelRequest` (:83 →
+    * parseTransactionMpesaRequest:236-240) overwrites initiatorType
+    * and scenario from `$.transactionType.*` — carried by non-fatal
+    * error records (fatal ones are the request-failed signal). All
+    * last-write-wins by (ts, event_id).
     */
   def impEntityTxnreq(spark: SparkSession, dir: String): DataFrame = {
     // k is coalesced to 0 because it feeds VALUE-producing columns
@@ -869,13 +873,21 @@ object ImporterCore {
           concat(lit("dfsp-"), (k % 10).cast(LongType)), ordKey), lit("")).as("payer_dfsp_id"),
         coalesce(lastBy(col("event_type") === "click" && outgoing,
           concat(lit("fsp-"), (k % 10).cast(LongType)), ordKey), lit("")).as("payee_dfsp_id"),
+        coalesce(lastBy(col("event_type") === "error" && !fatal,
+          when(k % 3 === 0, "CONSUMER").when(k % 3 === 1, "AGENT").otherwise("BUSINESS"),
+          ordKey), lit("")).as("initiator_type"),
+        coalesce(lastBy(col("event_type") === "error" && !fatal,
+          when(k % 4 === 0, "DEPOSIT").when(k % 4 === 1, "WITHDRAWAL")
+            .when(k % 4 === 2, "TRANSFER").otherwise("PAYMENT"),
+          ordKey), lit("")).as("scenario"),
         count(lit(1)).cast(LongType).as("n_events"))
       .select(
         col("user_id").as("txn_key"),
         concat(lit("t"), (col("user_id") % 10).cast(LongType)).as("tenant"),
         col("state"), col("started_ms"), col("completed_ms"),
         col("amount"), col("auth_type"), col("payer_dfsp_id"),
-        col("payee_dfsp_id"), col("n_events"))
+        col("payee_dfsp_id"), col("initiator_type"), col("scenario"),
+        col("n_events"))
       .orderBy("txn_key")
   }
 
@@ -909,6 +921,13 @@ object ImporterCore {
        |    CASE WHEN event_type = 'view' THEN ${ordKeySqlOf("ms", "event_id")} END), '') AS payer_dfsp_id,
        |  COALESCE(arg_max(CASE WHEN event_type = 'click' AND user_id % 2 <> 0 THEN CONCAT('fsp-', CAST(k % 10 AS VARCHAR)) END,
        |    CASE WHEN event_type = 'click' AND user_id % 2 <> 0 THEN ${ordKeySqlOf("ms", "event_id")} END), '') AS payee_dfsp_id,
+       |  COALESCE(arg_max(CASE WHEN event_type = 'error' AND k < 90 THEN
+       |      (CASE WHEN k % 3 = 0 THEN 'CONSUMER' WHEN k % 3 = 1 THEN 'AGENT' ELSE 'BUSINESS' END) END,
+       |    CASE WHEN event_type = 'error' AND k < 90 THEN ${ordKeySqlOf("ms", "event_id")} END), '') AS initiator_type,
+       |  COALESCE(arg_max(CASE WHEN event_type = 'error' AND k < 90 THEN
+       |      (CASE WHEN k % 4 = 0 THEN 'DEPOSIT' WHEN k % 4 = 1 THEN 'WITHDRAWAL'
+       |            WHEN k % 4 = 2 THEN 'TRANSFER' ELSE 'PAYMENT' END) END,
+       |    CASE WHEN event_type = 'error' AND k < 90 THEN ${ordKeySqlOf("ms", "event_id")} END), '') AS scenario,
        |  COUNT(*) AS n_events
        |FROM sig GROUP BY user_id ORDER BY txn_key""".stripMargin
 

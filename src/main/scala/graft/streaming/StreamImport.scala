@@ -16,14 +16,18 @@ import org.apache.spark.sql.types.LongType
   * stream (file source in the driver path, MemoryStream in specs).
   *
   * Scale posture: state is keyed by instance (bounded per-key size,
-  * no per-key growth beyond the folded aggregates), the fold is
-  * order-insensitive (min/max/sum + arg-max by composite ord) so
-  * late/out-of-order records need no reprocessing, and the sink is an
-  * idempotent keyed upsert — the three properties that let the
-  * pipeline run with thousands of parallel state partitions. The KEY
-  * SET is bounded too: every keyed fold defaults to watermark-driven
-  * eviction ([[evicting]]) so state is O(keys active within the
-  * horizon), not O(keys ever seen); the state itself lives in RocksDB
+  * no per-key growth beyond the folded aggregates), every fold is an
+  * explicit commutative MONOID ([[EntityFold]]: order-insensitive
+  * min/max/sum + arg-max by record ord) so late/out-of-order records
+  * need no reprocessing, and the sink is an idempotent keyed upsert
+  * with a monoid MERGE hook — the properties that let the pipeline
+  * run with thousands of parallel state partitions. The KEY SET is
+  * bounded too: every keyed fold defaults to watermark-driven
+  * eviction ([[boundedUpdate]]) so state is O(keys active within the
+  * horizon), not O(keys ever seen) — and an evicted key that comes
+  * back re-merges with its sunk row at the sink ([[foldMerge]], the
+  * reference's read-modify-write), so eviction never loses or
+  * overwrites data. The state itself lives in RocksDB
   * ([[graft.Graft.session]]), off-heap.
   */
 object StreamImport {
@@ -101,97 +105,197 @@ object StreamImport {
     status = if (s.failed) "FAILED" else if (s.done) "COMPLETED" else "IN_PROGRESS",
     n_events = s.n)
 
-  /** The flatMapGroupsWithState update function: fold the batch's
-    * records into the per-instance state, emit the refreshed entity.
-    */
-  def update(key: Long, recs: Iterator[Rec], state: GroupState[St]): Iterator[TransferRow] = {
-    val st = recs.foldLeft(state.getOption.getOrElse(EmptySt))(fold)
-    state.update(st)
-    Iterator.single(render(key, st))
-  }
-
   // ------------------------------------------- bounded-state plumbing
 
-  /** Watermark delay of the bounded keyed folds: how long a record may
-    * trail the stream's max event time before it counts as late.
+  /** Default watermark delay of the bounded keyed folds: how long a
+    * record may trail the stream's max event time before it counts as
+    * late. A load-bearing correctness parameter — deployments whose
+    * disorder exceeds it drop records — so every entity entry point
+    * threads it as an argument with this value as the default.
     */
   val FoldWatermark = "30 minutes"
 
-  /** Idle horizon of the bounded keyed folds: a key's state is evicted
-    * once the watermark passes its newest record by this much — the
-    * bound the reference effectively gets by flushing completed
+  /** Default idle horizon of the bounded keyed folds: a key's state is
+    * evicted once the watermark passes its newest record by this much —
+    * the bound the reference effectively gets by flushing completed
     * entities to MySQL instead of caching every instance forever
-    * (Inflight*Manager caches + the repository save).
+    * (Inflight*Manager caches + the repository save). Thread-able per
+    * pipeline, like [[FoldWatermark]].
     */
   val EvictHorizonMs: Long = 60L * 60 * 1000L
 
-  /** Wrap a keyed fold with watermark-driven state EVICTION — the
-    * 100 TB posture for the five entity/top-n folds, whose PER-KEY
-    * state is bounded but whose key set is every instance ever seen:
+  /** An entity fold as an explicit COMMUTATIVE MONOID — the algebra
+    * every keyed importer fold in this file satisfies (min/max/sum/or
+    * counters plus last-write-wins fields ordered by the (ts, id)
+    * record ord, never by arrival):
+    *
+    *   - `step` folds one record into the accumulator;
+    *   - `merge` combines two accumulators folded from DISJOINT record
+    *     sets, with `empty` as its unit — `merge(fold(xs), fold(ys)) ==
+    *     fold(xs ++ ys)` for any split (property-pinned per entity in
+    *     StreamingSpec);
+    *   - `render` materializes the entity row(s) for a key.
+    *
+    * The merge is what lets bounded state stay EXACT: an evicted key's
+    * already-sunk contribution and a fresh post-eviction incarnation
+    * recombine at the sink ([[foldMerge]]) instead of the restart
+    * overwriting the sunk row — the Spark re-expression of the
+    * reference's read-modify-write (Inflight*Manager cache miss →
+    * findByWorkflowInstanceKey → merge → save).
+    */
+  case class EntityFold[S, O](empty: S, step: (S, Rec) => S,
+    merge: (S, S) => S, render: (Long, S) => Seq[O], tenant: Long => String)
+
+  /** Bounded-fold state: the accumulator plus its INCARNATION birth
+    * mark — the record ord (ts, id) of the earliest record that
+    * (re)created this state after empty or after an eviction. The mark
+    * is what lets the sink distinguish "cumulative re-emission of the
+    * same state" (replace) from "a fresh incarnation after eviction"
+    * (merge the previous one into `closed` first).
+    */
+  case class IncSt[S](inc_ts: Long, inc_id: Long, st: S)
+
+  /** One sink-contract row per key per micro-batch from a bounded
+    * fold: the rendered entity row(s), the open incarnation's
+    * accumulator + birth mark, and the `closed` accumulator of every
+    * PRIOR incarnation (always `empty` on emission; maintained by the
+    * sink's [[foldMerge]] so `rows` always renders closed ⊕ open).
+    */
+  case class SinkRow[O, S](entity_key: Long, tenant: String, rows: Seq[O],
+    inc_ts: Long, inc_id: Long, open: S, closed: S)
+
+  /** Unbounded (NoTimeout) keyed fold — exact replay under ARBITRARY
+    * disorder, used by the adversarial-order specs; state is O(keys
+    * ever seen).
+    */
+  private def unboundedUpdate[S, O](spec: EntityFold[S, O])(
+      key: Long, recs: Iterator[Rec], state: GroupState[S]): Iterator[O] = {
+    val st = recs.foldLeft(state.getOption.getOrElse(spec.empty))(spec.step)
+    state.update(st)
+    spec.render(key, st).iterator
+  }
+
+  /** Bounded keyed fold with watermark-driven state EVICTION — the
+    * 100 TB posture: state is O(keys active within the horizon), not
+    * O(keys ever seen).
     *
     *   - each batch re-arms the key's event-time timeout at
-    *     (newest record + [[EvictHorizonMs]]); when the watermark
-    *     passes it the state is REMOVED and nothing is emitted — the
-    *     idempotent keyed sink already holds the key's final row, so
-    *     eviction is invisible downstream;
-    *   - records at-or-behind the watermark are DROPPED before the
-    *     fold (the reference's first-write rule makes late duplicates
-    *     droppable) so a straggler can never RESTART an evicted key's
-    *     state and overwrite the sunk row with a partial entity —
-    *     the corruption StreamingSpec pins against.
-    *
-    * State is then O(keys active within the horizon), not O(keys ever
-    * seen). Exact replay under ARBITRARY disorder (the chunked
-    * adversarial-order specs) needs the unbounded form instead — the
-    * watermark is precisely a bound on tolerated disorder.
+    *     (newest record + horizon); when the watermark passes it the
+    *     state is REMOVED and nothing is emitted — the sink already
+    *     holds the incarnation's final render;
+    *   - records behind the watermark are DROPPED before the fold
+    *     (the standard watermark contract: disorder beyond the delay
+    *     is not replayed);
+    *   - a NON-late record arriving after eviction starts a NEW
+    *     incarnation (fresh birth mark). Its emission carries only the
+    *     new accumulator; the sink's [[foldMerge]] folds the evicted
+    *     incarnation's contribution back in, so the sunk row is
+    *     EXTENDED, never overwritten by a partial restart.
     */
-  private def evicting[S, O](inner: (Long, Iterator[Rec], GroupState[S]) => Iterator[O])
-      : (Long, Iterator[Rec], GroupState[S]) => Iterator[O] = (key, recs, state) => {
+  private def boundedUpdate[S, O](spec: EntityFold[S, O], horizonMs: Long)(
+      key: Long, recs: Iterator[Rec], state: GroupState[IncSt[S]]): Iterator[SinkRow[O, S]] = {
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
       val wm = state.getCurrentWatermarkMs()
-      var maxTs = Long.MinValue
-      val live = recs.filter { r =>
-        if (r.ts_ms > maxTs) maxTs = r.ts_ms
-        r.ts_ms >= wm
-      }
-      // hasNext pulls through the filter, so a no-live-records batch
-      // is detected without running the fold (which would re-emit —
-      // or worse, resurrect — this key from an empty accumulator)
-      if (!live.hasNext) Iterator.empty
+      // materialized eagerly: maxTs must be final BEFORE the timeout is
+      // armed, whatever the inner fold's strictness
+      val live = recs.filter(_.ts_ms >= wm).toArray
+      if (live.isEmpty) Iterator.empty
       else {
-        val out = inner(key, live, state)
-        // every inner fold is strict (foldLeft), so maxTs is final
-        state.setTimeoutTimestamp(math.max(maxTs, wm) + EvictHorizonMs)
-        out
+        val prev = state.getOption
+        val (incTs, incId) = prev.map(p => (p.inc_ts, p.inc_id))
+          .getOrElse(live.iterator.map(r => (r.ts_ms, r.event_id)).min)
+        val st = live.foldLeft(prev.map(_.st).getOrElse(spec.empty))(spec.step)
+        state.update(IncSt(incTs, incId, st))
+        val maxTs = live.iterator.map(_.ts_ms).max
+        state.setTimeoutTimestamp(math.max(maxTs, wm) + horizonMs)
+        Iterator.single(SinkRow(key, spec.tenant(key),
+          spec.render(key, st), incTs, incId, st, spec.empty))
       }
     }
   }
 
-  /** Shared keyed-fold constructor: bounded (watermark +
-    * EventTimeTimeout eviction, the production default) or unbounded
-    * (NoTimeout — exact replay under arbitrary disorder, used by the
-    * adversarial-order specs).
+  import scala.reflect.runtime.universe.TypeTag
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  /** Shared keyed-fold constructor. Bounded (the production default):
+    * watermark + EventTimeTimeout eviction, emitting [[SinkRow]]s for
+    * the merging sink. Unbounded: NoTimeout, emitting plain entity
+    * rows — exact replay under arbitrary disorder for the
+    * adversarial-order specs.
     */
-  private def foldStream[S: org.apache.spark.sql.Encoder, O: org.apache.spark.sql.Encoder](
-      events: DataFrame, bounded: Boolean)(
-      inner: (Long, Iterator[Rec], GroupState[S]) => Iterator[O]): Dataset[O] = {
+  private def entityStream[S <: Product : TypeTag, O <: Product : TypeTag](
+      events: DataFrame, spec: EntityFold[S, O], bounded: Boolean,
+      watermark: String, horizonMs: Long): DataFrame = {
     import events.sparkSession.implicits._
-    if (bounded)
+    if (bounded) {
+      implicit val incEnc: Encoder[IncSt[S]] = Encoders.product[IncSt[S]]
+      implicit val outEnc: Encoder[SinkRow[O, S]] = Encoders.product[SinkRow[O, S]]
       toRecs(events)
         .withColumn("event_time", timestamp_millis(col("ts_ms")))
-        .withWatermark("event_time", FoldWatermark)
+        .withWatermark("event_time", watermark)
         .as[Rec]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
-          evicting(inner))
-    else
+          boundedUpdate(spec, horizonMs))
+        .toDF()
+    } else {
+      implicit val sEnc: Encoder[S] = Encoders.product[S]
+      implicit val oEnc: Encoder[O] = Encoders.product[O]
       toRecs(events)
         .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(inner)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          unboundedUpdate(spec))
+        .toDF()
+    }
   }
+
+  /** The sink-side read-modify-write for bounded folds — the merge
+    * step of TenantUpsertSink.upsert. For each arriving [[SinkRow]]:
+    *
+    *   - no existing row → closed = empty (first sighting);
+    *   - existing row, SAME incarnation mark → cumulative re-emission:
+    *     keep the existing `closed`, replace `open`;
+    *   - existing row, DIFFERENT mark → the previous incarnation was
+    *     evicted upstream and can never emit again: fold its
+    *     closed ⊕ open into the new `closed`.
+    *
+    * `rows` re-renders from closed ⊕ open, so the sunk entity row
+    * always reflects EVERY record ever folded for the key — eviction
+    * is invisible downstream. Replaying a micro-batch after a crash
+    * re-derives the identical row (incarnation identity is stable), so
+    * the sink stays idempotent without batch-id bookkeeping.
+    */
+  def foldMerge[S <: Product : TypeTag, O <: Product : TypeTag](
+      spec: EntityFold[S, O]): (DataFrame, DataFrame) => DataFrame = (current, batch) => {
+    implicit val enc: Encoder[SinkRow[O, S]] = Encoders.product[SinkRow[O, S]]
+    val cols = Seq("entity_key", "tenant", "rows", "inc_ts", "inc_id", "open", "closed")
+    val cur = current.selectExpr(cols: _*).as[SinkRow[O, S]]
+    val nw = batch.selectExpr(cols: _*).as[SinkRow[O, S]]
+    nw.joinWith(cur, nw("entity_key") === cur("entity_key"), "left_outer")
+      .map { case (n, o) =>
+        val closed =
+          if (o == null) spec.empty
+          else if (o.inc_ts == n.inc_ts && o.inc_id == n.inc_id) o.closed
+          else spec.merge(o.closed, o.open)
+        val total = spec.merge(closed, n.open)
+        SinkRow(n.entity_key, n.tenant, spec.render(n.entity_key, total),
+          n.inc_ts, n.inc_id, n.open, closed)
+      }.toDF()
+  }
+
+  /** End-to-end bounded-fold runner: stream → bounded fold → merging
+    * tenant-routed upsert sink → read back the rendered entity rows.
+    */
+  private def runFold[S <: Product : TypeTag, O <: Product : TypeTag](
+      spark: SparkSession, dir: String, spec: EntityFold[S, O]): DataFrame =
+    runPipeline(spark, dir,
+      events => entityStream(events, spec, bounded = true, FoldWatermark, EvictHorizonMs),
+      "entity_key", merge = Some(foldMerge(spec)))
+      .select(explode(col("rows")).as("r"))
+      .select("r.*")
 
   /** events DataFrame (batch or streaming) → typed record stream:
     * parse + route, dropping the record classes the reference drops
@@ -210,15 +314,38 @@ object StreamImport {
       .as[Rec]
   }
 
-  /** Incrementally materialized transfers from a streaming events
-    * source. Bounded state by default ([[evicting]]); `bounded=false`
-    * keeps every key forever for exact replay under arbitrary
-    * disorder.
+  /** Disjoint-record-set merge of two transfer accumulators — the
+    * entity monoid (min/max/sum/or + last-write by (ts, id) mark).
     */
-  def transfersStream(events: DataFrame, bounded: Boolean = true): Dataset[TransferRow] = {
-    import events.sparkSession.implicits._
-    foldStream[St, TransferRow](events, bounded)(update)
+  private def mergeSt(a: St, b: St): St = {
+    val clickFromB = isAfter(b.lastTs, b.lastId, a.lastTs, a.lastId)
+    St(started = math.min(a.started, b.started),
+      completed = math.max(a.completed, b.completed),
+      amountE2 = a.amountE2 + b.amountE2,
+      lastTs = if (clickFromB) b.lastTs else a.lastTs,
+      lastId = if (clickFromB) b.lastId else a.lastId,
+      lastClickE2 = if (clickFromB) b.lastClickE2 else a.lastClickE2,
+      hasClick = a.hasClick || b.hasClick,
+      hasAmount = a.hasAmount || b.hasAmount,
+      failed = a.failed || b.failed,
+      done = a.done || b.done,
+      n = a.n + b.n)
   }
+
+  /** The transfers entity fold as its monoid. */
+  val transferFold: EntityFold[St, TransferRow] =
+    EntityFold(EmptySt, fold, mergeSt, (k, s) => Seq(render(k, s)), k => "t" + (k % 10))
+
+  /** Incrementally materialized transfers from a streaming events
+    * source. Bounded state by default: emits [[SinkRow]]s for the
+    * merging sink ([[foldMerge]]), exact for every record within the
+    * watermark's disorder bound even across idle-gap evictions.
+    * `bounded=false` keeps every key forever (plain entity-row
+    * emission) for exact replay under arbitrary disorder.
+    */
+  def transfersStream(events: DataFrame, bounded: Boolean = true,
+      watermark: String = FoldWatermark, horizonMs: Long = EvictHorizonMs): DataFrame =
+    entityStream(events, transferFold, bounded, watermark, horizonMs)
 
   // ------------------------------------------------ TransactionRequest
 
@@ -226,14 +353,16 @@ object StreamImport {
     * signal (every state-carrying record overwrites; latest ord wins —
     * ImporterCore.impEntityTxnreq's arg-max, folded incrementally),
     * plus the scalar registry columns (VariableParser.java:71-83):
-    * authType / payerDfspId / payeeDfspId, each with its own
-    * last-write mark.
+    * authType / payerDfspId / payeeDfspId, and initiatorType+scenario
+    * from `mpesaChannelRequest` (:83, one record writes both), each
+    * writer group with its own last-write mark.
     */
   case class TxnSt(state: String, stateTs: Long, stateId: Long, started: Long,
     completed: Long, amountE2: Long, hasAmount: Boolean,
     auth: String, authTs: Long, authId: Long,
     payerDfsp: String, payerDfspTs: Long, payerDfspId_ : Long,
     payeeDfsp: String, payeeDfspTs: Long, payeeDfspId_ : Long,
+    initiator: String, scenario: String, mpesaTs: Long, mpesaId: Long,
     n: Long)
 
   private val EmptyTxnSt = TxnSt("IN_PROGRESS", Long.MinValue, Long.MinValue,
@@ -241,11 +370,13 @@ object StreamImport {
     "NONE", Long.MinValue, Long.MinValue,
     "", Long.MinValue, Long.MinValue,
     "", Long.MinValue, Long.MinValue,
+    "", "", Long.MinValue, Long.MinValue,
     0L)
 
   case class TxnRow(txn_key: Long, tenant: String, state: String,
     started_ms: Long, completed_ms: Long, amount: String,
     auth_type: String, payer_dfsp_id: String, payee_dfsp_id: String,
+    initiator_type: String, scenario: String,
     n_events: Long)
 
   private def txnSignal(r: Rec): Option[String] = {
@@ -293,37 +424,85 @@ object StreamImport {
     if (r.event_type == "purchase")
       s = s.copy(completed = math.max(s.completed, r.ts_ms),
         amountE2 = s.amountE2 + cents(r.value), hasAmount = true)
+    if (r.event_type == "error" && r.k < 90 &&
+        isAfter(r.ts_ms, r.event_id, s.mpesaTs, s.mpesaId)) {
+      // mpesaChannelRequest (VariableParser:83 →
+      // parseTransactionMpesaRequest:236-240): one record overwrites
+      // BOTH initiatorType and scenario — shared mark
+      val init = (r.k % 3) match {
+        case 0 => "CONSUMER"; case 1 => "AGENT"; case _ => "BUSINESS"
+      }
+      val scen = (r.k % 4) match {
+        case 0 => "DEPOSIT"; case 1 => "WITHDRAWAL"; case 2 => "TRANSFER"; case _ => "PAYMENT"
+      }
+      s = s.copy(initiator = init, scenario = scen, mpesaTs = r.ts_ms, mpesaId = r.event_id)
+    }
     s
   }
 
-  def updateTxn(key: Long, recs: Iterator[Rec], state: GroupState[TxnSt]): Iterator[TxnRow] = {
-    val st = recs.foldLeft(state.getOption.getOrElse(EmptyTxnSt))(foldTxn)
-    state.update(st)
-    Iterator.single(TxnRow(
-      txn_key = key,
-      tenant = "t" + (key % 10),
-      state = st.state,
-      started_ms = if (st.started == Long.MaxValue) -1L else st.started,
-      completed_ms = if (st.completed == Long.MinValue) -1L else st.completed,
-      amount = if (st.hasAmount) java.math.BigDecimal.valueOf(st.amountE2, 2).toPlainString else "",
-      auth_type = st.auth,
-      payer_dfsp_id = st.payerDfsp,
-      payee_dfsp_id = st.payeeDfsp,
-      n_events = st.n))
+  private def renderTxn(key: Long, st: TxnSt): TxnRow = TxnRow(
+    txn_key = key,
+    tenant = "t" + (key % 10),
+    state = st.state,
+    started_ms = if (st.started == Long.MaxValue) -1L else st.started,
+    completed_ms = if (st.completed == Long.MinValue) -1L else st.completed,
+    amount = if (st.hasAmount) java.math.BigDecimal.valueOf(st.amountE2, 2).toPlainString else "",
+    auth_type = st.auth,
+    payer_dfsp_id = st.payerDfsp,
+    payee_dfsp_id = st.payeeDfsp,
+    initiator_type = st.initiator,
+    scenario = st.scenario,
+    n_events = st.n)
+
+  /** TxnSt monoid merge: every last-write field travels with its own
+    * (ts, id) mark, so the later mark wins regardless of which side
+    * folded it.
+    */
+  private def mergeTxn(a: TxnSt, b: TxnSt): TxnSt = {
+    val stB = isAfter(b.stateTs, b.stateId, a.stateTs, a.stateId)
+    val auB = isAfter(b.authTs, b.authId, a.authTs, a.authId)
+    val prB = isAfter(b.payerDfspTs, b.payerDfspId_, a.payerDfspTs, a.payerDfspId_)
+    val peB = isAfter(b.payeeDfspTs, b.payeeDfspId_, a.payeeDfspTs, a.payeeDfspId_)
+    val mpB = isAfter(b.mpesaTs, b.mpesaId, a.mpesaTs, a.mpesaId)
+    TxnSt(
+      state = if (stB) b.state else a.state,
+      stateTs = if (stB) b.stateTs else a.stateTs,
+      stateId = if (stB) b.stateId else a.stateId,
+      started = math.min(a.started, b.started),
+      completed = math.max(a.completed, b.completed),
+      amountE2 = a.amountE2 + b.amountE2,
+      hasAmount = a.hasAmount || b.hasAmount,
+      auth = if (auB) b.auth else a.auth,
+      authTs = if (auB) b.authTs else a.authTs,
+      authId = if (auB) b.authId else a.authId,
+      payerDfsp = if (prB) b.payerDfsp else a.payerDfsp,
+      payerDfspTs = if (prB) b.payerDfspTs else a.payerDfspTs,
+      payerDfspId_ = if (prB) b.payerDfspId_ else a.payerDfspId_,
+      payeeDfsp = if (peB) b.payeeDfsp else a.payeeDfsp,
+      payeeDfspTs = if (peB) b.payeeDfspTs else a.payeeDfspTs,
+      payeeDfspId_ = if (peB) b.payeeDfspId_ else a.payeeDfspId_,
+      initiator = if (mpB) b.initiator else a.initiator,
+      scenario = if (mpB) b.scenario else a.scenario,
+      mpesaTs = if (mpB) b.mpesaTs else a.mpesaTs,
+      mpesaId = if (mpB) b.mpesaId else a.mpesaId,
+      n = a.n + b.n)
   }
 
-  def txnreqStream(events: DataFrame, bounded: Boolean = true): Dataset[TxnRow] = {
-    import events.sparkSession.implicits._
-    foldStream[TxnSt, TxnRow](events, bounded)(updateTxn)
-  }
+  val txnreqFold: EntityFold[TxnSt, TxnRow] =
+    EntityFold(EmptyTxnSt, foldTxn, mergeTxn, (k, s) => Seq(renderTxn(k, s)), k => "t" + (k % 10))
+
+  def txnreqStream(events: DataFrame, bounded: Boolean = true,
+      watermark: String = FoldWatermark, horizonMs: Long = EvictHorizonMs): DataFrame =
+    entityStream(events, txnreqFold, bounded, watermark, horizonMs)
 
   /** Streaming TransactionRequest materialization, driver-checked
     * against the SAME oracle as the batch imp_entity_txnreq.
     */
   def runTxnreqToCompletion(spark: SparkSession, dir: String): DataFrame =
-    runPipeline(spark, dir, events => txnreqStream(events).toDF(), "txn_key")
+    runFold(spark, dir, txnreqFold)
       .select("txn_key", "tenant", "state", "started_ms", "completed_ms",
-        "amount", "auth_type", "payer_dfsp_id", "payee_dfsp_id", "n_events")
+        "amount", "auth_type", "payer_dfsp_id", "payee_dfsp_id",
+        "initiator_type", "scenario", "n_events")
       .orderBy("txn_key")
 
   // ------------------------------------------------------------ Batch
@@ -368,34 +547,49 @@ object StreamImport {
     s
   }
 
-  def updateBatch(key: Long, recs: Iterator[Rec], state: GroupState[BatchSt]): Iterator[BatchRow] = {
-    val st = recs.foldLeft(state.getOption.getOrElse(EmptyBatchSt))(foldBatch)
-    state.update(st)
-    Iterator.single(BatchRow(
-      batch_key = key,
-      batch_id = "b" + (key % 20),
-      request_id = s"req-$key",
-      request_file = st.reqFile,
-      note = st.note,
-      started_ms = if (st.started == Long.MaxValue) -1L else st.started,
-      completed_ms = if (st.completed == Long.MinValue) -1L else st.completed,
-      total_transactions = st.total,
-      ongoing = math.max(st.total - st.done, 0L),
-      failed = st.failed,
-      completed = st.done))
+  private def renderBatch(key: Long, st: BatchSt): BatchRow = BatchRow(
+    batch_key = key,
+    batch_id = "b" + (key % 20),
+    request_id = s"req-$key",
+    request_file = st.reqFile,
+    note = st.note,
+    started_ms = if (st.started == Long.MaxValue) -1L else st.started,
+    completed_ms = if (st.completed == Long.MinValue) -1L else st.completed,
+    total_transactions = st.total,
+    ongoing = math.max(st.total - st.done, 0L),
+    failed = st.failed,
+    completed = st.done)
+
+  /** BatchSt monoid merge: counter sums + mark-guarded metadata. */
+  private def mergeBatch(a: BatchSt, b: BatchSt): BatchSt = {
+    val rfB = isAfter(b.reqFileTs, b.reqFileId, a.reqFileTs, a.reqFileId)
+    val ntB = isAfter(b.noteTs, b.noteId, a.noteTs, a.noteId)
+    BatchSt(
+      started = math.min(a.started, b.started),
+      completed = math.max(a.completed, b.completed),
+      total = a.total + b.total,
+      done = a.done + b.done,
+      failed = a.failed + b.failed,
+      reqFile = if (rfB) b.reqFile else a.reqFile,
+      reqFileTs = if (rfB) b.reqFileTs else a.reqFileTs,
+      reqFileId = if (rfB) b.reqFileId else a.reqFileId,
+      note = if (ntB) b.note else a.note,
+      noteTs = if (ntB) b.noteTs else a.noteTs,
+      noteId = if (ntB) b.noteId else a.noteId)
   }
 
-  def batchesStream(events: DataFrame, bounded: Boolean = true): Dataset[BatchRow] = {
-    import events.sparkSession.implicits._
-    foldStream[BatchSt, BatchRow](events, bounded)(updateBatch)
-  }
+  val batchFold: EntityFold[BatchSt, BatchRow] =
+    EntityFold(EmptyBatchSt, foldBatch, mergeBatch, (k, s) => Seq(renderBatch(k, s)), k => "t" + (k % 10))
+
+  def batchesStream(events: DataFrame, bounded: Boolean = true,
+      watermark: String = FoldWatermark, horizonMs: Long = EvictHorizonMs): DataFrame =
+    entityStream(events, batchFold, bounded, watermark, horizonMs)
 
   /** Streaming Batch materialization — same oracle as the batch
     * imp_entity_batches.
     */
   def runBatchesToCompletion(spark: SparkSession, dir: String): DataFrame =
-    runPipeline(spark, dir, events => batchesStream(events).toDF()
-      .withColumn("tenant", concat(lit("t"), col("batch_key") % 10)), "batch_key")
+    runFold(spark, dir, batchFold)
       .select("batch_key", "batch_id", "request_id", "request_file", "note",
         "started_ms", "completed_ms",
         "total_transactions", "ongoing", "failed", "completed")
@@ -616,38 +810,55 @@ object StreamImport {
     case _ => st
   }
 
-  def updateWide(key: Long, recs: Iterator[Rec], state: GroupState[WideSt]): Iterator[WideRow] = {
-    val st = recs.foldLeft(state.getOption.getOrElse(EmptyWideSt))(foldWide)
-    state.update(st)
-    Iterator.single(WideRow(
-      transfer_key = key,
-      tenant = "t" + (key % 10),
-      payer_party_id = st.party.payerPartyId, payer_id_type = st.party.payerIdType,
-      payee_party_id = st.party.payeePartyId, payee_id_type = st.party.payeeIdType,
-      amount = st.party.amount, currency = st.party.currency,
-      transaction_id = st.qsw.transactionId,
-      payer_dfsp_id = st.qsw.payerDfsp, payee_dfsp_id = st.qsw.payeeDfsp,
-      completed_ms = st.resp.completedMs, transfer_state = st.resp.transferState,
-      payer_fee = st.payerQ.fee,
-      payer_fee_currency = st.payerQ.currency,
-      payer_quote_code = st.payerQ.code,
-      payee_fee = st.payeeF.fee,
-      payee_fee_currency = st.payeeF.currency,
-      payee_quote_code = st.payeeQc.code,
-      error_information = st.err.info,
-      status = st.err.status))
+  private def renderWide(key: Long, st: WideSt): WideRow = WideRow(
+    transfer_key = key,
+    tenant = "t" + (key % 10),
+    payer_party_id = st.party.payerPartyId, payer_id_type = st.party.payerIdType,
+    payee_party_id = st.party.payeePartyId, payee_id_type = st.party.payeeIdType,
+    amount = st.party.amount, currency = st.party.currency,
+    transaction_id = st.qsw.transactionId,
+    payer_dfsp_id = st.qsw.payerDfsp, payee_dfsp_id = st.qsw.payeeDfsp,
+    completed_ms = st.resp.completedMs, transfer_state = st.resp.transferState,
+    payer_fee = st.payerQ.fee,
+    payer_fee_currency = st.payerQ.currency,
+    payer_quote_code = st.payerQ.code,
+    payee_fee = st.payeeF.fee,
+    payee_fee_currency = st.payeeF.currency,
+    payee_quote_code = st.payeeQc.code,
+    error_information = st.err.info,
+    status = st.err.status)
+
+  /** WideSt monoid merge: every writer group is last-write-wins on its
+    * own mark, so the merge just picks the later-marked group state
+    * (resp carries TWO independent marks — state and completedAt).
+    */
+  private def mergeWide(a: WideSt, b: WideSt): WideSt = {
+    def later(am: LastMark, bm: LastMark): Boolean = isAfter(bm.ts, bm.id, am.ts, am.id)
+    val respState = if (later(a.resp.stateM, b.resp.stateM)) b.resp else a.resp
+    val respCmpl = if (later(a.resp.cmplM, b.resp.cmplM)) b.resp else a.resp
+    WideSt(
+      party = if (later(a.party.m, b.party.m)) b.party else a.party,
+      qsw = if (later(a.qsw.m, b.qsw.m)) b.qsw else a.qsw,
+      resp = RespSt(respState.stateM, respState.transferState,
+        respCmpl.cmplM, respCmpl.completedMs),
+      payerQ = if (later(a.payerQ.m, b.payerQ.m)) b.payerQ else a.payerQ,
+      payeeF = if (later(a.payeeF.m, b.payeeF.m)) b.payeeF else a.payeeF,
+      payeeQc = if (later(a.payeeQc.m, b.payeeQc.m)) b.payeeQc else a.payeeQc,
+      err = if (later(a.err.m, b.err.m)) b.err else a.err)
   }
 
-  def wideStream(events: DataFrame, bounded: Boolean = true): Dataset[WideRow] = {
-    import events.sparkSession.implicits._
-    foldStream[WideSt, WideRow](events, bounded)(updateWide)
-  }
+  val wideFold: EntityFold[WideSt, WideRow] =
+    EntityFold(EmptyWideSt, foldWide, mergeWide, (k, s) => Seq(renderWide(k, s)), k => "t" + (k % 10))
+
+  def wideStream(events: DataFrame, bounded: Boolean = true,
+      watermark: String = FoldWatermark, horizonMs: Long = EvictHorizonMs): DataFrame =
+    entityStream(events, wideFold, bounded, watermark, horizonMs)
 
   /** Streaming wide-entity materialization — same oracle as the batch
     * imp_entity_wide (nested-JSON extraction semantics included).
     */
   def runWideToCompletion(spark: SparkSession, dir: String): DataFrame =
-    runPipeline(spark, dir, events => wideStream(events).toDF(), "transfer_key")
+    runFold(spark, dir, wideFold)
       .select("transfer_key", "payer_party_id", "payer_id_type",
         "payee_party_id", "payee_id_type", "amount", "currency",
         "transaction_id", "payer_dfsp_id", "payee_dfsp_id",
@@ -722,35 +933,41 @@ object StreamImport {
     * so the keyed sink upsert replaces displaced entries instead of
     * leaking them. Answers the batch q_window_topn's SAME oracle.
     */
-  private def updateTopn(user: Long, recs: Iterator[Rec],
-      state: GroupState[Seq[Rec]]): Iterator[TopRow] = {
-    // dedup the merge by event_id: a re-delivered event (at-least-once
-    // source) must not occupy two leaderboard ranks — within Spark's
-    // exactly-once state replay this is a no-op, but the monoid stays
-    // correct against duplicate delivery at the source
-    val merged = (state.getOption.getOrElse(Seq.empty) ++ recs)
-      .groupBy(_.event_id).map(_._2.head).toSeq
-      .sortBy(r => (-r.value, r.event_id)).take(3)
-    state.update(merged)
-    merged.iterator.zipWithIndex.map { case (r, i) =>
-      TopRow(user, i + 1L, r.event_id, r.event_type)
-    }
-  }
+  /** Top-n accumulator: the current top-3 selection (a case class so
+    * the shared product-encoder machinery covers it).
+    */
+  case class TopSt(entries: Seq[Rec])
 
-  def topnStream(events: DataFrame, bounded: Boolean = true): Dataset[TopRow] = {
-    import events.sparkSession.implicits._
-    foldStream[Seq[Rec], TopRow](events, bounded)(updateTopn)
-  }
+  // dedup by event_id throughout: a re-delivered event (at-least-once
+  // source) must not occupy two leaderboard ranks — within Spark's
+  // exactly-once state replay this is a no-op, but the monoid stays
+  // correct against duplicate delivery at the source
+  private def topOf(rs: Seq[Rec]): Seq[Rec] = rs
+    .groupBy(_.event_id).map(_._2.head).toSeq
+    .sortBy(r => (-r.value, r.event_id)).take(3)
+
+  private def stepTop(s: TopSt, r: Rec): TopSt = TopSt(topOf(s.entries :+ r))
+
+  /** Bounded selection is a monoid: top-3 of a union = top-3 of merged
+    * top-3s.
+    */
+  private def mergeTop(a: TopSt, b: TopSt): TopSt = TopSt(topOf(a.entries ++ b.entries))
+
+  private def renderTop(user: Long, s: TopSt): Seq[TopRow] =
+    s.entries.zipWithIndex.map { case (r, i) => TopRow(user, i + 1L, r.event_id, r.event_type) }
+
+  val topnFold: EntityFold[TopSt, TopRow] =
+    EntityFold(TopSt(Seq.empty), stepTop, mergeTop, renderTop, k => "t" + (k % 10))
+
+  def topnStream(events: DataFrame, bounded: Boolean = true,
+      watermark: String = FoldWatermark, horizonMs: Long = EvictHorizonMs): DataFrame =
+    entityStream(events, topnFold, bounded, watermark, horizonMs)
 
   /** Driver-checked streaming leaderboard — oracle = the batch
     * per-user window top-3.
     */
   def runTopnToCompletion(spark: SparkSession, dir: String): DataFrame =
-    runPipeline(spark, dir, events =>
-      topnStream(events).toDF()
-        .withColumn("top_key", concat(col("user_id"), lit("_"), col("rnk")))
-        .withColumn("tenant", concat(lit("t"), col("user_id") % 10)),
-      "top_key")
+    runFold(spark, dir, topnFold)
       .select("user_id", "rnk", "event_id", "event_type")
       .orderBy("user_id", "rnk")
 
@@ -923,7 +1140,8 @@ object StreamImport {
     */
   private def runPipeline(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, key: String,
-      mode: String = "update"): DataFrame = {
+      mode: String = "update",
+      merge: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_").toString
     val sinkDir = s"$work/sink"
     // Raw file schema (ts is parquet TIMESTAMP(NANOS) read as long —
@@ -942,7 +1160,7 @@ object StreamImport {
       .outputMode(mode)
       .option("checkpointLocation", s"$work/chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        TenantUpsertSink.upsert(sinkDir, batch, key)
+        TenantUpsertSink.upsert(sinkDir, batch, key, merge)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -964,7 +1182,7 @@ object StreamImport {
     * imp_entity_transfers.
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame =
-    runPipeline(spark, dir, events => transfersStream(events).toDF(), "transfer_key")
+    runFold(spark, dir, transferFold)
       .select("transfer_key", "tenant", "started_ms", "completed_ms",
         "amount", "last_click_value", "status", "n_events")
       .orderBy("transfer_key")

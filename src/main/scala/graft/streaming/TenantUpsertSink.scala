@@ -82,7 +82,16 @@ object TenantUpsertSink {
       }.toMap)
   }
 
-  def upsert(tableDir: String, batch: DataFrame, key: String): Unit = {
+  /** Upsert `batch` by `key`. When `mergeWithCurrent` is supplied, it
+    * receives (the touched tenants' current rows, the batch) and
+    * returns the batch's REPLACEMENT rows — the read-modify-write hook
+    * (in a production RDBMS: the UPDATE expressions of the MERGE
+    * statement). It runs only when some touched tenant already has
+    * rows; with no current rows the batch lands as-is, so the hook
+    * must encode "no existing row" in the batch's own columns.
+    */
+  def upsert(tableDir: String, batch: DataFrame, key: String,
+      mergeWithCurrent: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     // every action inside foreachBatch RE-RUNS the micro-batch plan
     // (a stateful fold here) — cache it so the emptiness probe, the
@@ -131,8 +140,9 @@ object TenantUpsertSink {
               .option("basePath", s"$tableDir/$gen")
               .parquet(tenants.toSeq.sorted.map(t => s"$tableDir/$gen/tenant=$t"): _*)
           }.reduce(_ unionByName _)
-          current.join(batch.select(key).distinct(), Seq(key), "left_anti")
-            .unionByName(batch)
+          val incoming = mergeWithCurrent.map(f => f(current, batch)).getOrElse(batch)
+          current.join(incoming.select(key).distinct(), Seq(key), "left_anti")
+            .unionByName(incoming)
         }
       val gen = s"gen-${System.nanoTime()}"
       merged.write.mode(SaveMode.Overwrite)

@@ -164,16 +164,37 @@ class AnalyticsSpec extends SparkSpec {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("scalar-subquery"),
       s"subquery survived decorrelation:\n$optimized")
-    // semantics: matches the manual aggregate + join-back
+    // semantics: matches the manual aggregate + join-back under the
+    // same cross-multiplied (division-free) comparison
     val c = Tables.customer(spark, sfDir)
       .withColumn("bal_e4", expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT)"))
     val avg = c.groupBy("c_nationkey")
-      .agg(expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT) div COUNT(*)").as("avg_e4"))
+      .agg(expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT)").as("sum_e4"),
+        expr("COUNT(*)").as("cnt"))
     val expected = c.join(avg, "c_nationkey")
-      .filter(col("bal_e4") > col("avg_e4"))
+      .filter(col("bal_e4") * col("cnt") > col("sum_e4"))
       .select("c_custkey").orderBy("c_custkey")
       .collect().map(_.getLong(0)).toSeq
     assert(rows.map(_.getAs[Long]("c_custkey")).toSeq == expected)
+  }
+
+  test("q_corr_subquery: a negative-sum nation keeps FLOOR average semantics (no trunc-vs-floor divergence)") {
+    // engineered so floor and truncate DISAGREE: nation 1 has 200
+    // customers, sum = -66.01 → true avg -3300.5 in e4 space; floor is
+    // -3301, truncate-toward-zero is -3300. The 199 customers at -0.33
+    // (bal_e4 = -3300) beat the FLOOR average but not the truncated
+    // one — exactly the boundary where Spark `div` and an oracle's
+    // flooring `//` used to diverge. Cross-multiplication
+    // (bal_e4 * cnt > sum_e4) is division-free and floor-equivalent.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_negbal_").toString
+    val rows = (1 to 199).map(i => (i.toLong, 1L, -0.33)) ++
+      Seq((200L, 1L, -0.34), (201L, 2L, 10.00), (202L, 2L, 20.00))
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$tmp/customer.parquet")
+    val got = Analytics.qCorrSubquery(spark, tmp).collect().map(_.getLong(0)).toSeq
+    assert(got == ((1L to 199L) :+ 202L),
+      s"floor semantics violated on a negative-sum nation: got ${got.take(5)}…(${got.length} rows)")
   }
 
   test("q_set_ops: set semantics (distinct, no bag counting), matches manual joins") {

@@ -74,7 +74,8 @@ class StreamingSpec extends SparkSpec {
     }
     q.stop()
     val txnCols = Seq("txn_key", "state", "started_ms", "completed_ms", "amount",
-      "auth_type", "payer_dfsp_id", "payee_dfsp_id", "n_events")
+      "auth_type", "payer_dfsp_id", "payee_dfsp_id",
+      "initiator_type", "scenario", "n_events")
     val streamed = graft.streaming.TenantUpsertSink.readCurrent(spark, sinkDir).get
       .select(txnCols.map(col): _*)
       .orderBy("txn_key").collect()
@@ -321,17 +322,19 @@ class StreamingSpec extends SparkSpec {
     val t0 = 1700000000000L
     val stream = MemoryStream[Rec]
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_bnd_").toString + "/t"
-    val q = StreamImport.transfersStream(stream.toDF()).toDF() // bounded DEFAULT
+    val merge = StreamImport.foldMerge(StreamImport.transferFold)
+    val q = StreamImport.transfersStream(stream.toDF()) // bounded DEFAULT
       .writeStream.outputMode("update")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_bndchk_").toString)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        TenantUpsertSink.upsert(sinkDir, b, "transfer_key")
+        TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
       }
       .start()
     def feed(rs: Rec*): Unit = { stream.addData(rs.toIndexedSeq); q.processAllAvailable() }
     def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
     def key1Row(): Seq[Any] = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select(explode(col("rows")).as("r")).select("r.*")
       .filter(col("transfer_key") === 1)
       .select("started_ms", "completed_ms", "amount", "status", "n_events")
       .collect().map(_.toSeq).toSeq.flatten
@@ -352,6 +355,114 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows == 1, "late record resurrected the evicted key's state")
     assert(key1Row() == settled, "late record corrupted the sunk row")
     q.stop()
+  }
+
+  test("bounded stream_import: a NON-late record after idle eviction EXTENDS the sunk row (incarnation merge)") {
+    // the read-modify-write hole: key 1 completes and is evicted after
+    // an idle gap (other keys advance the watermark); a perfectly
+    // in-order record for key 1 then arrives AHEAD of the watermark.
+    // The restarted fold knows nothing of the sunk row — the sink's
+    // incarnation merge must fold the old contribution back in instead
+    // of letting the partial restart overwrite COMPLETED with
+    // IN_PROGRESS / n_events=1 (the reference survives this via
+    // findByWorkflowInstanceKey on cache miss).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val stream = MemoryStream[Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_inc_").toString + "/t"
+    val merge = StreamImport.foldMerge(StreamImport.transferFold)
+    val q = StreamImport.transfersStream(stream.toDF())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_incchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
+      }
+      .start()
+    def feed(rs: Rec*): Unit = { stream.addData(rs.toIndexedSeq); q.processAllAvailable() }
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    def key1Row(): Seq[Any] = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select(explode(col("rows")).as("r")).select("r.*")
+      .filter(col("transfer_key") === 1)
+      .select("started_ms", "completed_ms", "amount", "last_click_value", "status", "n_events")
+      .collect().map(_.toSeq).toSeq.flatten
+    feed(mkRec(1, t0, 1, "signup"), mkRec(2, t0 + 1000, 1, "purchase", value = 25.0))
+    assert(key1Row() == Seq(t0, t0 + 1000, "25.00", "", "COMPLETED", 2L))
+    // key 2's events push the watermark past key 1's idle horizon
+    val t1 = t0 + 3 * 3600 * 1000L
+    feed(mkRec(3, t1, 2, "signup"))
+    feed(mkRec(4, t1 + 1000, 2, "click"))
+    assert(stateRows == 1, s"expected key 1 evicted, state holds $stateRows rows")
+    // a NON-late click for key 1 (ahead of the watermark) restarts the
+    // fold as a fresh incarnation; the sink merge extends the sunk row
+    feed(mkRec(5, t1 + 2000, 1, "click", value = 7.0))
+    assert(stateRows == 2, "the non-late record must restart key 1's state")
+    // the sunk row is EXTENDED: click landed (last_click 7.00, n=3),
+    // everything the first incarnation folded survives (started,
+    // completed, amount, COMPLETED status)
+    val got = key1Row()
+    assert(got == Seq(t0, t0 + 1000, "25.00", "7.00", "COMPLETED", 3L),
+      s"incarnation merge lost data: $got")
+    q.stop()
+  }
+
+  test("bounded folds with a tiny horizon: eviction + incarnation merge stay EXACT vs the batch entity") {
+    // in-order arrival, watermark delay 0, horizon 60 s: most keys
+    // evict and restart several times across the corpus. The final
+    // sink table must STILL equal the batch fold — eviction is
+    // invisible downstream because the sink merge reunites every
+    // incarnation's contribution.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+      .sortBy(r => (r.ts_ms, r.event_id))
+    def run(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        merge: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val stream = MemoryStream[Rec]
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft_tiny_").toString + "/t"
+      val q = build(stream.toDF())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_tinychk_").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
+        }
+        .start()
+      recs.grouped(math.max(recs.length / 6, 1)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // evictions triggered by the final chunk's watermark need one
+      // more (empty-data) batch to fire; harmless for the assertion
+      q.stop()
+      TenantUpsertSink.readCurrent(spark, sinkDir).get
+        .select(explode(col("rows")).as("r")).select("r.*")
+    }
+    // transfers: min/max/sum/or + last-write click
+    val streamed = run(
+      df => StreamImport.transfersStream(df, bounded = true, watermark = "0 seconds", horizonMs = 60000L),
+      StreamImport.foldMerge(StreamImport.transferFold))
+      .select("transfer_key", "tenant", "started_ms", "completed_ms",
+        "amount", "last_click_value", "status", "n_events")
+      .orderBy("transfer_key").collect()
+    val batch = ImporterCore.impEntityTransfers(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"key ${s.get(0)}: stream=${s.toSeq} batch=${b.toSeq}")
+    }
+    // top-n: the selection monoid must reunite boards split across
+    // incarnations (top entries arrive in ts order, not value order)
+    val topStreamed = run(
+      df => StreamImport.topnStream(df, bounded = true, watermark = "0 seconds", horizonMs = 60000L),
+      StreamImport.foldMerge(StreamImport.topnFold))
+      .select("user_id", "rnk", "event_id", "event_type")
+      .orderBy("user_id", "rnk").collect()
+    val topBatch = graft.operators.Analytics.qWindowTopN(spark, sfDir).collect()
+    assert(topStreamed.length == topBatch.length && topStreamed.nonEmpty)
+    topStreamed.zip(topBatch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"stream=${s.toSeq} batch=${b.toSeq}")
+    }
   }
 
   test("bounded keyed folds: txnreq/batches/wide/topn evict watermark-passed keys too") {
