@@ -528,6 +528,18 @@ object ImporterCore {
     *     means book-funds success → status COMPLETED, anything else →
     *     FAILED, last write wins — error records (fatal payloads carry
     *     an error string, non-fatal the 'false' marker).
+    *   - the thirteen PLAIN set-call scalars (VariableParser.java:44,
+    *     55-69): `transactionId`, `currency`, `sourceCurrency`/
+    *     `targetCurrency`, `sourceFee`/`targetFee`,
+    *     `sourceInstitution`/`targetInstitution`, `sourceQuoteCode`/
+    *     `targetQuoteCode`, `sourceAccountType`/`targetAccountType`
+    *     and `quoteId` (:44 → setPayeeQuoteCode). Each is a bare
+    *     strip()-and-set onto an entity column the nested classes also
+    *     write, so those columns are last-write ACROSS nested and
+    *     scalar writers. Carried by the k >= 90 sub-range of each
+    *     record class (sub-routed by event_id mod the class's scalar
+    *     count); fees parse as BigDecimal like the registry's
+    *     `new BigDecimal(strip(value))`.
     *
     * The events corpus carries flat payloads, so each engine
     * synthesizes the nested variable payloads row-locally from the
@@ -614,13 +626,42 @@ object ImporterCore {
       struct(dec2(col("value")).cast(org.apache.spark.sql.types.StringType).as("amount"),
         when(col("event_id") % 2 === 0, "XOF").otherwise("NGN").as("currency")).as("payeeFspFee")))
     val isChan = col("event_type") === "signup" && kPayload < 50
-    val isSwitch = col("event_type") === "signup" && kPayload >= 50
-    val isParty = col("event_type") === "signup" // chan OR switch
-    val isResp = col("event_type") === "purchase"
+    val isSwitch = col("event_type") === "signup" && kPayload >= 50 && kPayload < 90
+    val isParty = col("event_type") === "signup" && kPayload < 90 // chan OR switch
+    val isResp = col("event_type") === "purchase" && kPayload < 90
     val isQuote = col("event_type") === "view" && kPayload < 50
-    val isPayeeQ = col("event_type") === "view" && kPayload >= 50
-    val isPrep = col("event_type") === "click"
+    val isPayeeQ = col("event_type") === "view" && kPayload >= 50 && kPayload < 90
+    val isPrep = col("event_type") === "click" && kPayload < 90
     val isErr = col("event_type") === "error"
+    // the PLAIN set-call scalar registry (VariableParser.java:44,
+    // 55-69): thirteen variables whose value is the stripped string
+    // itself, no JSON — carried by the k >= 90 sub-range of each
+    // record class, sub-routed by k mod the class's scalar count.
+    // Each writes an EXISTING entity column, so those columns are
+    // last-write ACROSS nested-class and scalar writers.
+    val scalA = col("event_type") === "signup" && kPayload >= 90 // %4: transactionId currency sourceAccountType targetAccountType
+    val scalB = col("event_type") === "purchase" && kPayload >= 90 // %3: sourceFee targetFee quoteId
+    val scalC = col("event_type") === "click" && kPayload >= 90 // %2: sourceInstitution targetInstitution
+    val scalD = col("event_type") === "view" && kPayload >= 90 // %4: sourceCurrency targetCurrency sourceQuoteCode targetQuoteCode
+    // value moduli are coprime-ish to the sub-route moduli (%3 vs %4,
+    // k%10 vs event_id%2) so each scalar's value VARIES across the
+    // records routed to it
+    val scalarTxnId = concat(lit("ptx-"), col("user_id"), lit("-"), (col("event_id") % 100).cast(LongType))
+    val scalarCurrency = when(col("event_id") % 3 === 0, "MWK")
+      .when(col("event_id") % 3 === 1, "ZMW").otherwise("UGX")
+    val scalarSrcAcctType = when(col("event_id") % 3 === 0, "MSISDN")
+      .when(col("event_id") % 3 === 1, "IBAN").otherwise("ACCOUNT_ID")
+    val scalarTgtAcctType = when(col("event_id") % 3 === 0, "ALIAS")
+      .when(col("event_id") % 3 === 1, "MSISDN").otherwise("IBAN")
+    val scalarQuoteId = concat(lit("QID-"), (col("event_id") % 1000).cast(LongType))
+    val scalarSrcInst = concat(lit("inst-"), (kPayload % 10).cast(LongType))
+    val scalarTgtInst = concat(lit("tinst-"), (kPayload % 10).cast(LongType))
+    val scalarSrcCur = when(col("event_id") % 3 === 0, "TZS")
+      .when(col("event_id") % 3 === 1, "XOF").otherwise("GMD")
+    val scalarTgtCur = when(col("event_id") % 3 === 0, "NGN")
+      .when(col("event_id") % 3 === 1, "KES").otherwise("ETB")
+    val scalarSrcQuote = concat(lit("SQ-"), (col("event_id") % 1000).cast(LongType))
+    val scalarTgtQuote = concat(lit("TQ-"), (col("event_id") % 1000).cast(LongType))
     // errorInformation's raw string value: an error string for fatal
     // payloads, the reference's "false" book-funds-success marker
     // otherwise
@@ -653,23 +694,47 @@ object ImporterCore {
     parsed.groupBy(col("user_id"))
       .agg(
         coalesce(lastBy(isParty, partyVal("payer.partyIdInfo.partyIdentifier"), ordKey), lit("")).as("payer_party_id"),
-        coalesce(lastBy(isParty, partyVal("payer.partyIdInfo.partyIdType"), ordKey), lit("")).as("payer_id_type"),
+        coalesce(lastBy(isParty || (scalA && col("event_id") % 4 === 2),
+          when(isParty, partyVal("payer.partyIdInfo.partyIdType")).otherwise(scalarSrcAcctType),
+          ordKey), lit("")).as("payer_id_type"),
         coalesce(lastBy(isParty, partyVal("payee.partyIdInfo.partyIdentifier"), ordKey), lit("")).as("payee_party_id"),
-        coalesce(lastBy(isParty, partyVal("payee.partyIdInfo.partyIdType"), ordKey), lit("")).as("payee_id_type"),
+        coalesce(lastBy(isParty || (scalA && col("event_id") % 4 === 3),
+          when(isParty, partyVal("payee.partyIdInfo.partyIdType")).otherwise(scalarTgtAcctType),
+          ordKey), lit("")).as("payee_id_type"),
         coalesce(moneyStr(lastBy(isParty, partyVal("amount.amount").cast(dec182), ordKey)), lit("")).as("amount"),
-        coalesce(lastBy(isParty, partyVal("amount.currency"), ordKey), lit("")).as("currency"),
-        coalesce(lastBy(isSwitch, col("qsw.transactionId"), ordKey), lit("")).as("transaction_id"),
-        coalesce(lastBy(isSwitch, col("qsw.payer.partyIdInfo.fspId"), ordKey), lit("")).as("payer_dfsp_id"),
-        coalesce(lastBy(isSwitch, col("qsw.payee.partyIdInfo.fspId"), ordKey), lit("")).as("payee_dfsp_id"),
+        coalesce(lastBy(isParty || (scalA && col("event_id") % 4 === 1),
+          when(isParty, partyVal("amount.currency")).otherwise(scalarCurrency),
+          ordKey), lit("")).as("currency"),
+        coalesce(lastBy(isSwitch || (scalA && col("event_id") % 4 === 0),
+          when(isSwitch, col("qsw.transactionId")).otherwise(scalarTxnId),
+          ordKey), lit("")).as("transaction_id"),
+        coalesce(lastBy(isSwitch || (scalC && col("event_id") % 2 === 0),
+          when(isSwitch, col("qsw.payer.partyIdInfo.fspId")).otherwise(scalarSrcInst),
+          ordKey), lit("")).as("payer_dfsp_id"),
+        coalesce(lastBy(isSwitch || (scalC && col("event_id") % 2 === 1),
+          when(isSwitch, col("qsw.payee.partyIdInfo.fspId")).otherwise(scalarTgtInst),
+          ordKey), lit("")).as("payee_dfsp_id"),
         coalesce(lastBy(isResp || isPrep,
           unix_millis(to_timestamp(completedStr, "yyyy-MM-dd'T'HH:mm:ss")), ordKey), lit(-1L)).as("completed_ms"),
         coalesce(lastBy(isResp, col("resp.transferState"), ordKey), lit("")).as("transfer_state"),
-        coalesce(moneyStr(lastBy(isQuote && !incoming, feeDec, ordKey)), lit("")).as("payer_fee"),
-        coalesce(lastBy(isQuote && !incoming, col("quote.fspFee.currency"), ordKey), lit("")).as("payer_fee_currency"),
-        coalesce(lastBy(isQuote && !incoming, col("quote.quoteCode"), ordKey), lit("")).as("payer_quote_code"),
-        coalesce(moneyStr(lastBy(payeeFeeCond, payeeFeeVal, ordKey)), lit("")).as("payee_fee"),
-        coalesce(lastBy(payeeFeeCond, payeeFeeCur, ordKey), lit("")).as("payee_fee_currency"),
-        coalesce(lastBy(isQuote && incoming, col("quote.quoteCode"), ordKey), lit("")).as("payee_quote_code"),
+        coalesce(moneyStr(lastBy((isQuote && !incoming) || (scalB && col("event_id") % 3 === 0),
+          when(isQuote, feeDec).otherwise(dec2(col("value"))), ordKey)), lit("")).as("payer_fee"),
+        coalesce(lastBy((isQuote && !incoming) || (scalD && col("event_id") % 4 === 0),
+          when(isQuote, col("quote.fspFee.currency")).otherwise(scalarSrcCur),
+          ordKey), lit("")).as("payer_fee_currency"),
+        coalesce(lastBy((isQuote && !incoming) || (scalD && col("event_id") % 4 === 2),
+          when(isQuote, col("quote.quoteCode")).otherwise(scalarSrcQuote),
+          ordKey), lit("")).as("payer_quote_code"),
+        coalesce(moneyStr(lastBy(payeeFeeCond || (scalB && col("event_id") % 3 === 1),
+          when(isQuote || isPayeeQ, payeeFeeVal).otherwise(dec2(col("value"))),
+          ordKey)), lit("")).as("payee_fee"),
+        coalesce(lastBy(payeeFeeCond || (scalD && col("event_id") % 4 === 1),
+          when(isQuote || isPayeeQ, payeeFeeCur).otherwise(scalarTgtCur),
+          ordKey), lit("")).as("payee_fee_currency"),
+        coalesce(lastBy((isQuote && incoming) || (scalB && col("event_id") % 3 === 2) || (scalD && col("event_id") % 4 === 3),
+          when(isQuote, col("quote.quoteCode"))
+            .when(scalB, scalarQuoteId).otherwise(scalarTgtQuote),
+          ordKey), lit("")).as("payee_quote_code"),
         coalesce(lastBy(isErr, errStr, ordKey), lit("")).as("error_information"),
         coalesce(lastBy(isErr,
           when(errStr === "false", "COMPLETED").otherwise("FAILED"), ordKey),
@@ -703,12 +768,24 @@ object ImporterCore {
     val payeeQ = "var_name = 'payeeQuoteResponse'"
     val err = "var_name = 'errorInformation'"
     def jx(path: String) = s"json_extract_string(payload, '$path')"
-    // payee fee: routed localQuoteResponse OR un-routed payeeQuoteResponse
-    val payeeFeeCond = s"(($quoteIn) OR $payeeQ)"
+    // a column with BOTH a nested-class writer and a plain-scalar
+    // writer (VariableParser:44,55-69): the scalar's payload IS the
+    // value, the nested class extracts a JsonPath
+    def scalarOr(scalars: Seq[String], nestedVal: String): String =
+      s"CASE WHEN var_name IN (${scalars.map("'" + _ + "'").mkString(",")}) THEN ${jx("$")} ELSE $nestedVal END"
+    // payee fee: routed localQuoteResponse, un-routed
+    // payeeQuoteResponse, or the targetFee scalar; the CURRENCY's
+    // scalar writer is targetCurrency, not targetFee — separate conds
+    val payeeFeeCond = s"(($quoteIn) OR $payeeQ OR var_name = 'targetFee')"
+    val payeeFeeCurCond = s"(($quoteIn) OR $payeeQ OR var_name = 'targetCurrency')"
     val payeeFeeVal =
-      s"CASE WHEN var_name = 'localQuoteResponse' THEN ${jx("$.fspFee.amount")} ELSE ${jx("$.payeeFspFee.amount")} END"
+      s"""CASE WHEN var_name = 'localQuoteResponse' THEN ${jx("$.fspFee.amount")}
+         |       WHEN var_name = 'payeeQuoteResponse' THEN ${jx("$.payeeFspFee.amount")}
+         |       ELSE ${jx("$")} END""".stripMargin
     val payeeFeeCur =
-      s"CASE WHEN var_name = 'localQuoteResponse' THEN ${jx("$.fspFee.currency")} ELSE ${jx("$.payeeFspFee.currency")} END"
+      s"""CASE WHEN var_name = 'localQuoteResponse' THEN ${jx("$.fspFee.currency")}
+         |       WHEN var_name = 'payeeQuoteResponse' THEN ${jx("$.payeeFspFee.currency")}
+         |       ELSE ${jx("$")} END""".stripMargin
     def moneyPick(cond: String, valueExpr: String): String =
       s"COALESCE(CAST(CAST(${pick(cond, s"CAST($valueExpr AS DECIMAL(18,2))", "NULL")} AS DECIMAL(38,2)) AS VARCHAR), '')"
     s"""WITH ev AS (
@@ -718,11 +795,21 @@ object ImporterCore {
        |src AS (
        |  SELECT user_id, ms, event_id,
        |    CASE WHEN event_type = 'signup' AND k < 50 THEN 'channelRequest'
-       |         WHEN event_type = 'signup' AND k >= 50 THEN 'quoteSwitchRequest'
-       |         WHEN event_type = 'purchase' THEN 'transferResponse-CREATE'
-       |         WHEN event_type = 'click' THEN 'transferResponse-PREPARE'
+       |         WHEN event_type = 'signup' AND k < 90 THEN 'quoteSwitchRequest'
+       |         WHEN event_type = 'signup' THEN
+       |           CASE event_id % 4 WHEN 0 THEN 'transactionId' WHEN 1 THEN 'currency'
+       |                WHEN 2 THEN 'sourceAccountType' ELSE 'targetAccountType' END
+       |         WHEN event_type = 'purchase' AND k < 90 THEN 'transferResponse-CREATE'
+       |         WHEN event_type = 'purchase' THEN
+       |           CASE event_id % 3 WHEN 0 THEN 'sourceFee' WHEN 1 THEN 'targetFee' ELSE 'quoteId' END
+       |         WHEN event_type = 'click' AND k < 90 THEN 'transferResponse-PREPARE'
+       |         WHEN event_type = 'click' THEN
+       |           CASE event_id % 2 WHEN 0 THEN 'sourceInstitution' ELSE 'targetInstitution' END
        |         WHEN event_type = 'view' AND k < 50 THEN 'localQuoteResponse'
-       |         WHEN event_type = 'view' AND k >= 50 THEN 'payeeQuoteResponse'
+       |         WHEN event_type = 'view' AND k < 90 THEN 'payeeQuoteResponse'
+       |         WHEN event_type = 'view' THEN
+       |           CASE event_id % 4 WHEN 0 THEN 'sourceCurrency' WHEN 1 THEN 'targetCurrency'
+       |                WHEN 2 THEN 'sourceQuoteCode' ELSE 'targetQuoteCode' END
        |         WHEN event_type = 'error' THEN 'errorInformation' END AS var_name,
        |    CASE WHEN event_type = 'signup' AND k < 50 THEN to_json(struct_pack(
        |        payer := struct_pack(partyIdInfo := struct_pack(partyIdType := 'MSISDN',
@@ -731,7 +818,7 @@ object ImporterCore {
        |          partyIdentifier := CONCAT('acct-', CAST(user_id % 50 AS VARCHAR)))),
        |        amount := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
        |          currency := CASE WHEN user_id % 2 = 0 THEN 'USD' ELSE 'KES' END)))
-       |      WHEN event_type = 'signup' AND k >= 50 THEN to_json(struct_pack(
+       |      WHEN event_type = 'signup' AND k < 90 THEN to_json(struct_pack(
        |        transactionId := CONCAT('txn-', CAST(user_id AS VARCHAR), '-', CAST(event_id % 100 AS VARCHAR)),
        |        payer := struct_pack(partyIdInfo := struct_pack(partyIdType := 'IBAN',
        |          partyIdentifier := CONCAT('PI', CAST(user_id % 77 AS VARCHAR)),
@@ -741,40 +828,70 @@ object ImporterCore {
        |          fspId := CONCAT('fsp', CAST((k + 1) % 10 AS VARCHAR)))),
        |        amount := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
        |          currency := CASE WHEN k % 2 = 0 THEN 'EUR' ELSE 'GHS' END)))
-       |      WHEN event_type = 'purchase' THEN to_json(struct_pack(
+       |      WHEN event_type = 'signup' THEN to_json(
+       |        CASE event_id % 4
+       |          WHEN 0 THEN CONCAT('ptx-', CAST(user_id AS VARCHAR), '-', CAST(event_id % 100 AS VARCHAR))
+       |          WHEN 1 THEN CASE event_id % 3 WHEN 0 THEN 'MWK' WHEN 1 THEN 'ZMW' ELSE 'UGX' END
+       |          WHEN 2 THEN CASE event_id % 3 WHEN 0 THEN 'MSISDN' WHEN 1 THEN 'IBAN' ELSE 'ACCOUNT_ID' END
+       |          ELSE CASE event_id % 3 WHEN 0 THEN 'ALIAS' WHEN 1 THEN 'MSISDN' ELSE 'IBAN' END END)
+       |      WHEN event_type = 'purchase' AND k < 90 THEN to_json(struct_pack(
        |        completedTimestamp := strftime(make_timestamp((ms // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S'),
        |        transferState := 'COMMITTED'))
-       |      WHEN event_type = 'click' THEN to_json(struct_pack(
+       |      WHEN event_type = 'purchase' THEN to_json(
+       |        CASE event_id % 3
+       |          WHEN 0 THEN CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+       |          WHEN 1 THEN CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+       |          ELSE CONCAT('QID-', CAST(event_id % 1000 AS VARCHAR)) END)
+       |      WHEN event_type = 'click' AND k < 90 THEN to_json(struct_pack(
        |        completedTimestamp := strftime(make_timestamp((ms // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S')))
+       |      WHEN event_type = 'click' THEN to_json(
+       |        CASE event_id % 2 WHEN 0 THEN CONCAT('inst-', CAST(k % 10 AS VARCHAR))
+       |          ELSE CONCAT('tinst-', CAST(k % 10 AS VARCHAR)) END)
        |      WHEN event_type = 'view' AND k < 50 THEN to_json(struct_pack(
        |        fspFee := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
        |          currency := CASE WHEN event_id % 2 = 0 THEN 'USD' ELSE 'TZS' END),
        |        quoteCode := CONCAT('LQ-', CAST(event_id % 1000 AS VARCHAR))))
-       |      WHEN event_type = 'view' AND k >= 50 THEN to_json(struct_pack(
+       |      WHEN event_type = 'view' AND k < 90 THEN to_json(struct_pack(
        |        payeeFspFee := struct_pack(amount := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
        |          currency := CASE WHEN event_id % 2 = 0 THEN 'XOF' ELSE 'NGN' END)))
+       |      WHEN event_type = 'view' THEN to_json(
+       |        CASE event_id % 4
+       |          WHEN 0 THEN CASE event_id % 3 WHEN 0 THEN 'TZS' WHEN 1 THEN 'XOF' ELSE 'GMD' END
+       |          WHEN 1 THEN CASE event_id % 3 WHEN 0 THEN 'NGN' WHEN 1 THEN 'KES' ELSE 'ETB' END
+       |          WHEN 2 THEN CONCAT('SQ-', CAST(event_id % 1000 AS VARCHAR))
+       |          ELSE CONCAT('TQ-', CAST(event_id % 1000 AS VARCHAR)) END)
        |      WHEN event_type = 'error' THEN to_json(
        |        CASE WHEN k >= 90 THEN CONCAT('err-', CAST(k AS VARCHAR)) ELSE 'false' END)
        |      END AS payload
        |  FROM ev)
        |SELECT user_id AS transfer_key,
        |  ${pick(party, jx("$.payer.partyIdInfo.partyIdentifier"), "''")} AS payer_party_id,
-       |  ${pick(party, jx("$.payer.partyIdInfo.partyIdType"), "''")} AS payer_id_type,
+       |  ${pick(s"($party OR var_name = 'sourceAccountType')",
+                 scalarOr(Seq("sourceAccountType"), jx("$.payer.partyIdInfo.partyIdType")), "''")} AS payer_id_type,
        |  ${pick(party, jx("$.payee.partyIdInfo.partyIdentifier"), "''")} AS payee_party_id,
-       |  ${pick(party, jx("$.payee.partyIdInfo.partyIdType"), "''")} AS payee_id_type,
+       |  ${pick(s"($party OR var_name = 'targetAccountType')",
+                 scalarOr(Seq("targetAccountType"), jx("$.payee.partyIdInfo.partyIdType")), "''")} AS payee_id_type,
        |  ${moneyPick(party, jx("$.amount.amount"))} AS amount,
-       |  ${pick(party, jx("$.amount.currency"), "''")} AS currency,
-       |  ${pick(switch, jx("$.transactionId"), "''")} AS transaction_id,
-       |  ${pick(switch, jx("$.payer.partyIdInfo.fspId"), "''")} AS payer_dfsp_id,
-       |  ${pick(switch, jx("$.payee.partyIdInfo.fspId"), "''")} AS payee_dfsp_id,
+       |  ${pick(s"($party OR var_name = 'currency')",
+                 scalarOr(Seq("currency"), jx("$.amount.currency")), "''")} AS currency,
+       |  ${pick(s"($switch OR var_name = 'transactionId')",
+                 scalarOr(Seq("transactionId"), jx("$.transactionId")), "''")} AS transaction_id,
+       |  ${pick(s"($switch OR var_name = 'sourceInstitution')",
+                 scalarOr(Seq("sourceInstitution"), jx("$.payer.partyIdInfo.fspId")), "''")} AS payer_dfsp_id,
+       |  ${pick(s"($switch OR var_name = 'targetInstitution')",
+                 scalarOr(Seq("targetInstitution"), jx("$.payee.partyIdInfo.fspId")), "''")} AS payee_dfsp_id,
        |  ${pick(anyResp, s"epoch_ms(strptime(${jx("$.completedTimestamp")}, '%Y-%m-%dT%H:%M:%S'))", "-1")} AS completed_ms,
        |  ${pick(resp, jx("$.transferState"), "''")} AS transfer_state,
-       |  ${moneyPick(quoteOut, jx("$.fspFee.amount"))} AS payer_fee,
-       |  ${pick(quoteOut, jx("$.fspFee.currency"), "''")} AS payer_fee_currency,
-       |  ${pick(quoteOut, jx("$.quoteCode"), "''")} AS payer_quote_code,
+       |  ${moneyPick(s"(($quoteOut) OR var_name = 'sourceFee')",
+                 scalarOr(Seq("sourceFee"), jx("$.fspFee.amount")))} AS payer_fee,
+       |  ${pick(s"(($quoteOut) OR var_name = 'sourceCurrency')",
+                 scalarOr(Seq("sourceCurrency"), jx("$.fspFee.currency")), "''")} AS payer_fee_currency,
+       |  ${pick(s"(($quoteOut) OR var_name = 'sourceQuoteCode')",
+                 scalarOr(Seq("sourceQuoteCode"), jx("$.quoteCode")), "''")} AS payer_quote_code,
        |  ${moneyPick(payeeFeeCond, payeeFeeVal)} AS payee_fee,
-       |  ${pick(payeeFeeCond, payeeFeeCur, "''")} AS payee_fee_currency,
-       |  ${pick(quoteIn, jx("$.quoteCode"), "''")} AS payee_quote_code,
+       |  ${pick(payeeFeeCurCond, payeeFeeCur, "''")} AS payee_fee_currency,
+       |  ${pick(s"(($quoteIn) OR var_name IN ('quoteId', 'targetQuoteCode'))",
+                 scalarOr(Seq("quoteId", "targetQuoteCode"), jx("$.quoteCode")), "''")} AS payee_quote_code,
        |  ${pick(err, jx("$"), "''")} AS error_information,
        |  ${pick(err, s"CASE WHEN ${jx("$")} = 'false' THEN 'COMPLETED' ELSE 'FAILED' END", "'IN_PROGRESS'")} AS status
        |FROM src GROUP BY user_id ORDER BY transfer_key""".stripMargin

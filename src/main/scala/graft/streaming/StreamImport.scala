@@ -597,44 +597,51 @@ object StreamImport {
 
   // ------------------------------------------------------------- Wide
 
-  /** Streaming wide-entity state: one last-write mark per WRITER
-    * GROUP, because the registry's columns have different (sometimes
-    * overlapping) writer sets (VariableParser.java:41-52):
+  /** Streaming wide-entity state: since the plain-scalar registry
+    * (VariableParser.java:44,55-69) gives almost every entity column a
+    * SECOND writer on top of its nested-class writer, each column (or
+    * group of columns always written together) carries its OWN
+    * last-write mark:
     *
-    *   - party/amount: channelRequest AND quoteSwitchRequest (same
-    *     columns, two classes — one shared mark);
-    *   - transactionId + dfsp ids: quoteSwitchRequest only;
+    *   - party core (party ids + amount): channelRequest AND
+    *     quoteSwitchRequest only — one shared mark;
+    *   - id types / currency: the nested party classes OR the
+    *     sourceAccountType / targetAccountType / currency scalars;
+    *   - transactionId / dfsp ids: quoteSwitchRequest OR the
+    *     transactionId / sourceInstitution / targetInstitution scalars;
     *   - completedMs: CREATE and PREPARE share a mark (:174-183,
     *     :189-198) while transferState is CREATE-only;
     *   - payer fee/currency/quoteCode: outgoing-routed
-    *     localQuoteResponse;
-    *   - payee fee/currency: incoming-routed localQuoteResponse AND
-    *     the un-routed payeeQuoteResponse (shared mark), but
-    *     payee_quote_code is localQuoteResponse-only (its own mark);
+    *     localQuoteResponse OR sourceFee/sourceCurrency/sourceQuoteCode;
+    *   - payee fee/currency: incoming-routed localQuoteResponse, the
+    *     un-routed payeeQuoteResponse, OR targetFee/targetCurrency;
+    *     payee_quote_code: incoming localQuoteResponse, quoteId (:44)
+    *     or targetQuoteCode;
     *   - errorInformation + status: the dual error parser.
     */
   case class LastMark(ts: Long, id: Long)
-  case class PartySt(m: LastMark, payerPartyId: String, payerIdType: String,
-    payeePartyId: String, payeeIdType: String, amount: String, currency: String)
-  case class QswSt(m: LastMark, transactionId: String, payerDfsp: String,
-    payeeDfsp: String)
-  case class RespSt(stateM: LastMark, transferState: String,
-    cmplM: LastMark, completedMs: Long)
-  case class PayerQSt(m: LastMark, fee: String, currency: String, code: String)
-  case class PayeeFSt(m: LastMark, fee: String, currency: String)
-  case class QcSt(m: LastMark, code: String)
+  case class MarkStr(m: LastMark, v: String)
+  case class PartyCore(m: LastMark, payerPartyId: String,
+    payeePartyId: String, amount: String)
+  case class CmplSt(m: LastMark, ms: Long)
   case class ErrSt(m: LastMark, info: String, status: String)
-  case class WideSt(party: PartySt, qsw: QswSt, resp: RespSt,
-    payerQ: PayerQSt, payeeF: PayeeFSt, payeeQc: QcSt, err: ErrSt)
+  case class WideSt(party: PartyCore,
+    payerIdType: MarkStr, payeeIdType: MarkStr, currency: MarkStr,
+    txnId: MarkStr, payerDfsp: MarkStr, payeeDfsp: MarkStr,
+    state: MarkStr, cmpl: CmplSt,
+    payerFee: MarkStr, payerFeeCur: MarkStr, payerQuote: MarkStr,
+    payeeFee: MarkStr, payeeFeeCur: MarkStr, payeeQuote: MarkStr,
+    err: ErrSt)
 
   private val NoMark = LastMark(Long.MinValue, Long.MinValue)
+  private val NoStr = MarkStr(NoMark, "")
   private val EmptyWideSt = WideSt(
-    PartySt(NoMark, "", "", "", "", "", ""),
-    QswSt(NoMark, "", "", ""),
-    RespSt(NoMark, "", NoMark, -1L),
-    PayerQSt(NoMark, "", "", ""),
-    PayeeFSt(NoMark, "", ""),
-    QcSt(NoMark, ""),
+    PartyCore(NoMark, "", "", ""),
+    NoStr, NoStr, NoStr,
+    NoStr, NoStr, NoStr,
+    NoStr, CmplSt(NoMark, -1L),
+    NoStr, NoStr, NoStr,
+    NoStr, NoStr, NoStr,
     ErrSt(NoMark, "", "IN_PROGRESS"))
 
   private def after(r: Rec, m: LastMark): Boolean =
@@ -688,162 +695,226 @@ object StreamImport {
     (parsedMs, doc.at("/transferState").asText())
   }
 
-  private def foldWide(st: WideSt, r: Rec): WideSt = r.event_type match {
-    case "signup" if r.k < 50 && after(r, st.party.m) =>
-      // channelRequest — writes the shared party/amount group
-      val root = json.createObjectNode()
-      root.putObject("payer").putObject("partyIdInfo")
-        .put("partyIdType", "MSISDN")
-        .put("partyIdentifier", "277" + (r.user_id % 100))
-      root.putObject("payee").putObject("partyIdInfo")
-        .put("partyIdType", "ACCOUNT_ID")
-        .put("partyIdentifier", "acct-" + (r.user_id % 50))
-      root.putObject("amount")
-        .put("amount", amountStr(r.value))
-        .put("currency", if (r.user_id % 2 == 0) "USD" else "KES")
-      val doc = json.readTree(json.writeValueAsString(root))
-      st.copy(party = PartySt(markOf(r),
-        payerPartyId = doc.at("/payer/partyIdInfo/partyIdentifier").asText(),
-        payerIdType = doc.at("/payer/partyIdInfo/partyIdType").asText(),
-        payeePartyId = doc.at("/payee/partyIdInfo/partyIdentifier").asText(),
-        payeeIdType = doc.at("/payee/partyIdInfo/partyIdType").asText(),
-        amount = doc.at("/amount/amount").asText(),
-        currency = doc.at("/amount/currency").asText()))
-    case "signup" if r.k >= 50 =>
-      // quoteSwitchRequest (parseQuoteSwitchRequest:139-153) — writes
-      // the SAME party/amount group plus transactionId + fspIds
-      var s = st
-      val afterParty = after(r, s.party.m)
-      val afterQsw = after(r, s.qsw.m)
-      if (afterParty || afterQsw) {
-        val root = json.createObjectNode()
-        root.put("transactionId", s"txn-${r.user_id}-${r.event_id % 100}")
-        val payer = root.putObject("payer").putObject("partyIdInfo")
-        payer.put("partyIdType", "IBAN")
-          .put("partyIdentifier", "PI" + (r.user_id % 77))
-          .put("fspId", "fsp" + (r.k % 10))
-        val payee = root.putObject("payee").putObject("partyIdInfo")
-        payee.put("partyIdType", "MSISDN")
-          .put("partyIdentifier", "266" + (r.user_id % 99))
-          .put("fspId", "fsp" + ((r.k + 1) % 10))
-        root.putObject("amount")
-          .put("amount", amountStr(r.value))
-          .put("currency", if (r.k % 2 == 0) "EUR" else "GHS")
-        val doc = json.readTree(json.writeValueAsString(root))
-        if (afterParty)
-          s = s.copy(party = PartySt(markOf(r),
-            payerPartyId = doc.at("/payer/partyIdInfo/partyIdentifier").asText(),
-            payerIdType = doc.at("/payer/partyIdInfo/partyIdType").asText(),
-            payeePartyId = doc.at("/payee/partyIdInfo/partyIdentifier").asText(),
-            payeeIdType = doc.at("/payee/partyIdInfo/partyIdType").asText(),
-            amount = doc.at("/amount/amount").asText(),
-            currency = doc.at("/amount/currency").asText()))
-        if (afterQsw)
-          s = s.copy(qsw = QswSt(markOf(r),
-            transactionId = doc.at("/transactionId").asText(),
-            payerDfsp = doc.at("/payer/partyIdInfo/fspId").asText(),
-            payeeDfsp = doc.at("/payee/partyIdInfo/fspId").asText()))
-      }
-      s
-    case "purchase" =>
-      // transferResponse-CREATE: transferState last-write on its own
-      // mark, completedAt on the shared CREATE+PREPARE mark — one
-      // JSON round-trip serves both guards
-      var s = st
-      val afterState = after(r, s.resp.stateM)
-      val afterCmpl = after(r, s.resp.cmplM)
-      if (afterState || afterCmpl) {
-        val (ms, state) = completedOf(r, withState = true)
-        var resp = s.resp
-        if (afterState) resp = resp.copy(stateM = markOf(r), transferState = state)
-        if (afterCmpl) resp = resp.copy(cmplM = markOf(r), completedMs = ms)
-        s = s.copy(resp = resp)
-      }
-      s
-    case "click" if after(r, st.resp.cmplM) =>
-      // transferResponse-PREPARE: writes the same completedAt field
-      val (ms, _) = completedOf(r, withState = false)
-      st.copy(resp = st.resp.copy(cmplM = markOf(r), completedMs = ms))
-    case "view" if r.k < 50 =>
-      // localQuoteResponse: direction-routed at FOLD time — INCOMING
-      // (even key) → payee fee + quote code, OUTGOING → payer group
-      val incoming = r.user_id % 2 == 0
-      val needPayee = incoming && (after(r, st.payeeF.m) || after(r, st.payeeQc.m))
-      val needPayer = !incoming && after(r, st.payerQ.m)
-      if (needPayee || needPayer) {
-        val root = json.createObjectNode()
-        root.putObject("fspFee")
-          .put("amount", amountStr(r.value))
-          .put("currency", if (r.event_id % 2 == 0) "USD" else "TZS")
-        root.put("quoteCode", "LQ-" + (r.event_id % 1000))
-        val doc = json.readTree(json.writeValueAsString(root))
-        val fee = doc.at("/fspFee/amount").asText()
-        val cur = doc.at("/fspFee/currency").asText()
-        val code = doc.at("/quoteCode").asText()
+  private def foldWide(st: WideSt, r: Rec): WideSt = {
+    def upd(f: MarkStr)(v: => String): MarkStr =
+      if (after(r, f.m)) MarkStr(markOf(r), v) else f
+    r.event_type match {
+      case "signup" if r.k < 50 =>
+        // channelRequest — party core + id types + currency; one JSON
+        // round-trip serves every guard that fires
         var s = st
-        if (needPayer) s = s.copy(payerQ = PayerQSt(markOf(r), fee, cur, code))
-        if (incoming && after(r, s.payeeF.m))
-          s = s.copy(payeeF = PayeeFSt(markOf(r), fee, cur))
-        if (incoming && after(r, s.payeeQc.m))
-          s = s.copy(payeeQc = QcSt(markOf(r), code))
+        if (after(r, s.party.m) || after(r, s.payerIdType.m) ||
+            after(r, s.payeeIdType.m) || after(r, s.currency.m)) {
+          val root = json.createObjectNode()
+          root.putObject("payer").putObject("partyIdInfo")
+            .put("partyIdType", "MSISDN")
+            .put("partyIdentifier", "277" + (r.user_id % 100))
+          root.putObject("payee").putObject("partyIdInfo")
+            .put("partyIdType", "ACCOUNT_ID")
+            .put("partyIdentifier", "acct-" + (r.user_id % 50))
+          root.putObject("amount")
+            .put("amount", amountStr(r.value))
+            .put("currency", if (r.user_id % 2 == 0) "USD" else "KES")
+          val doc = json.readTree(json.writeValueAsString(root))
+          if (after(r, s.party.m))
+            s = s.copy(party = PartyCore(markOf(r),
+              payerPartyId = doc.at("/payer/partyIdInfo/partyIdentifier").asText(),
+              payeePartyId = doc.at("/payee/partyIdInfo/partyIdentifier").asText(),
+              amount = doc.at("/amount/amount").asText()))
+          s = s.copy(
+            payerIdType = upd(s.payerIdType)(doc.at("/payer/partyIdInfo/partyIdType").asText()),
+            payeeIdType = upd(s.payeeIdType)(doc.at("/payee/partyIdInfo/partyIdType").asText()),
+            currency = upd(s.currency)(doc.at("/amount/currency").asText()))
+        }
         s
-      } else st
-    case "view" if after(r, st.payeeF.m) =>
-      // payeeQuoteResponse (parsePayeeQuoteResponse:168-172): UN-routed
-      // payee fee — shares the payee-fee mark with the incoming-routed
-      // localQuoteResponse; quote code untouched
-      val root = json.createObjectNode()
-      root.putObject("payeeFspFee")
-        .put("amount", amountStr(r.value))
-        .put("currency", if (r.event_id % 2 == 0) "XOF" else "NGN")
-      val doc = json.readTree(json.writeValueAsString(root))
-      st.copy(payeeF = PayeeFSt(markOf(r),
-        doc.at("/payeeFspFee/amount").asText(),
-        doc.at("/payeeFspFee/currency").asText()))
-    case "error" if after(r, st.err.m) =>
-      // errorInformation dual parser (VariableParser:51-52): store the
-      // raw string AND run the transferCreateFailed state write
-      // ("false" = book-funds success → COMPLETED, else FAILED)
-      val raw = if (r.k >= 90) s"err-${r.k}" else "false"
-      st.copy(err = ErrSt(markOf(r), raw,
-        if (raw == "false") "COMPLETED" else "FAILED"))
-    case _ => st
+      case "signup" if r.k < 90 =>
+        // quoteSwitchRequest (parseQuoteSwitchRequest:139-153) — the
+        // SAME columns as channelRequest plus transactionId + fspIds
+        var s = st
+        if (after(r, s.party.m) || after(r, s.payerIdType.m) ||
+            after(r, s.payeeIdType.m) || after(r, s.currency.m) ||
+            after(r, s.txnId.m) || after(r, s.payerDfsp.m) || after(r, s.payeeDfsp.m)) {
+          val root = json.createObjectNode()
+          root.put("transactionId", s"txn-${r.user_id}-${r.event_id % 100}")
+          val payer = root.putObject("payer").putObject("partyIdInfo")
+          payer.put("partyIdType", "IBAN")
+            .put("partyIdentifier", "PI" + (r.user_id % 77))
+            .put("fspId", "fsp" + (r.k % 10))
+          val payee = root.putObject("payee").putObject("partyIdInfo")
+          payee.put("partyIdType", "MSISDN")
+            .put("partyIdentifier", "266" + (r.user_id % 99))
+            .put("fspId", "fsp" + ((r.k + 1) % 10))
+          root.putObject("amount")
+            .put("amount", amountStr(r.value))
+            .put("currency", if (r.k % 2 == 0) "EUR" else "GHS")
+          val doc = json.readTree(json.writeValueAsString(root))
+          if (after(r, s.party.m))
+            s = s.copy(party = PartyCore(markOf(r),
+              payerPartyId = doc.at("/payer/partyIdInfo/partyIdentifier").asText(),
+              payeePartyId = doc.at("/payee/partyIdInfo/partyIdentifier").asText(),
+              amount = doc.at("/amount/amount").asText()))
+          s = s.copy(
+            payerIdType = upd(s.payerIdType)(doc.at("/payer/partyIdInfo/partyIdType").asText()),
+            payeeIdType = upd(s.payeeIdType)(doc.at("/payee/partyIdInfo/partyIdType").asText()),
+            currency = upd(s.currency)(doc.at("/amount/currency").asText()),
+            txnId = upd(s.txnId)(doc.at("/transactionId").asText()),
+            payerDfsp = upd(s.payerDfsp)(doc.at("/payer/partyIdInfo/fspId").asText()),
+            payeeDfsp = upd(s.payeeDfsp)(doc.at("/payee/partyIdInfo/fspId").asText()))
+        }
+        s
+      case "signup" =>
+        // plain scalars riding signup (VariableParser:55,59,68,69):
+        // transactionId / currency / sourceAccountType / targetAccountType
+        (r.event_id % 4) match {
+          case 0 => st.copy(txnId = upd(st.txnId)(s"ptx-${r.user_id}-${r.event_id % 100}"))
+          case 1 => st.copy(currency = upd(st.currency)((r.event_id % 3) match {
+            case 0 => "MWK"; case 1 => "ZMW"; case _ => "UGX"
+          }))
+          case 2 => st.copy(payerIdType = upd(st.payerIdType)((r.event_id % 3) match {
+            case 0 => "MSISDN"; case 1 => "IBAN"; case _ => "ACCOUNT_ID"
+          }))
+          case _ => st.copy(payeeIdType = upd(st.payeeIdType)((r.event_id % 3) match {
+            case 0 => "ALIAS"; case 1 => "MSISDN"; case _ => "IBAN"
+          }))
+        }
+      case "purchase" if r.k < 90 =>
+        // transferResponse-CREATE: transferState last-write on its own
+        // mark, completedAt on the shared CREATE+PREPARE mark — one
+        // JSON round-trip serves both guards
+        var s = st
+        val afterState = after(r, s.state.m)
+        val afterCmpl = after(r, s.cmpl.m)
+        if (afterState || afterCmpl) {
+          val (ms, state) = completedOf(r, withState = true)
+          if (afterState) s = s.copy(state = MarkStr(markOf(r), state))
+          if (afterCmpl) s = s.copy(cmpl = CmplSt(markOf(r), ms))
+        }
+        s
+      case "purchase" =>
+        // plain scalars riding purchase (:62,63,44): sourceFee /
+        // targetFee (BigDecimal parse) / quoteId → payeeQuoteCode
+        (r.event_id % 3) match {
+          case 0 => st.copy(payerFee = upd(st.payerFee)(amountStr(r.value)))
+          case 1 => st.copy(payeeFee = upd(st.payeeFee)(amountStr(r.value)))
+          case _ => st.copy(payeeQuote = upd(st.payeeQuote)("QID-" + (r.event_id % 1000)))
+        }
+      case "click" if r.k < 90 =>
+        // transferResponse-PREPARE: writes the same completedAt field
+        if (after(r, st.cmpl.m)) {
+          val (ms, _) = completedOf(r, withState = false)
+          st.copy(cmpl = CmplSt(markOf(r), ms))
+        } else st
+      case "click" =>
+        // plain scalars riding click (:64,65): sourceInstitution /
+        // targetInstitution → dfsp ids
+        (r.event_id % 2) match {
+          case 0 => st.copy(payerDfsp = upd(st.payerDfsp)("inst-" + (r.k % 10)))
+          case _ => st.copy(payeeDfsp = upd(st.payeeDfsp)("tinst-" + (r.k % 10)))
+        }
+      case "view" if r.k < 50 =>
+        // localQuoteResponse: direction-routed at FOLD time — INCOMING
+        // (even key) → payee fee/currency/quote code, OUTGOING → payer
+        val incoming = r.user_id % 2 == 0
+        val needPayee = incoming && (after(r, st.payeeFee.m) ||
+          after(r, st.payeeFeeCur.m) || after(r, st.payeeQuote.m))
+        val needPayer = !incoming && (after(r, st.payerFee.m) ||
+          after(r, st.payerFeeCur.m) || after(r, st.payerQuote.m))
+        if (needPayee || needPayer) {
+          val root = json.createObjectNode()
+          root.putObject("fspFee")
+            .put("amount", amountStr(r.value))
+            .put("currency", if (r.event_id % 2 == 0) "USD" else "TZS")
+          root.put("quoteCode", "LQ-" + (r.event_id % 1000))
+          val doc = json.readTree(json.writeValueAsString(root))
+          val fee = doc.at("/fspFee/amount").asText()
+          val cur = doc.at("/fspFee/currency").asText()
+          val code = doc.at("/quoteCode").asText()
+          if (incoming)
+            st.copy(payeeFee = upd(st.payeeFee)(fee),
+              payeeFeeCur = upd(st.payeeFeeCur)(cur),
+              payeeQuote = upd(st.payeeQuote)(code))
+          else
+            st.copy(payerFee = upd(st.payerFee)(fee),
+              payerFeeCur = upd(st.payerFeeCur)(cur),
+              payerQuote = upd(st.payerQuote)(code))
+        } else st
+      case "view" if r.k < 90 =>
+        // payeeQuoteResponse (parsePayeeQuoteResponse:168-172):
+        // UN-routed payee fee/currency; quote code untouched
+        if (after(r, st.payeeFee.m) || after(r, st.payeeFeeCur.m)) {
+          val root = json.createObjectNode()
+          root.putObject("payeeFspFee")
+            .put("amount", amountStr(r.value))
+            .put("currency", if (r.event_id % 2 == 0) "XOF" else "NGN")
+          val doc = json.readTree(json.writeValueAsString(root))
+          st.copy(
+            payeeFee = upd(st.payeeFee)(doc.at("/payeeFspFee/amount").asText()),
+            payeeFeeCur = upd(st.payeeFeeCur)(doc.at("/payeeFspFee/currency").asText()))
+        } else st
+      case "view" =>
+        // plain scalars riding view (:60,61,66,67): sourceCurrency /
+        // targetCurrency / sourceQuoteCode / targetQuoteCode
+        (r.event_id % 4) match {
+          case 0 => st.copy(payerFeeCur = upd(st.payerFeeCur)((r.event_id % 3) match {
+            case 0 => "TZS"; case 1 => "XOF"; case _ => "GMD"
+          }))
+          case 1 => st.copy(payeeFeeCur = upd(st.payeeFeeCur)((r.event_id % 3) match {
+            case 0 => "NGN"; case 1 => "KES"; case _ => "ETB"
+          }))
+          case 2 => st.copy(payerQuote = upd(st.payerQuote)("SQ-" + (r.event_id % 1000)))
+          case _ => st.copy(payeeQuote = upd(st.payeeQuote)("TQ-" + (r.event_id % 1000)))
+        }
+      case "error" if after(r, st.err.m) =>
+        // errorInformation dual parser (VariableParser:51-52): store the
+        // raw string AND run the transferCreateFailed state write
+        // ("false" = book-funds success → COMPLETED, else FAILED)
+        val raw = if (r.k >= 90) s"err-${r.k}" else "false"
+        st.copy(err = ErrSt(markOf(r), raw,
+          if (raw == "false") "COMPLETED" else "FAILED"))
+      case _ => st
+    }
   }
 
   private def renderWide(key: Long, st: WideSt): WideRow = WideRow(
     transfer_key = key,
     tenant = "t" + (key % 10),
-    payer_party_id = st.party.payerPartyId, payer_id_type = st.party.payerIdType,
-    payee_party_id = st.party.payeePartyId, payee_id_type = st.party.payeeIdType,
-    amount = st.party.amount, currency = st.party.currency,
-    transaction_id = st.qsw.transactionId,
-    payer_dfsp_id = st.qsw.payerDfsp, payee_dfsp_id = st.qsw.payeeDfsp,
-    completed_ms = st.resp.completedMs, transfer_state = st.resp.transferState,
-    payer_fee = st.payerQ.fee,
-    payer_fee_currency = st.payerQ.currency,
-    payer_quote_code = st.payerQ.code,
-    payee_fee = st.payeeF.fee,
-    payee_fee_currency = st.payeeF.currency,
-    payee_quote_code = st.payeeQc.code,
+    payer_party_id = st.party.payerPartyId, payer_id_type = st.payerIdType.v,
+    payee_party_id = st.party.payeePartyId, payee_id_type = st.payeeIdType.v,
+    amount = st.party.amount, currency = st.currency.v,
+    transaction_id = st.txnId.v,
+    payer_dfsp_id = st.payerDfsp.v, payee_dfsp_id = st.payeeDfsp.v,
+    completed_ms = st.cmpl.ms, transfer_state = st.state.v,
+    payer_fee = st.payerFee.v,
+    payer_fee_currency = st.payerFeeCur.v,
+    payer_quote_code = st.payerQuote.v,
+    payee_fee = st.payeeFee.v,
+    payee_fee_currency = st.payeeFeeCur.v,
+    payee_quote_code = st.payeeQuote.v,
     error_information = st.err.info,
     status = st.err.status)
 
-  /** WideSt monoid merge: every writer group is last-write-wins on its
-    * own mark, so the merge just picks the later-marked group state
-    * (resp carries TWO independent marks — state and completedAt).
+  /** WideSt monoid merge: every column group is last-write-wins on its
+    * own mark, so the merge just picks the later-marked value.
     */
   private def mergeWide(a: WideSt, b: WideSt): WideSt = {
     def later(am: LastMark, bm: LastMark): Boolean = isAfter(bm.ts, bm.id, am.ts, am.id)
-    val respState = if (later(a.resp.stateM, b.resp.stateM)) b.resp else a.resp
-    val respCmpl = if (later(a.resp.cmplM, b.resp.cmplM)) b.resp else a.resp
+    def pick(x: MarkStr, y: MarkStr): MarkStr = if (later(x.m, y.m)) y else x
     WideSt(
       party = if (later(a.party.m, b.party.m)) b.party else a.party,
-      qsw = if (later(a.qsw.m, b.qsw.m)) b.qsw else a.qsw,
-      resp = RespSt(respState.stateM, respState.transferState,
-        respCmpl.cmplM, respCmpl.completedMs),
-      payerQ = if (later(a.payerQ.m, b.payerQ.m)) b.payerQ else a.payerQ,
-      payeeF = if (later(a.payeeF.m, b.payeeF.m)) b.payeeF else a.payeeF,
-      payeeQc = if (later(a.payeeQc.m, b.payeeQc.m)) b.payeeQc else a.payeeQc,
+      payerIdType = pick(a.payerIdType, b.payerIdType),
+      payeeIdType = pick(a.payeeIdType, b.payeeIdType),
+      currency = pick(a.currency, b.currency),
+      txnId = pick(a.txnId, b.txnId),
+      payerDfsp = pick(a.payerDfsp, b.payerDfsp),
+      payeeDfsp = pick(a.payeeDfsp, b.payeeDfsp),
+      state = pick(a.state, b.state),
+      cmpl = if (later(a.cmpl.m, b.cmpl.m)) b.cmpl else a.cmpl,
+      payerFee = pick(a.payerFee, b.payerFee),
+      payerFeeCur = pick(a.payerFeeCur, b.payerFeeCur),
+      payerQuote = pick(a.payerQuote, b.payerQuote),
+      payeeFee = pick(a.payeeFee, b.payeeFee),
+      payeeFeeCur = pick(a.payeeFeeCur, b.payeeFeeCur),
+      payeeQuote = pick(a.payeeQuote, b.payeeQuote),
       err = if (later(a.err.m, b.err.m)) b.err else a.err)
   }
 
