@@ -43,6 +43,11 @@ object Graft {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // cap the native (off-JVM-heap) block-cache + memtable footprint
+      // across all store instances — local[32] spins up one store per
+      // state partition and unbounded native memory is invisible to
+      // the JVM's own limits
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     functions.GraftFunctions.register(spark)

@@ -279,12 +279,22 @@ object ApproxOps {
     * pipelines keep a theta/KMV sketch next to HLL.
     */
   def kmvIntersectEstimate(a: Seq[Long], b: Seq[Long], k: Int = KmvK): Double = {
-    def thetaOf(s: Seq[Long]): Double =
-      if (s.size < k) HashSpace else s.max.toDouble
-    val theta = math.min(thetaOf(a), thetaOf(b))
-    if (theta == HashSpace) return a.toSet.intersect(b.toSet).size.toDouble
+    // saturation is a fact about SIZE (the sketch was cut at k), never
+    // about the threshold's numeric value: a saturated sketch whose
+    // max sits in 2^60's double-rounding neighborhood (e.g. 2^60 − 1,
+    // which rounds to 2^60 exactly in a double) must not be misrouted
+    // to the exact-intersection path
+    val aSat = a.size >= k
+    val bSat = b.size >= k
+    if (!aSat && !bSat) return a.toSet.intersect(b.toSet).size.toDouble
+    // the shared threshold in exact Long space; an unsaturated side's
+    // threshold is the full space, so the saturated side's max decides
+    val theta: Long =
+      if (aSat && bSat) math.min(a.max, b.max)
+      else if (aSat) a.max
+      else b.max
     val common = a.toSet.intersect(b.toSet).count(_ < theta)
-    common * HashSpace / theta
+    common * HashSpace / theta.toDouble
   }
 
   /** Percentiles via a value histogram — the scale path for

@@ -459,10 +459,14 @@ object TextOps {
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir).orderBy("a_id", "b_id")
 
-  /** The near-dup pair graph (un-sorted, sealed) — consumed by
-    * dedupNgram and the decontamination stage.
+  /** The df-capped distinct-shingle frame (doc_id, h), materialized
+    * via Scratch — the shared front half of the near-dup detector,
+    * consumed by [[ngramPairs]] and the asymmetric decontaminate.
+    * Caller owns the Scratch lifetime (seal results against it).
+    * The df counts are CORPUS-WIDE, so every consumer applies the
+    * identical hot-shingle cap.
     */
-  def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
+  def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val sh = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -474,10 +478,17 @@ object TextOps {
     // re-shuffling, and per-doc set sizes broadcast.
     // materialized once: feeds the per-doc counts AND both self-join
     // sides (explode + md5 + the df-cap window would otherwise run 3×)
-    val capped = graft.Scratch.cp(sh
+    graft.Scratch.cp(sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= 100)
       .select("doc_id", "h"))
+  }
+
+  /** The near-dup pair graph (un-sorted, sealed) — consumed by
+    * dedupNgram and the decontamination stage.
+    */
+  def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
+    val capped = cappedShingles(spark, dir)
     val counts = capped.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_sh"))
     val shared = capped.as("a").join(capped.as("b"),
       col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

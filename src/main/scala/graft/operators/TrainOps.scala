@@ -377,6 +377,52 @@ object TrainOps {
       .orderBy("train_id", "eval_id")
   }
 
+  /** The ASYMMETRIC decontaminate — the shape a real 100 TB run uses.
+    * Eval sets (benchmark suites) are tiny next to the training
+    * corpus, so instead of the symmetric detector's self-join the
+    * eval side's shingles are BROADCAST and the train side is joined
+    * against them once: the train corpus never self-joins, never
+    * shuffles its shingle frame against itself, and the only
+    * aggregation is over (train, eval) candidate hits. Same detector
+    * semantics — the df-cap stays CORPUS-WIDE (train ∪ eval, shared
+    * via [[TextOps.cappedShingles]]) and the Jaccard is computed from
+    * the same per-doc set sizes — so the output rows are identical to
+    * [[pipeDecontaminate]] (same DuckDB oracle; PipelineOpsSpec also
+    * asserts the BroadcastExchange plan shape).
+    */
+  def pipeDecontaminateAsym(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, capped) = pipeDecontaminateAsymUnsealed(spark, dir)
+    graft.Scratch.seal(pairs, capped)
+  }
+
+  /** The asym plan BEFORE Scratch seals it (sealing checkpoints the
+    * result, erasing the plan) — the spec asserts the
+    * BroadcastExchange shape on this frame. Callers own the returned
+    * scratch frame's lifetime.
+    */
+  private[graft] def pipeDecontaminateAsymUnsealed(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val isEval = expr(
+      s"graft_hash60(concat('$SplitSalt', CAST(doc_id AS STRING))) % 10000 >= $SplitTrainE4")
+    val capped = TextOps.cappedShingles(spark, dir)
+    val evalSh = capped.filter(isEval)
+    val trainSh = capped.filter(!isEval)
+    val counts = capped.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_sh"))
+    val shared = trainSh.as("t").join(broadcast(evalSh.as("e")), col("t.h") === col("e.h"))
+      .groupBy(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).cast(LongType).as("shared"))
+    val evalCounts = counts.filter(isEval)
+      .withColumnRenamed("doc_id", "eval_id").withColumnRenamed("n_sh", "nb")
+    val pairs = shared
+      .join(counts.withColumnRenamed("doc_id", "train_id").withColumnRenamed("n_sh", "na"), "train_id")
+      .join(broadcast(evalCounts), "eval_id")
+      .withColumn("jac_e4", expr("10000 * shared DIV (na + nb - shared)"))
+      .filter(col("jac_e4") >= 3000)
+      .select("train_id", "eval_id", "jac_e4")
+      .orderBy("train_id", "eval_id")
+    (pairs, capped)
+  }
+
   def pipeDecontaminateSql: String = {
     def isEval(id: String): String =
       graft.functions.Portable.hash60Duck(s"CONCAT('$SplitSalt', CAST($id AS VARCHAR))") +
@@ -395,6 +441,7 @@ object TrainOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_decontaminate" -> (pipeDecontaminate _),
+    "pipe_decontam_asym" -> (pipeDecontaminateAsym _),
     "pipe_sample" -> (pipeSample _),
     "pipe_pack" -> (pipePack _),
     "pipe_mix" -> (pipeMix _),
@@ -405,6 +452,9 @@ object TrainOps {
 
   def oracles: Map[String, String] = Map(
     "pipe_decontaminate" -> pipeDecontaminateSql,
+    // the asym plan answers the SAME oracle as the symmetric detector
+    // — identical rows, different (broadcast) dataflow
+    "pipe_decontam_asym" -> pipeDecontaminateSql,
     "pipe_sample" -> pipeSampleSql,
     "pipe_pack" -> pipePackSql,
     "pipe_mix" -> pipeMixSql,

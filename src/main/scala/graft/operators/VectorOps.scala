@@ -108,8 +108,19 @@ object VectorOps {
     * with more bands.
     */
   private[graft] def bucketed(spark: SparkSession, dir: String,
-      bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame = {
-    val q = quantized(spark, dir)
+      bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame =
+    bucketedFrom(quantized(spark, dir), bands, bitsPerBand)
+
+  /** Bucket keys over a caller-supplied quantized frame
+    * (vec_id, q, n2) — the corpus-independent entry the recall specs
+    * drive with synthetic clustered vectors.
+    */
+  private[graft] def bucketedOf(qIn: DataFrame,
+      bands: Int, bitsPerBand: Int): DataFrame =
+    bucketedFrom(graft.Scratch.cp(qIn), bands, bitsPerBand)
+
+  private def bucketedFrom(q: DataFrame,
+      bands: Int, bitsPerBand: Int): DataFrame = {
     val nPlanes = bands * bitsPerBand
     val withBits = (0 until nPlanes).foldLeft(q) { (d, j) =>
       d.withColumn(s"bit$j",
@@ -220,8 +231,18 @@ object VectorOps {
     * baseline's quality bound.
     */
   def annLshWith(spark: SparkSession, dir: String,
-      bands: Int, bitsPerBand: Int, k: Int = 3): DataFrame = {
-    val b = bucketed(spark, dir, bands, bitsPerBand)
+      bands: Int, bitsPerBand: Int, k: Int = 3): DataFrame =
+    lshTopkFrom(bucketed(spark, dir, bands, bitsPerBand), k)
+
+  /** ann_lsh over a caller-supplied quantized frame — used by the
+    * recall-floor spec to compare against brute force on a controlled
+    * corpus.
+    */
+  def annLshOf(qIn: DataFrame, bands: Int = Bands,
+      bitsPerBand: Int = BitsPerBand, k: Int = 3): DataFrame =
+    lshTopkFrom(bucketedOf(qIn, bands, bitsPerBand), k)
+
+  private def lshTopkFrom(b: DataFrame, k: Int): DataFrame = {
     val cands = b.as("a").join(b.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.bucket") === col("b.bucket") &&

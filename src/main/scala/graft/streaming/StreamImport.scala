@@ -1112,8 +1112,10 @@ object StreamImport {
     // partial sessions under moving keys). Append holds back sessions
     // younger than watermark − gap at stream end, so the driver-checked
     // run uses COMPLETE (+ keyed upsert = idempotent): every session is
-    // emitted, exact vs the batch oracle. Production tails use append
-    // with a closing grace period instead.
+    // emitted, exact vs the batch oracle. Production tails use APPEND
+    // with the watermark as the closing grace period — spec-pinned
+    // (StreamingSpec "APPEND mode"): each closed session emits exactly
+    // once, matches the batch sessionization, and its state evicts.
     runPipeline(spark, dir, events =>
       sessionizeStream(events)
         .withColumn("sess_key", concat(col("user_id"), lit("_"), col("session_start_ms")))

@@ -91,6 +91,19 @@ class ApproxOpsSpec extends SparkSpec {
     assert(ApproxOps.kmvIntersectEstimate(Seq.empty, sat) == 0.0)
     // both unsaturated = both complete: exact intersection
     assert(ApproxOps.kmvIntersectEstimate(Seq(1L, 2L), Seq(2L, 3L)) == 1.0)
+    // saturation is a SIZE fact, not a threshold-value fact: a
+    // saturated sketch whose max is 2^60 − 1 (which ROUNDS TO 2^60
+    // exactly as a double) must still take the sampling path — the
+    // old double-equality sentinel misrouted it to exact-intersection
+    val nearTop = ((1L to (ApproxOps.KmvK - 1).toLong).map(_ * 1000L) :+
+      ((1L << 60) - 1)) // size == k, max in the rounding neighborhood
+    val est = ApproxOps.kmvIntersectEstimate(nearTop, nearTop)
+    // sampling path: common = k−1 hashes strictly below θ = 2^60 − 1,
+    // scaled by 2^60/θ ≈ 1 → estimate ≈ k−1 from k common elements,
+    // NOT the exact |A∩B| = k the misrouted path returns
+    assert(est < ApproxOps.KmvK.toDouble,
+      s"near-2^60 saturated sketch took the exact-intersection path: $est")
+    assert(math.abs(est - (ApproxOps.KmvK - 1)) < 1e-6)
   }
 
   test("sketch_topk equals the naive exact heavy-hitter computation") {

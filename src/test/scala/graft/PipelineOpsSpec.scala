@@ -186,6 +186,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipe_decontam_asym: broadcast-eval plan produces the symmetric detector's exact rows") {
+    import graft.operators.TrainOps
+    // the UNSEALED frame keeps the plan (sealing checkpoints it away)
+    val (asym, scratch) = TrainOps.pipeDecontaminateAsymUnsealed(spark, sfDir)
+    val rows = asym.collect()
+    // plan shape: the eval side rides a broadcast — the train corpus
+    // never self-joins (captured AFTER the action so AQE's final plan
+    // is what's asserted)
+    val plan = asym.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval side is not broadcast:\n$plan")
+    graft.Scratch.seal(asym.limit(1), scratch).collect() // release the scratch frame
+    val sym = TrainOps.pipeDecontaminate(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length == sym.length,
+      s"asym=${rows.length} sym=${sym.length}")
+    rows.zip(sym).foreach { case (a, s) =>
+      assert(a.toSeq == s.toSeq, s"asym=${a.toSeq} sym=${s.toSeq}")
+    }
+  }
+
   test("graft_hash60 is bit-identical to the md5-hex/conv formulation") {
     graft.functions.GraftFunctions.register(spark)
     val mismatches = Tables.documents(spark, sfDir)
@@ -440,6 +460,43 @@ class PipelineOpsSpec extends SparkSpec {
     val lloyd3Recall = recall(topSets(VectorOps.annIvfOf(quantFrame(), clusters, 1, 3, lloydIters = 3)))
     assert(lloyd3Recall >= lloydRecall,
       s"extra Lloyd iterations degraded recall: 1-iter=$lloydRecall 3-iter=$lloyd3Recall")
+  }
+
+  test("ann_lsh recall@3 vs brute force clears a numeric floor on a clustered corpus") {
+    // the same regression guard ann_ivf carries (Lloyd spec): a
+    // numeric recall floor against the exact baseline, so a silent
+    // bucketing/plane-derivation change cannot degrade LSH quality
+    // without a spec failing. 64-dim corpus (the production plane
+    // width), 4 well-separated clusters + noise.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    val clusters = 4
+    val n = 160
+    def emb(id: Long): Array[Double] = {
+      val c = (id % clusters).toInt
+      Array.tabulate(dim) { d =>
+        val base = if (d / (dim / clusters) == c) 1.0 else 0.0
+        val noise = (((id * 1103515245L + d * 12345L) % 1000L) - 500L) / 500.0 * 0.3
+        base + noise
+      }
+    }
+    def quantFrame() = {
+      val df = (0L until n.toLong).map(i => (i, emb(i))).toDF("vec_id", "embedding")
+      df.withColumn("q", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+        .withColumn("n2", expr("long_dot(q, q)"))
+        .filter(col("n2") > 0)
+        .select("vec_id", "q", "n2")
+    }
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(VectorOps.annBruteforceFor(quantFrame(), quantFrame(), 3))
+    val lsh = topSets(VectorOps.annLshOf(quantFrame()))
+    val recall = exact.map { case (q, ex) =>
+      lsh.get(q).map(_.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }.sum / exact.size
+    assert(recall >= 0.90, s"ann_lsh recall@3 fell below the floor: $recall")
   }
 
   test("dedup_embed pairs all meet the cosine threshold and are canonical") {

@@ -250,6 +250,68 @@ class StreamingSpec extends SparkSpec {
       s"sessions diverge: stream=${latest.length} batch=${batch.length}")
   }
 
+  test("stream_sessionize APPEND mode: closed sessions emit once, match batch, state evicts") {
+    // the production path the scaladoc promises: append mode + the
+    // stream's 1 h watermark as the closing grace period. A session
+    // emits exactly ONCE, after the watermark passes its close — so
+    // the sink needs no retraction — and its row equals the batch
+    // sessionization. A far-future flush record stands in for the
+    // stream outliving the grace horizon.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+      .sortBy(r => (r.ts_ms, r.event_id)) // event-time order: sessions only extend
+    val flushUser = 999999999L
+    val flushTs = recs.map(_.ts_ms).max + 10L * 24 * 3600 * 1000
+    val stream = MemoryStream[Rec]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = StreamImport.sessionizeStream(stream.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sessapp_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted ++= b.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .start()
+    recs.grouped(math.max(recs.length / 5, 1)).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    // the flush advances the watermark past every real session's
+    // close + grace, releasing the append-mode holdback
+    stream.addData(mkRec(1L << 40, flushTs, flushUser, "click"))
+    q.processAllAvailable()
+    // one more empty-ish batch so the last watermark takes effect
+    stream.addData(mkRec((1L << 40) + 1, flushTs + 1000, flushUser, "click"))
+    q.processAllAvailable()
+    // closed-session state is evicted: only the flush user's open
+    // session may remain
+    val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    assert(stateRows <= 2, s"closed sessions were not evicted: $stateRows state rows")
+    q.stop()
+    val real = emitted.filter(_._1 != flushUser)
+    // append contract: each (user, session_start) emitted exactly once
+    assert(real.map(e => (e._1, e._2)).distinct.length == real.length,
+      "append mode re-emitted a session")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val batch = Tables.events(spark, sfDir)
+      .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ts_ms") - col("prev") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_ms").as("s"), max("ts_ms").as("e"),
+        count(lit(1)).cast("long").as("n"))
+      .select("user_id", "s", "e", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(real.nonEmpty)
+    assert(real.sorted.toSeq == batch.sorted.toSeq,
+      s"append sessions diverge: stream=${real.length} batch=${batch.length}")
+  }
+
   test("stream_dedup over micro-batches equals batch DISTINCT") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
