@@ -176,6 +176,27 @@ object JdbcUpsert {
     } finally batch.unpersist()
   }
 
+  /** Tenants that already have a routed table in the database —
+    * recovered from table-name metadata (the hex encoding of
+    * [[tableFor]] is injective, so the decode is exact). Lets a
+    * foreachBatch body read the sink's current rows without tracking
+    * tenant sets externally.
+    */
+  def tenantsOf(url: String, baseTable: String): Seq[String] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val prefix = (baseTable + "__").toUpperCase
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME")).toList
+      rs.close()
+      names.filter(_.toUpperCase.startsWith(prefix)).map { n =>
+        val hex = n.substring(prefix.length)
+        new String(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray, "UTF-8")
+      }
+    } finally conn.close()
+  }
+
   /** Read the sink's current contents back (all tenant tables
     * unioned) through Spark's JDBC source. Column names are
     * lowercased back from the database's identifier casing so the

@@ -286,6 +286,46 @@ object StreamImport {
       }.toDF()
   }
 
+  /** The JDBC arm of the bounded-fold sink contract: a foreachBatch
+    * body landing [[SinkRow]]s through [[JdbcUpsert]]'s per-tenant SQL
+    * MERGE. The incarnation merge runs in Spark against the sink's
+    * CURRENT rows — the read-modify-write the reference performs
+    * against MySQL on a cache miss — and the nested accumulators
+    * travel as JSON columns (the JSON/BLOB column a relational entity
+    * table carries for them). Keys absent from the batch are never
+    * touched (MERGE semantics), so only the modified entities pay.
+    */
+  def jdbcFoldUpsert[S <: Product : TypeTag, O <: Product : TypeTag](
+      url: String, baseTable: String, spec: EntityFold[S, O])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val schema = Encoders.product[SinkRow[O, S]].schema
+    def flat(df: DataFrame): DataFrame = df.select(
+      col("entity_key"), col("tenant"), col("inc_ts"), col("inc_id"),
+      to_json(col("rows")).as("rows_json"),
+      to_json(col("open")).as("open_json"),
+      to_json(col("closed")).as("closed_json"))
+    val tenants = JdbcUpsert.tenantsOf(url, baseTable)
+    val merged =
+      if (tenants.isEmpty) batch
+      else foldMerge(spec).apply(
+        jdbcFoldRead(spark, url, baseTable, schema, tenants), batch)
+    JdbcUpsert.upsert(url, baseTable, flat(merged), "entity_key")
+  }
+
+  /** Read a JDBC fold sink back in [[SinkRow]] shape (JSON state
+    * columns re-nested). Shared by [[jdbcFoldUpsert]]'s merge read and
+    * final consumers.
+    */
+  def jdbcFoldRead(spark: SparkSession, url: String, baseTable: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tenants: Seq[String]): DataFrame =
+    JdbcUpsert.readCurrent(spark, url, baseTable, tenants).select(
+      col("entity_key"), col("tenant"), col("inc_ts"), col("inc_id"),
+      from_json(col("rows_json"), schema("rows").dataType).as("rows"),
+      from_json(col("open_json"), schema("open").dataType).as("open"),
+      from_json(col("closed_json"), schema("closed").dataType).as("closed"))
+
   /** End-to-end bounded-fold runner: stream → bounded fold → merging
     * tenant-routed upsert sink → read back the rendered entity rows.
     */

@@ -822,6 +822,49 @@ class StreamingSpec extends SparkSpec {
     assert(jdbcRows().map(_.toSeq).toSeq == viaJdbc.map(_.toSeq).toSeq)
   }
 
+  test("sink_jdbc: bounded fold + incarnation merge through the Derby MERGE arm extends the sunk row") {
+    // the full production-sink composition: bounded fold → SinkRows →
+    // Spark-side read-modify-write against the DATABASE's current rows
+    // → per-tenant SQL MERGE, nested state as JSON columns. Same
+    // idle-gap scenario as the parquet-mirror spec: the post-eviction
+    // click must EXTEND the sunk COMPLETED row in Derby.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft_derbyf_").toString)
+    val url = "jdbc:derby:memory:graftjdbcfold;create=true"
+    val base = "TRANSFERS_FOLD"
+    val t0 = 1700000000000L
+    val stream = MemoryStream[Rec]
+    val q = StreamImport.transfersStream(stream.toDF()) // bounded default
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_jfoldchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamImport.jdbcFoldUpsert(url, base, StreamImport.transferFold)(b, id)
+      }
+      .start()
+    def feed(rs: Rec*): Unit = { stream.addData(rs.toIndexedSeq); q.processAllAvailable() }
+    feed(mkRec(1, t0, 1, "signup"), mkRec(2, t0 + 1000, 1, "purchase", value = 25.0))
+    val t1 = t0 + 3 * 3600 * 1000L
+    feed(mkRec(3, t1, 2, "signup"))
+    feed(mkRec(4, t1 + 1000, 2, "click"))
+    assert(q.lastProgress.stateOperators(0).numRowsTotal == 1,
+      "key 1 should be evicted before the straggler arrives")
+    feed(mkRec(5, t1 + 2000, 1, "click", value = 7.0))
+    q.stop()
+    val schema = org.apache.spark.sql.Encoders
+      .product[StreamImport.SinkRow[StreamImport.TransferRow, StreamImport.St]].schema
+    val got = StreamImport.jdbcFoldRead(spark, url, base, schema,
+      JdbcUpsert.tenantsOf(url, base))
+      .select(explode(col("rows")).as("r")).select("r.*")
+      .filter(col("transfer_key") === 1)
+      .select("started_ms", "completed_ms", "amount", "last_click_value", "status", "n_events")
+      .collect().map(_.toSeq).toSeq.flatten
+    assert(got == Seq(t0, t0 + 1000, "25.00", "7.00", "COMPLETED", 3L),
+      s"JDBC incarnation merge lost data: $got")
+  }
+
   test("src_out_of_order buffers records until the association arrives") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
