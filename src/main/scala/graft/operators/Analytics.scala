@@ -367,30 +367,37 @@ object Analytics {
     * `div` truncates toward zero while other engines' integer
     * division floors, which disagree exactly when a nation's balance
     * sum is negative (AnalyticsSpec pins that case with a synthesized
-    * corpus). The two correlated aggregates share one subquery plan
-    * (Catalyst's MergeScalarSubqueries).
+    * corpus). Both aggregates ride ONE struct-valued scalar subquery
+    * so the decorrelated plan builds a single per-nation aggregate +
+    * join — two separate subqueries planned two aggregates and a
+    * third scan.
     */
   def qCorrSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("customer_qcs")
     spark.sql(
-      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
-        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4
-        |FROM customer_qcs c
-        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) *
-        |  (SELECT COUNT(*) FROM customer_qcs c2 WHERE c2.c_nationkey = c.c_nationkey) >
-        |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT)
-        |   FROM customer_qcs c3 WHERE c3.c_nationkey = c.c_nationkey)
+      """SELECT c_custkey, nationkey, bal_e4 FROM (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4,
+        |    (SELECT named_struct(
+        |       's', CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT),
+        |       'c', COUNT(*))
+        |     FROM customer_qcs c2 WHERE c2.c_nationkey = c.c_nationkey) AS agg
+        |  FROM customer_qcs c) t
+        |WHERE bal_e4 * agg.c > agg.s
         |ORDER BY c_custkey""".stripMargin)
+      .select("c_custkey", "nationkey", "bal_e4")
   }
 
   def qCorrSubquerySql: String =
-    """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
-      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4
-      |FROM customer c
-      |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) *
-      |  (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) >
-      |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT)
-      |   FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+    """SELECT c_custkey, nationkey, bal_e4 FROM (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 10000 AS BIGINT) AS bal_e4,
+      |    (SELECT struct_pack(
+      |       s := CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 10000 AS BIGINT),
+      |       c := COUNT(*))
+      |     FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) AS agg
+      |  FROM customer c) t
+      |WHERE bal_e4 * agg.c > agg.s
       |ORDER BY c_custkey""".stripMargin
 
   /** LATERAL correlated subquery: each nation's top-balance customer —
