@@ -1113,6 +1113,59 @@ object StreamImport {
       .select("event_type", "bucket", "max_rho")
       .orderBy("event_type", "bucket")
 
+  /** Streaming KMV (bottom-k) distinct sketch in CONSTANT state — the
+    * theta-sketch companion to [[hllStream]]: per group the state is
+    * exactly the k smallest distinct hashes (≤ k longs, forever), so
+    * intersections/differences stay answerable over an infinite
+    * stream. Bottom-k is a monoid (bottom-k of a union = bottom-k of
+    * merged bottom-ks — the property [[graft.operators.ApproxOps
+    * .kmvMerge]]'s spec pins), so arrival order and micro-batch splits
+    * are invisible; each batch re-emits the group's full sketch under
+    * stable (group, rnk) keys, so a displaced rank upserts away.
+    * Answers the batch sketch_kmv's SAME oracle.
+    */
+  case class KmvSt(hs: Seq[Long])
+
+  def kmvStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val k = graft.operators.ApproxOps.KmvK
+    events.selectExpr("event_type", "graft_hash60(cast(user_id as string)) as h")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[KmvSt]) =>
+          // capped distinct insert — the same per-partition pattern the
+          // batch sketch uses; state stays ≤ k entries at every step
+          val set = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.hs.foreach(set.add(_)))
+          rows.foreach { case (_, h) =>
+            set.add(h)
+            if (set.size > k) set.pollLast()
+          }
+          val merged = {
+            val b = Seq.newBuilder[Long]
+            val it = set.iterator()
+            while (it.hasNext) b += it.next()
+            b.result()
+          }
+          state.update(KmvSt(merged))
+          merged.iterator.zipWithIndex.map { case (h, i) => (key, (i + 1).toLong, h) }
+      }.toDF("event_type", "rnk", "h")
+  }
+
+  /** Driver-checked streaming bottom-k sketch — oracle = the batch
+    * sketch_kmv SQL.
+    */
+  def runKmvToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events =>
+      kmvStream(events)
+        .withColumn("kkey", concat(col("event_type"), lit("_"), col("rnk")))
+        .withColumn("tenant", col("event_type")),
+      "kkey")
+      .select("event_type", "rnk", "h")
+      .orderBy("event_type", "rnk")
+
   // ------------------------------------------------- Session windows
 
   /** Native `session_window` sessionization — the streaming
@@ -1309,6 +1362,7 @@ object StreamImport {
     "stream_window" -> (runWindowToCompletion _),
     "stream_join" -> (runJoinToCompletion _),
     "stream_hll" -> (runHllToCompletion _),
+    "stream_kmv" -> (runKmvToCompletion _),
     "stream_topn" -> (runTopnToCompletion _),
     "stream_sessionize" -> (runSessionizeToCompletion _))
 
@@ -1333,6 +1387,7 @@ object StreamImport {
         | AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts) AND epoch_ms(c.ts) + 3600000
         |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_hll" -> graft.operators.ApproxOps.sketchHllSql,
+    "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,
     "stream_topn" -> graft.operators.Analytics.qWindowTopNSql,
     "stream_sessionize" ->
       """WITH g AS (

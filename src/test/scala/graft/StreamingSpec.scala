@@ -630,6 +630,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length <= types * graft.operators.ApproxOps.HllBuckets)
   }
 
+  test("stream_kmv: bottom-k sketch maintained across adversarial micro-batches equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    // adversarial order: the bottom-k monoid must be arrival-insensitive
+    val shuffled = new scala.util.Random(23).shuffle(recs.toVector)
+    val stream = MemoryStream[Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_kmv_").toString + "/t"
+    val q = StreamImport.kmvStream(stream.toDF())
+      .withColumn("kkey", concat(col("event_type"), lit("_"), col("rnk")))
+      .withColumn("tenant", col("event_type"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_kmvchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "kkey")
+      }
+      .start()
+    shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    // CONSTANT state: ≤ one row (a ≤k-entry sketch) per group
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(q.lastProgress.stateOperators(0).numRowsTotal <= types,
+      "kmv state must be one bounded sketch row per group")
+    q.stop()
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("event_type", "rnk", "h")
+      .orderBy("event_type", "rnk").collect()
+    val batch = graft.operators.ApproxOps.sketchKmv(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_window over micro-batches equals the batch hour buckets") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
