@@ -469,6 +469,49 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("merging sink: replaying a micro-batch is a no-op (crash idempotence of the incarnation merge)") {
+    // foreachBatch bodies re-run after a crash; the merge's
+    // closed-absorption must key on incarnation IDENTITY so a replay
+    // re-derives the identical row instead of double-counting
+    import spark.implicits._
+    import StreamImport.{SinkRow, St, TransferRow}
+    val spec = StreamImport.transferFold
+    val merge = StreamImport.foldMerge(spec)
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString + "/t"
+    val t0 = 1700000000000L
+    def sinkRow(incTs: Long, incId: Long, recs: Seq[Rec]): SinkRow[TransferRow, St] = {
+      val st = recs.foldLeft(spec.empty)(spec.step)
+      SinkRow(1L, "t1", spec.render(1L, st), incTs, incId, st, spec.empty)
+    }
+    def current(): Seq[Seq[Any]] = TenantUpsertSink.readCurrent(spark, dir).get
+      .select(explode(col("rows")).as("r")).select("r.*")
+      .select("started_ms", "completed_ms", "amount", "last_click_value", "status", "n_events")
+      .collect().map(_.toSeq).toSeq
+    // incarnation A: signup + purchase (COMPLETED, n=2)
+    val a = Seq(sinkRow(t0, 1L,
+      Seq(mkRec(1, t0, 1, "signup"), mkRec(2, t0 + 1000, 1, "purchase", value = 25.0)))).toDF()
+    TenantUpsertSink.upsert(dir, a, "entity_key", Some(merge))
+    val afterA = current()
+    TenantUpsertSink.upsert(dir, a, "entity_key", Some(merge)) // replay A
+    assert(current() == afterA, "replaying incarnation A changed the sunk row")
+    // incarnation B (post-eviction restart): one click
+    val b = Seq(sinkRow(t0 + 7200000, 5L,
+      Seq(mkRec(5, t0 + 7200000, 1, "click", value = 7.0)))).toDF()
+    TenantUpsertSink.upsert(dir, b, "entity_key", Some(merge))
+    val merged = current()
+    assert(merged == Seq(Seq(t0, t0 + 1000, "25.00", "7.00", "COMPLETED", 3L)),
+      s"merge across incarnations wrong: $merged")
+    TenantUpsertSink.upsert(dir, b, "entity_key", Some(merge)) // replay B
+    assert(current() == merged, "replaying incarnation B double-counted the closed state")
+    // and a cumulative continuation of B (state grew) replaces open,
+    // keeps closed — still exact
+    val b2 = Seq(sinkRow(t0 + 7200000, 5L,
+      Seq(mkRec(5, t0 + 7200000, 1, "click", value = 7.0),
+        mkRec(6, t0 + 7201000, 1, "click", value = 9.0)))).toDF()
+    TenantUpsertSink.upsert(dir, b2, "entity_key", Some(merge))
+    assert(current() == Seq(Seq(t0, t0 + 1000, "25.00", "9.00", "COMPLETED", 4L)))
+  }
+
   test("bounded folds with a tiny horizon: eviction + incarnation merge stay EXACT vs the batch entity") {
     // in-order arrival, watermark delay 0, horizon 60 s: most keys
     // evict and restart several times across the corpus. The final
