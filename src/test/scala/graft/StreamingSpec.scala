@@ -568,6 +568,26 @@ class StreamingSpec extends SparkSpec {
     topStreamed.zip(topBatch).foreach { case (s, b) =>
       assert(s.toSeq == b.toSeq, s"stream=${s.toSeq} batch=${b.toSeq}")
     }
+    // wide: the deepest state (nested mark structs) — this drives the
+    // SinkRow[WideRow, WideSt] encoder through the parquet roundtrip
+    // AND the joinWith merge across incarnations
+    val wideCols = Seq("transfer_key", "payer_party_id", "payer_id_type",
+      "payee_party_id", "payee_id_type", "amount", "currency",
+      "transaction_id", "payer_dfsp_id", "payee_dfsp_id",
+      "completed_ms", "transfer_state",
+      "payer_fee", "payer_fee_currency", "payer_quote_code",
+      "payee_fee", "payee_fee_currency", "payee_quote_code",
+      "error_information", "status")
+    val wideStreamed = run(
+      df => StreamImport.wideStream(df, bounded = true, watermark = "0 seconds", horizonMs = 60000L),
+      StreamImport.foldMerge(StreamImport.wideFold))
+      .select(wideCols.map(col): _*).orderBy("transfer_key").collect()
+    val wideBatch = ImporterCore.impEntityWide(spark, sfDir)
+      .select(wideCols.map(col): _*).collect()
+    assert(wideStreamed.length == wideBatch.length && wideStreamed.nonEmpty)
+    wideStreamed.zip(wideBatch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"key ${s.get(0)}: stream=${s.toSeq} batch=${b.toSeq}")
+    }
   }
 
   test("bounded keyed folds: txnreq/batches/wide/topn evict watermark-passed keys too") {
