@@ -258,6 +258,61 @@ object ApproxOps {
   def kmvMerge(sketches: Seq[Seq[Long]], k: Int = KmvK): Seq[Long] =
     sketches.flatten.distinct.sorted.take(k)
 
+  /** Theta-style SET OPERATIONS answered entirely from the bottom-k
+    * sketches — the query family (distinct intersections across
+    * groups) that register sketches cannot serve and exact
+    * COUNT(DISTINCT) would answer with a full shuffle of both key
+    * sets. Per event-type pair: the shared threshold θ (an
+    * unsaturated sketch sampled its whole set, so its θ is the full
+    * 2^60 space — by SIZE, never by value, see
+    * [[kmvIntersectEstimate]]) and the count of common hashes below
+    * θ. Both are DETERMINISTIC integers, so the query carries a full
+    * DuckDB oracle; the float estimate (n_common · 2^60 / θ) stays
+    * driver-side. One size-k formula covers every saturation mix:
+    * with both sketches complete, θ = 2^60 exceeds every hash and
+    * n_common is the EXACT intersection.
+    *
+    * Scale posture: all pair arithmetic runs over the k-row sketches
+    * (groups × k rows total), never the raw corpus — the sketch IS
+    * the shuffle bound.
+    */
+  def sketchSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val full = 1L << 60
+    val agg = sketchKmv(spark, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list("h")).as("hs"))
+    val a = agg.select(col("event_type").as("type_a"), col("hs").as("ha"))
+    val b = agg.select(col("event_type").as("type_b"), col("hs").as("hb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("theta",
+        least(
+          when(size(col("ha")) < KmvK, full).otherwise(element_at(col("ha"), -1)),
+          when(size(col("hb")) < KmvK, full).otherwise(element_at(col("hb"), -1))))
+      .withColumn("n_common",
+        expr("CAST(size(filter(array_intersect(ha, hb), x -> x < theta)) AS BIGINT)"))
+      .select(col("type_a"), col("type_b"), col("theta"), col("n_common"))
+      .orderBy("type_a", "type_b")
+  }
+
+  def sketchSetOpsSql: String = {
+    val h = graft.functions.Portable.hash60Duck("CAST(user_id AS VARCHAR)")
+    val full = 1L << 60
+    s"""WITH d AS (SELECT DISTINCT event_type, $h AS h FROM events),
+       |r AS (SELECT event_type, h,
+       |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+       |      FROM d),
+       |s AS (SELECT event_type, list(h ORDER BY h) AS hs
+       |      FROM r WHERE rnk <= $KmvK GROUP BY event_type),
+       |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |        a.hs AS ha, b.hs AS hb,
+       |        LEAST(CASE WHEN len(a.hs) < $KmvK THEN $full ELSE a.hs[-1] END,
+       |              CASE WHEN len(b.hs) < $KmvK THEN $full ELSE b.hs[-1] END) AS theta
+       |      FROM s a JOIN s b ON a.event_type < b.event_type)
+       |SELECT type_a, type_b, theta,
+       |  CAST(len(list_filter(list_intersect(ha, hb), x -> x < theta)) AS BIGINT) AS n_common
+       |FROM p ORDER BY type_a, type_b""".stripMargin
+  }
+
   /** KMV estimator: with k-th smallest hash h_k over a space of 2^60,
     * distinct ≈ (k−1) · 2^60 / h_k. A sketch smaller than k saw every
     * distinct value — return the exact size. Driver-side float math,
@@ -335,12 +390,14 @@ object ApproxOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (sketchHll _),
     "sketch_kmv" -> (sketchKmv _),
+    "sketch_set_ops" -> (sketchSetOps _),
     "sketch_topk" -> (sketchTopk _),
     "sketch_quantile" -> (sketchQuantile _))
 
   def oracles: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
     "sketch_kmv" -> sketchKmvSql,
+    "sketch_set_ops" -> sketchSetOpsSql,
     "sketch_topk" -> sketchTopkSql,
     // the histogram form must reproduce the positional form exactly
     "sketch_quantile" -> Analytics.qPercentilesSql)

@@ -106,6 +106,40 @@ class ApproxOpsSpec extends SparkSpec {
     assert(math.abs(est - (ApproxOps.KmvK - 1)) < 1e-6)
   }
 
+  test("sketch_set_ops: pair estimates track exact distinct intersections within KMV bounds") {
+    import org.apache.spark.sql.functions._
+    val rows = ApproxOps.sketchSetOps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // exact distinct-user intersections per type pair (the answer the
+    // sketch approximates)
+    val users = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val full = math.pow(2.0, 60)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val theta = r.getAs[Long]("theta").toDouble
+      val est = r.getAs[Long]("n_common") * full / theta
+      val exact = users(ta).intersect(users(tb)).size.toDouble
+      // KMV CI is wide at k=32; a generous multiple of the union-size
+      // bound still catches a broken θ or intersection rule
+      val bound = math.max(4.0 / math.sqrt(ApproxOps.KmvK) * math.max(exact, 1.0), 20.0)
+      assert(math.abs(est - exact) <= bound,
+        s"($ta,$tb): estimate $est vs exact $exact beyond $bound")
+    }
+    // and the frame's integers agree with the driver-side estimator on
+    // the same sketches (one semantics, two surfaces)
+    val sketches = ApproxOps.sketchKmv(spark, sfDir).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("h")).toSeq).toMap
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val est = r.getAs[Long]("n_common") * full / r.getAs[Long]("theta").toDouble
+      val driver = ApproxOps.kmvIntersectEstimate(sketches(ta), sketches(tb))
+      assert(math.abs(est - driver) < 1e-6,
+        s"($ta,$tb): frame estimate $est != driver estimate $driver")
+    }
+  }
+
   test("sketch_topk equals the naive exact heavy-hitter computation") {
     import org.apache.spark.sql.functions._
     val sketched = ApproxOps.sketchTopk(spark, sfDir).collect()
