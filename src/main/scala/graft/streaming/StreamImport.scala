@@ -305,12 +305,30 @@ object StreamImport {
       to_json(col("rows")).as("rows_json"),
       to_json(col("open")).as("open_json"),
       to_json(col("closed")).as("closed_json"))
-    val tenants = JdbcUpsert.tenantsOf(url, baseTable)
-    val merged =
-      if (tenants.isEmpty) batch
-      else foldMerge(spec).apply(
-        jdbcFoldRead(spark, url, baseTable, schema, tenants), batch)
-    JdbcUpsert.upsert(url, baseTable, flat(merged), "entity_key")
+    // a foreachBatch frame re-runs its (stateful) plan per action —
+    // cache it so the key collection and the merge join reuse one
+    // evaluation
+    batch.persist()
+    try {
+      val tenants = JdbcUpsert.tenantsOf(url, baseTable)
+      val merged =
+        if (tenants.isEmpty) batch
+        else {
+          // read-modify-write reads ONLY the batch's keys: the IN
+          // filter pushes down to the database (Spark JDBC In-filter
+          // pushdown), so per-batch read cost is O(batch keys), not
+          // O(table) — the same selectivity the reference's
+          // findByWorkflowInstanceKey point-reads have. The key list
+          // is driver-collected; a micro-batch's touched-key set is
+          // trigger-bounded, like the sink's tenant enumeration.
+          val keys = batch.select("entity_key").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val current = jdbcFoldRead(spark, url, baseTable, schema, tenants)
+            .where(col("entity_key").isin(keys: _*))
+          foldMerge(spec).apply(current, batch)
+        }
+      JdbcUpsert.upsert(url, baseTable, flat(merged), "entity_key")
+    } finally batch.unpersist()
   }
 
   /** Read a JDBC fold sink back in [[SinkRow]] shape (JSON state
