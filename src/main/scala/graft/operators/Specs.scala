@@ -30,9 +30,12 @@ object Specs {
 
   // --- driver-checked query instances over the transfers entity ---
 
-  // 2024-01-08 / 2024-01-22 UTC, inside the corpus' Jan 2024 span.
+  // 2024-01-08 / 2024-01-22 UTC, inside the corpus' Jan 2024 span;
+  // T2 = 2024-02-01, past most completions (the earlier() bound must
+  // filter without zeroing the result).
   private val T0 = 1704672000000L
   private val T1 = 1705881600000L
+  private val T2 = 1706745600000L
 
   /** `between(startedAt, from, to)` over materialized transfers. */
   def qSpecsBetween(spark: SparkSession, dir: String): DataFrame =
@@ -48,11 +51,16 @@ object Specs {
        |WHERE started_ms >= $T0 AND started_ms <= $T1
        |ORDER BY transfer_key""".stripMargin
 
-  /** `match(status) AND later(completedAt)` over transfers. */
+  /** `match(status) AND later(completedAt) AND earlier(completedAt)`
+    * over transfers — all four reference builders (between / later /
+    * earlier / match, TransferSpecs.java) gate-covered between this
+    * and qSpecsBetween.
+    */
   def qSpecsMatch(spark: SparkSession, dir: String): DataFrame =
     query(ImporterCore.transfers(spark, dir),
       matchEq("status", lit("COMPLETED")),
-      later("completed_ms", lit(T0)))
+      later("completed_ms", lit(T0)),
+      earlier("completed_ms", lit(T2)))
       .select("transfer_key", "tenant", "completed_ms", "amount", "status")
       .orderBy("transfer_key")
 
@@ -60,7 +68,7 @@ object Specs {
     s"""WITH t AS (
        |${ImporterCore.transfersSqlCte})
        |SELECT transfer_key, tenant, completed_ms, amount, status FROM t
-       |WHERE status = 'COMPLETED' AND completed_ms >= $T0
+       |WHERE status = 'COMPLETED' AND completed_ms >= $T0 AND completed_ms <= $T2
        |ORDER BY transfer_key""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

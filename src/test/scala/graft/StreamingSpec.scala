@@ -175,6 +175,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("BOUNDED stream_import recovers from its checkpoint across a restart (IncSt state + merging sink)") {
+    // the production restart path for the bounded default: run 1
+    // processes half the corpus and stops; run 2 is a NEW query on the
+    // SAME checkpoint that must recover the IncSt (incarnation-marked)
+    // fold state from RocksDB-compatible snapshots, skip committed
+    // files, and land the union through the MERGING sink — final table
+    // == the batch entity over the full corpus.
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+      .sortBy(r => (r.ts_ms, r.event_id)) // in-order: nothing late
+    val (first, second) = recs.splitAt(recs.length / 2)
+    val work = java.nio.file.Files.createTempDirectory("graft_brestart_").toString
+    val inDir = s"$work/in"
+    val chkDir = s"$work/chk"
+    val sinkDir = s"$work/sink"
+    val merge = StreamImport.foldMerge(StreamImport.transferFold)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.createDataset(recs.toIndexedSeq).toDF().schema)
+        .parquet(inDir)
+      val q = StreamImport.transfersStream(stream) // bounded DEFAULT
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", chkDir)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.createDataset(first.toIndexedSeq).toDF()
+      .write.mode("overwrite").parquet(inDir)
+    runOnce() // run 1: half the corpus, then the query STOPS
+    spark.createDataset(second.toIndexedSeq).toDF()
+      .write.mode("append").parquet(inDir)
+    runOnce() // run 2: fresh query, same checkpoint — resumes, not reprocesses
+    val cols = Seq("transfer_key", "tenant", "started_ms", "completed_ms",
+      "amount", "last_click_value", "status", "n_events")
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select(explode(col("rows")).as("r")).select("r.*")
+      .select(cols.map(col): _*).orderBy("transfer_key").collect()
+    val batch = ImporterCore.impEntityTransfers(spark, sfDir)
+      .select(cols.map(col): _*).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq,
+        s"key ${s.get(0)}: restarted-bounded-stream=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_join: cross-batch matches surface from buffered state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
