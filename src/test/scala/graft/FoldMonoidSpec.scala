@@ -29,10 +29,21 @@ class FoldMonoidSpec extends AnyFunSuite {
         val cut = rnd.nextInt(recs.length + 1)
         val (xs, ys) = recs.splitAt(cut)
         val whole = recs.foldLeft(f.empty)(f.step)
-        val merged = f.merge(xs.foldLeft(f.empty)(f.step), ys.foldLeft(f.empty)(f.step))
+        val sx = xs.foldLeft(f.empty)(f.step)
+        val sy = ys.foldLeft(f.empty)(f.step)
+        val merged = f.merge(sx, sy)
         assert(merged == whole, s"trial $trial split $cut: $merged != $whole")
+        assert(f.merge(sy, sx) == whole, s"trial $trial: merge is not commutative")
         assert(f.merge(f.empty, whole) == whole && f.merge(whole, f.empty) == whole,
           s"trial $trial: empty is not a unit")
+        // associativity over a 3-way split (the shape repeated
+        // evictions produce: closed ⊕ closed ⊕ open)
+        val cut2 = cut + rnd.nextInt(recs.length - cut + 1)
+        val (ys1, ys2) = recs.drop(cut).splitAt(cut2 - cut)
+        val s1 = ys1.foldLeft(f.empty)(f.step)
+        val s2 = ys2.foldLeft(f.empty)(f.step)
+        assert(f.merge(f.merge(sx, s1), s2) == f.merge(sx, f.merge(s1, s2)),
+          s"trial $trial: merge is not associative")
         assert(f.render(7L, merged) == f.render(7L, whole))
       }
     }
