@@ -4,9 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local SparkSession for specs; sf0.001 keeps tests fast. */
+/** Shared local SparkSession for specs; sf0.001 keeps tests fast.
+  * SPARK_GRAFT_SPEC_SF overrides the corpus for one-off scale runs
+  * of individual suites (e.g. the eviction-exactness specs at
+  * sf0.01) — the default stays the fast corpus.
+  */
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  val sfDir = "/root/testdata/sf0.001"
+  val sfDir = sys.env.getOrElse("SPARK_GRAFT_SPEC_SF", "/root/testdata/sf0.001")
 
   lazy val spark: SparkSession = SparkSpec.session
 
