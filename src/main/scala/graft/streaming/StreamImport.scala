@@ -132,8 +132,8 @@ object StreamImport {
     *   - `step` folds one record into the accumulator;
     *   - `merge` combines two accumulators folded from DISJOINT record
     *     sets, with `empty` as its unit — `merge(fold(xs), fold(ys)) ==
-    *     fold(xs ++ ys)` for any split (property-pinned per entity in
-    *     StreamingSpec);
+    *     fold(xs ++ ys)` for any split, commutative and associative
+    *     (property-pinned per entity in FoldMonoidSpec);
     *   - `render` materializes the entity row(s) for a key.
     *
     * The merge is what lets bounded state stay EXACT: an evicted key's
