@@ -158,11 +158,13 @@ object StreamImport {
   /** One sink-contract row per key per micro-batch from a bounded
     * fold: the rendered entity row(s), the open incarnation's
     * accumulator + birth mark, and the `closed` accumulator of every
-    * PRIOR incarnation (always `empty` on emission; maintained by the
-    * sink's [[foldMerge]] so `rows` always renders closed ⊕ open).
+    * PRIOR incarnation. `closed` is None on emission AND stays None
+    * until an eviction actually happens (maintained by the sink's
+    * [[foldMerge]], which renders `rows` from closed ⊕ open) — so the
+    * no-eviction common case never serializes a second accumulator.
     */
   case class SinkRow[O, S](entity_key: Long, tenant: String, rows: Seq[O],
-    inc_ts: Long, inc_id: Long, open: S, closed: S)
+    inc_ts: Long, inc_id: Long, open: S, closed: Option[S])
 
   /** Unbounded (NoTimeout) keyed fold — exact replay under ARBITRARY
     * disorder, used by the adversarial-order specs; state is O(keys
@@ -212,7 +214,7 @@ object StreamImport {
         val maxTs = live.iterator.map(_.ts_ms).max
         state.setTimeoutTimestamp(math.max(maxTs, wm) + horizonMs)
         Iterator.single(SinkRow(key, spec.tenant(key),
-          spec.render(key, st), incTs, incId, st, spec.empty))
+          spec.render(key, st), incTs, incId, st, None))
       }
     }
   }
@@ -276,11 +278,11 @@ object StreamImport {
     val nw = batch.selectExpr(cols: _*).as[SinkRow[O, S]]
     nw.joinWith(cur, nw("entity_key") === cur("entity_key"), "left_outer")
       .map { case (n, o) =>
-        val closed =
-          if (o == null) spec.empty
+        val closed: Option[S] =
+          if (o == null) None
           else if (o.inc_ts == n.inc_ts && o.inc_id == n.inc_id) o.closed
-          else spec.merge(o.closed, o.open)
-        val total = spec.merge(closed, n.open)
+          else Some(spec.merge(o.closed.getOrElse(spec.empty), o.open))
+        val total = closed.map(spec.merge(_, n.open)).getOrElse(n.open)
         SinkRow(n.entity_key, n.tenant, spec.render(n.entity_key, total),
           n.inc_ts, n.inc_id, n.open, closed)
       }.toDF()

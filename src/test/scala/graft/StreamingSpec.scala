@@ -531,7 +531,7 @@ class StreamingSpec extends SparkSpec {
     val t0 = 1700000000000L
     def sinkRow(incTs: Long, incId: Long, recs: Seq[Rec]): SinkRow[TransferRow, St] = {
       val st = recs.foldLeft(spec.empty)(spec.step)
-      SinkRow(1L, "t1", spec.render(1L, st), incTs, incId, st, spec.empty)
+      SinkRow(1L, "t1", spec.render(1L, st), incTs, incId, st, None)
     }
     def current(): Seq[Seq[Any]] = TenantUpsertSink.readCurrent(spark, dir).get
       .select(explode(col("rows")).as("r")).select("r.*")
