@@ -206,7 +206,15 @@ object ApproxOps {
     * (bottom-k of unions = bottom-k of concatenated bottom-ks,
     * spec-pinned), so the merged result is EXACTLY the global sketch.
     */
-  def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame =
+    kmvSketch(spark, dir).orderBy("event_type", "rnk")
+
+  /** The UNSORTED sketch — consumed by [[sketchSetOps]] (whose
+    * groupBy would otherwise sit on top of the gate projection's
+    * needless range exchange) and sorted by [[sketchKmv]] for the
+    * oracle gate.
+    */
+  private def kmvSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val hashed = Tables.events(spark, dir)
@@ -234,7 +242,6 @@ object ApproxOps {
     candidates.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= KmvK)
       .select(col("event_type"), col("rnk"), col("h"))
-      .orderBy("event_type", "rnk")
   }
 
   /** The oracle is the NAIVE exact bottom-k over the distinct hash
@@ -278,7 +285,7 @@ object ApproxOps {
     */
   def sketchSetOps(spark: SparkSession, dir: String): DataFrame = {
     val full = 1L << 60
-    val agg = sketchKmv(spark, dir)
+    val agg = kmvSketch(spark, dir)
       .groupBy("event_type")
       .agg(sort_array(collect_list("h")).as("hs"))
     val a = agg.select(col("event_type").as("type_a"), col("hs").as("ha"))
