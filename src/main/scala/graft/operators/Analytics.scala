@@ -283,6 +283,41 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q13 shape: customer order-count DISTRIBUTION — the outer
+    * join + double aggregation that stresses what Q4's semi join
+    * doesn't: customers with NO orders must survive with c_count = 0,
+    * so the exclusion filter rides the JOIN CONDITION (a WHERE after a
+    * left-outer join would silently delete the zero-order customers —
+    * the classic Q13 trap). Scale posture: both sides shuffle once on
+    * the customer key; the per-customer count reuses that exchange's
+    * partitioning; the second aggregation runs over the tiny c_count
+    * histogram domain. `count(o_orderkey)` skips the nulls the outer
+    * join produces, which IS the zero-orders encoding.
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    c.join(o,
+      col("c_custkey") === col("o_custkey") &&
+        col("o_orderpriority") =!= "1-URGENT",
+      "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).cast(LongType).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  def q13CustdistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** Pivot (long → wide): per-user spend by event type. The pivot
     * value list is EXPLICIT — the closed event-type vocabulary — so no
     * distinct-values job runs on the driver and the output schema is
@@ -758,6 +793,7 @@ object Analytics {
     "q9_profit" -> (q9Profit _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q4_priority" -> (q4Priority _),
+    "q13_custdist" -> (q13Custdist _),
     "q_pivot" -> (qPivot _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_corr_subquery" -> (qCorrSubquery _),
@@ -784,6 +820,7 @@ object Analytics {
     "q9_profit" -> q9ProfitSql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "q4_priority" -> q4PrioritySql,
+    "q13_custdist" -> q13CustdistSql,
     "q_pivot" -> qPivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_corr_subquery" -> qCorrSubquerySql,

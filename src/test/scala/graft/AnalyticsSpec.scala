@@ -197,6 +197,31 @@ class AnalyticsSpec extends SparkSpec {
       s"floor semantics violated on a negative-sum nation: got ${got.take(5)}…(${got.length} rows)")
   }
 
+  test("q13_custdist: distribution is mass-conserving and keeps zero-order customers") {
+    val rows = Analytics.q13Custdist(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nCustomers = Tables.customer(spark, sfDir).count()
+    val nOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    // every customer lands in exactly one bucket
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCustomers)
+    // total counted orders are conserved through both aggregations
+    assert(rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum == nOrders)
+    // the join-condition filter (vs WHERE) is what keeps the zero
+    // bucket: customers without a matching non-urgent order
+    val zeroBucket = rows.find(_.getAs[Long]("c_count") == 0L).map(_.getAs[Long]("custdist"))
+    val expectedZero = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(zeroBucket.getOrElse(0L) == expectedZero,
+      s"zero-order bucket ${zeroBucket} != anti-join count $expectedZero")
+  }
+
   test("q_set_ops: set semantics (distinct, no bag counting), matches manual joins") {
     val rows = Analytics.qSetOps(spark, sfDir).collect().map(_.getLong(0))
     assert(rows.nonEmpty, "empty set-op result — vacuous")
