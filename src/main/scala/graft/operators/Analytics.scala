@@ -318,6 +318,35 @@ object Analytics {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q11 shape: groups whose share of a GLOBAL total clears a
+    * threshold — HAVING against an uncorrelated scalar subquery over
+    * the same table. Unlike the correlated form (q_corr_subquery),
+    * this plans as ONE extra tiny aggregation whose single-row result
+    * is inlined into the filter: no join, no per-group re-scan — the
+    * shape that survives any scale because the subquery's cost is one
+    * more pass of the same map-side-combined aggregate. Share compared
+    * in fixed-point cross-multiplication (spend×1000 > total), no
+    * division or floats.
+    */
+  def q11Share(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q11")
+    spark.sql(
+      """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS spend_e2
+        |FROM orders_q11
+        |GROUP BY o_custkey
+        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) * 1000 >
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) FROM orders_q11)
+        |ORDER BY spend_e2 DESC, o_custkey""".stripMargin)
+  }
+
+  def q11ShareSql: String =
+    """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS spend_e2
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) * 1000 >
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) FROM orders)
+      |ORDER BY spend_e2 DESC, o_custkey""".stripMargin
+
   /** Pivot (long → wide): per-user spend by event type. The pivot
     * value list is EXPLICIT — the closed event-type vocabulary — so no
     * distinct-values job runs on the driver and the output schema is
@@ -794,6 +823,7 @@ object Analytics {
     "q18_large_orders" -> (q18LargeOrders _),
     "q4_priority" -> (q4Priority _),
     "q13_custdist" -> (q13Custdist _),
+    "q11_share" -> (q11Share _),
     "q_pivot" -> (qPivot _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_corr_subquery" -> (qCorrSubquery _),
@@ -821,6 +851,7 @@ object Analytics {
     "q18_large_orders" -> q18LargeOrdersSql,
     "q4_priority" -> q4PrioritySql,
     "q13_custdist" -> q13CustdistSql,
+    "q11_share" -> q11ShareSql,
     "q_pivot" -> qPivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_corr_subquery" -> qCorrSubquerySql,
