@@ -1015,6 +1015,58 @@ class StreamingSpec extends SparkSpec {
       s"JDBC incarnation merge lost data: $got")
   }
 
+  test("sink_jdbc: the WIDE entity's nested state survives the JSON roundtrip + incarnation merge") {
+    // the deepest state shape (per-column mark structs) through
+    // to_json → Derby VARCHAR → from_json → typed merge: a field-name
+    // or nullability mismatch anywhere in the WideSt encoding would
+    // surface here. Same idle-gap scenario: a post-eviction scalar
+    // write must extend the sunk row's OTHER columns.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft_derbyw_").toString)
+    val url = "jdbc:derby:memory:graftjdbcwide;create=true"
+    val base = "WIDE_FOLD"
+    val t0 = 1700000000000L
+    val stream = MemoryStream[Rec]
+    val q = StreamImport.wideStream(stream.toDF()) // bounded default
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_jwidechk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamImport.jdbcFoldUpsert(url, base, StreamImport.wideFold)(b, id)
+      }
+      .start()
+    def feed(rs: Rec*): Unit = { stream.addData(rs.toIndexedSeq); q.processAllAvailable() }
+    // incarnation A: channelRequest (party+currency) + CREATE (state+completed)
+    feed(mkRec(1, t0, 1, "signup", value = 12.5, k = 10),
+      mkRec(2, t0 + 1000, 1, "purchase", k = 10))
+    // watermark advances via key 2; key 1 evicts
+    val t1 = t0 + 3 * 3600 * 1000L
+    feed(mkRec(3, t1, 2, "signup", k = 10))
+    feed(mkRec(4, t1 + 1000, 2, "view", k = 10))
+    assert(q.lastProgress.stateOperators(0).numRowsTotal == 1)
+    // incarnation B: ONE plain scalar (sourceInstitution, click k>=90,
+    // even event_id) — every other column must survive from A
+    feed(mkRec(6, t1 + 2000, 1, "click", k = 95))
+    q.stop()
+    val schema = org.apache.spark.sql.Encoders
+      .product[StreamImport.SinkRow[StreamImport.WideRow, StreamImport.WideSt]].schema
+    val got = StreamImport.jdbcFoldRead(spark, url, base, schema,
+      JdbcUpsert.tenantsOf(url, base))
+      .select(explode(col("rows")).as("r")).select("r.*")
+      .filter(col("transfer_key") === 1)
+      .select("payer_party_id", "currency", "transfer_state", "completed_ms",
+        "payer_dfsp_id", "status")
+      .collect().map(_.toSeq).toSeq.flatten
+    // A's nested writes survive; B's scalar landed
+    assert(got(0) == "2771", s"party id lost across the JSON merge: $got")
+    assert(got(1) == "KES", s"currency lost: $got")
+    assert(got(2) == "COMMITTED" && got(3) == t0 + 1000, s"response lost: $got")
+    assert(got(4) == "inst-5", s"post-eviction scalar missing: $got")
+    assert(got(5) == "IN_PROGRESS")
+  }
+
   test("src_out_of_order buffers records until the association arrives") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
