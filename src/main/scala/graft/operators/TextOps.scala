@@ -120,6 +120,32 @@ object TextOps {
       |       THEN 'good' ELSE 'low' END AS bucket
       |FROM q ORDER BY doc_id""".stripMargin
 
+  /** Lexical diversity (type-token ratio) — the "fraction of unique
+    * words" quality signal the Gopher/Dolma-style filters apply next
+    * to length and stopword density: template-generated or looping
+    * text scores low, natural prose high. Fixed-point e4 ratio
+    * (types×10000 div tokens — both counts positive, so truncating
+    * and flooring division agree); row-local array ops, no shuffle.
+    */
+  def textTtr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_types",
+        size(expr("array_distinct(split(text, ' '))")).cast(LongType))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .select(col("doc_id"), col("n_types"), col("n_tokens"),
+        expr("10000 * n_types DIV n_tokens").as("ttr_e4"))
+      .orderBy("doc_id")
+
+  def textTtrSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, n_types, n_tokens,
+      |  10000 * n_types // n_tokens AS ttr_e4
+      |FROM t ORDER BY doc_id""".stripMargin
+
   /** Language-ID by marker-token profiles (the n-gram-heuristic shape:
     * score each language profile by marker hits, argmax with a fixed
     * tie-break order). Profiles are drawn from the corpus vocabulary.
@@ -700,6 +726,7 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_ttr" -> (textTtr _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_normalize" -> (textNormalize _),
@@ -715,6 +742,7 @@ object TextOps {
   def oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
+    "text_ttr" -> textTtrSql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_normalize" -> textNormalizeSql,

@@ -137,6 +137,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids.forall(i => i >= 0 && i <= TrainOps.TokenizeVocab))
   }
 
+  test("text_ttr matches a per-doc Scala recomputation and is bounded by 1") {
+    val rows = TextOps.textTtr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      val types = toks.distinct.length.toLong
+      assert(r.getAs[Long]("n_types") == types)
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("ttr_e4") == 10000 * types / toks.length)
+      assert(r.getAs[Long]("ttr_e4") <= 10000)
+    }
+  }
+
   test("text_oov: scores are bounded and deterministic across re-runs") {
     val a = TextOps.textOov(spark, sfDir).collect()
     assert(a.nonEmpty)
