@@ -318,33 +318,46 @@ object Analytics {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
-  /** TPC-H Q11 shape: groups whose share of a GLOBAL total clears a
-    * threshold — HAVING against an uncorrelated scalar subquery over
+  /** TPC-H Q11 shape: groups whose share of a GLOBAL aggregate clears
+    * a threshold — HAVING against an uncorrelated scalar subquery over
     * the same table. Unlike the correlated form (q_corr_subquery),
     * this plans as ONE extra tiny aggregation whose single-row result
-    * is inlined into the filter: no join, no per-group re-scan — the
-    * shape that survives any scale because the subquery's cost is one
-    * more pass of the same map-side-combined aggregate. Share compared
-    * in fixed-point cross-multiplication (spend×1000 > total), no
-    * division or floats.
+    * is inlined into the filter: no join, no per-group re-scan. The
+    * threshold is SCALE-FREE — customers above 1.5× the MEAN customer
+    * spend (a fixed fraction-of-total cutoff goes vacuous as the
+    * customer count grows) — compared by integer cross-multiplication
+    * (spend × 2 × customers > 3 × total): no division, no floats, and
+    * both global aggregates ride one struct-valued subquery (a single
+    * extra scan).
     */
   def q11Share(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("orders_q11")
     spark.sql(
-      """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS spend_e2
-        |FROM orders_q11
-        |GROUP BY o_custkey
-        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) * 1000 >
-        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) FROM orders_q11)
+      """SELECT o_custkey, spend_e2 FROM (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS spend_e2,
+        |    (SELECT named_struct(
+        |       't', CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT),
+        |       'c', CAST(COUNT(DISTINCT o_custkey) AS BIGINT))
+        |     FROM orders_q11) AS agg
+        |  FROM orders_q11
+        |  GROUP BY o_custkey) g
+        |WHERE spend_e2 * 2 * agg.c > 3 * agg.t
         |ORDER BY spend_e2 DESC, o_custkey""".stripMargin)
+      .select("o_custkey", "spend_e2")
   }
 
   def q11ShareSql: String =
-    """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS spend_e2
-      |FROM orders
-      |GROUP BY o_custkey
-      |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) * 1000 >
-      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) FROM orders)
+    """SELECT o_custkey, spend_e2 FROM (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS spend_e2,
+      |    (SELECT struct_pack(
+      |       t := CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT),
+      |       c := CAST(COUNT(DISTINCT o_custkey) AS BIGINT))
+      |     FROM orders) AS agg
+      |  FROM orders
+      |  GROUP BY o_custkey) g
+      |WHERE spend_e2 * 2 * agg.c > 3 * agg.t
       |ORDER BY spend_e2 DESC, o_custkey""".stripMargin
 
   /** Pivot (long → wide): per-user spend by event type. The pivot

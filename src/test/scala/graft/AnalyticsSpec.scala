@@ -222,20 +222,21 @@ class AnalyticsSpec extends SparkSpec {
       s"zero-order bucket ${zeroBucket} != anti-join count $expectedZero")
   }
 
-  test("q11_share: members clear the global-share threshold; subquery is one scalar agg, not a join") {
+  test("q11_share: members clear 1.5x the mean customer spend; subquery is one scalar agg, not a join") {
     val df = Analytics.q11Share(spark, sfDir)
     val rows = df.collect()
-    assert(rows.nonEmpty, "no customer clears 0.1% of total volume — vacuous")
-    // semantics: every member's spend × 1000 exceeds the global total
-    val total = Tables.orders(spark, sfDir)
-      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"))
-      .head().getLong(0)
-    rows.foreach(r => assert(r.getAs[Long]("spend_e2") * 1000 > total))
+    assert(rows.nonEmpty, "no customer clears 1.5x mean spend — vacuous")
+    val g = Tables.orders(spark, sfDir)
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)").as("t"),
+        expr("CAST(COUNT(DISTINCT o_custkey) AS BIGINT)").as("c")).head()
+    val (total, custs) = (g.getLong(0), g.getLong(1))
+    // semantics: every member clears the cross-multiplied threshold
+    rows.foreach(r => assert(r.getAs[Long]("spend_e2") * 2 * custs > 3 * total))
     // and non-members don't (completeness)
     val n = Tables.orders(spark, sfDir)
       .groupBy("o_custkey")
       .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)").as("s"))
-      .filter(col("s") * 1000 > total).count()
+      .filter(col("s") * 2 * custs > 3 * total).count()
     assert(rows.length.toLong == n)
     // plan: the uncorrelated subquery stays a SCALAR subquery (one
     // extra aggregation, its one-row result inlined) — never a join
