@@ -87,8 +87,10 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     // compact summary printed LAST: the driver keeps only a short tail
     // of this output, which truncated the (long) per-query line in
-    // rounds 4-5 and lost the total — this line survives any tail
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
+    // rounds 4-5 and lost the total — this line survives any tail.
+    // Distinct metric name so a consumer aggregating by metric never
+    // double-counts the total (round-6 advice).
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,11 +55,17 @@ object JdbcUpsert {
   def tableFor(base: String, tenant: String): String =
     base + "__" + tenant.getBytes("UTF-8").map("%02X".format(_)).mkString
 
-  private def sqlType(dt: DataType): String = dt match {
+  private def sqlType(f: StructField): String = f.dataType match {
     case LongType    => "BIGINT"
     case IntegerType => "INT"
     case DoubleType  => "DOUBLE"
     case BooleanType => "BOOLEAN"
+    // serialized accumulator state (jdbcFoldUpsert's *_json columns)
+    // has no natural length bound — a wider entity or bigger top-n
+    // outgrows any VARCHAR and hard-fails at insert with a truncation
+    // error, so those columns get a LOB type; setString/getString and
+    // Spark's JDBC read (CLOB → StringType) both cover it
+    case StringType if f.name.toLowerCase.endsWith("_json") => "CLOB"
     case StringType  => "VARCHAR(4000)"
     case other => throw new IllegalArgumentException(
       s"JdbcUpsert: no SQL mapping for $other")
@@ -70,7 +76,7 @@ object JdbcUpsert {
     val rs = conn.getMetaData.getTables(null, null, table, null)
     val exists = rs.next(); rs.close()
     if (!exists) {
-      val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+      val cols = schema.fields.map(f => s"${f.name} ${sqlType(f)}").mkString(", ")
       val st = conn.createStatement()
       try st.execute(s"CREATE TABLE $table ($cols, PRIMARY KEY ($key))")
       finally st.close()
@@ -186,11 +192,26 @@ object JdbcUpsert {
     val conn = DriverManager.getConnection(url)
     try {
       val prefix = (baseTable + "__").toUpperCase
-      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val md = conn.getMetaData
+      // narrow at the metadata query (no full-catalog scan): LIKE
+      // pattern with the metadata escape char protecting the prefix's
+      // own _ wildcards
+      val esc = md.getSearchStringEscape
+      val pattern = prefix.flatMap {
+        case c @ ('_' | '%') => esc + c
+        case c => c.toString
+      } + "%"
+      val rs = md.getTables(null, null, pattern, Array("TABLE"))
       val names = Iterator.continually(rs).takeWhile(_.next())
         .map(_.getString("TABLE_NAME")).toList
       rs.close()
-      names.filter(_.toUpperCase.startsWith(prefix)).map { n =>
+      // strict shape check: only names whose suffix is whole hex pairs
+      // are routed tenant tables — an unrelated table sharing the
+      // prefix (or a non-tenant side table) must be IGNORED, not
+      // crash the decode with a NumberFormatException mid-sink
+      val hexSuffix = "(?:[0-9A-F]{2})+".r
+      names.filter(n => n.toUpperCase.startsWith(prefix) &&
+          hexSuffix.matches(n.substring(prefix.length).toUpperCase)).map { n =>
         val hex = n.substring(prefix.length)
         new String(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray, "UTF-8")
       }
