@@ -155,6 +155,65 @@ object StreamImport {
     */
   case class IncSt[S](inc_ts: Long, inc_id: Long, st: S)
 
+  /** A map-side PARTIAL: one key's records from one input partition,
+    * pre-folded into an accumulator BEFORE the stateful shuffle.
+    * Carries the min record ord (the incarnation birth-mark candidate)
+    * and the max event time (what the watermark and the timeout see).
+    *
+    * This is the skew bound the reference's row-at-a-time loop never
+    * needs but Spark does: without it a hot workflow-instance key
+    * funnels ALL its raw records through the single stateful task that
+    * owns the key; with it the per-record fold work happens in
+    * parallel across the input partitions and the stateful exchange
+    * carries at most (keys × input partitions) accumulator rows per
+    * batch — legal because every fold is a commutative monoid
+    * (merge ≡ fold, FoldMonoidSpec).
+    */
+  case class PreFold[S](entity_key: Long, ord_ts: Long, ord_id: Long,
+    max_ts: Long, st: S)
+
+  /** Flush threshold of the pre-fold's per-partition hash map: when
+    * the map holds this many DISTINCT keys and the next record opens
+    * another, the partials drain downstream and the map resets — so
+    * pre-fold memory is bounded by entries × state size regardless of
+    * a partition's key cardinality (several partials per key per
+    * partition just merge in the stateful operator, same monoid).
+    */
+  private[graft] val PreFoldFlushEntries = 1 << 15
+
+  /** Per-partition pre-fold: group-fold a partition's records into
+    * [[PreFold]] partials with the bounded hash map described above.
+    */
+  private[graft] def preFold[S](spec: EntityFold[S, _], maxEntries: Int = PreFoldFlushEntries)(
+      recs: Iterator[Rec]): Iterator[PreFold[S]] = new Iterator[PreFold[S]] {
+    private val in = recs.buffered
+    private var out: Iterator[PreFold[S]] = Iterator.empty
+    private def refill(): Unit = if (in.hasNext) {
+      val m = new java.util.LinkedHashMap[Long, PreFold[S]]()
+      while (in.hasNext &&
+          (m.containsKey(in.head.user_id) || m.size < maxEntries)) {
+        val r = in.next()
+        val prev = m.get(r.user_id)
+        val p =
+          if (prev == null)
+            PreFold(r.user_id, r.ts_ms, r.event_id, r.ts_ms, spec.step(spec.empty, r))
+          else {
+            val earlier = prev.ord_ts < r.ts_ms ||
+              (prev.ord_ts == r.ts_ms && prev.ord_id <= r.event_id)
+            PreFold(r.user_id,
+              if (earlier) prev.ord_ts else r.ts_ms,
+              if (earlier) prev.ord_id else r.event_id,
+              math.max(prev.max_ts, r.ts_ms),
+              spec.step(prev.st, r))
+          }
+        m.put(r.user_id, p)
+      }
+      out = { import scala.jdk.CollectionConverters._; m.values.asScala.toVector.iterator }
+    }
+    def hasNext: Boolean = { if (!out.hasNext) refill(); out.hasNext }
+    def next(): PreFold[S] = { if (!hasNext) throw new NoSuchElementException; out.next() }
+  }
+
   /** One sink-contract row per key per micro-batch from a bounded
     * fold: the rendered entity row(s), the open incarnation's
     * accumulator + birth mark, and the `closed` accumulator of every
@@ -168,11 +227,13 @@ object StreamImport {
 
   /** Unbounded (NoTimeout) keyed fold — exact replay under ARBITRARY
     * disorder, used by the adversarial-order specs; state is O(keys
-    * ever seen).
+    * ever seen). Consumes map-side [[PreFold]] partials: merging them
+    * is the same monoid as folding the raw records (FoldMonoidSpec).
     */
   private def unboundedUpdate[S, O](spec: EntityFold[S, O])(
-      key: Long, recs: Iterator[Rec], state: GroupState[S]): Iterator[O] = {
-    val st = recs.foldLeft(state.getOption.getOrElse(spec.empty))(spec.step)
+      key: Long, parts: Iterator[PreFold[S]], state: GroupState[S]): Iterator[O] = {
+    val st = parts.foldLeft(state.getOption.getOrElse(spec.empty))(
+      (s, p) => spec.merge(s, p.st))
     state.update(st)
     spec.render(key, st).iterator
   }
@@ -185,9 +246,15 @@ object StreamImport {
     *     (newest record + horizon); when the watermark passes it the
     *     state is REMOVED and nothing is emitted — the sink already
     *     holds the incarnation's final render;
-    *   - records behind the watermark are DROPPED before the fold
-    *     (the standard watermark contract: disorder beyond the delay
-    *     is not replayed);
+    *   - LATE data is DROPPED before the fold (the standard watermark
+    *     contract: disorder beyond the delay is not replayed). The
+    *     drop granularity is the map-side PARTIAL: a partial whose
+    *     newest record is behind the watermark is dropped whole; a
+    *     partial containing ANY non-late record is folded whole. A
+    *     non-late record is therefore never dropped, and an
+    *     individually-late record that rode a live partial is folded —
+    *     strictly CLOSER to the full-corpus batch oracle than a
+    *     per-record cut;
     *   - a NON-late record arriving after eviction starts a NEW
     *     incarnation (fresh birth mark). Its emission carries only the
     *     new accumulator; the sink's [[foldMerge]] folds the evicted
@@ -195,23 +262,24 @@ object StreamImport {
     *     EXTENDED, never overwritten by a partial restart.
     */
   private def boundedUpdate[S, O](spec: EntityFold[S, O], horizonMs: Long)(
-      key: Long, recs: Iterator[Rec], state: GroupState[IncSt[S]]): Iterator[SinkRow[O, S]] = {
+      key: Long, parts: Iterator[PreFold[S]], state: GroupState[IncSt[S]]): Iterator[SinkRow[O, S]] = {
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
       val wm = state.getCurrentWatermarkMs()
       // materialized eagerly: maxTs must be final BEFORE the timeout is
-      // armed, whatever the inner fold's strictness
-      val live = recs.filter(_.ts_ms >= wm).toArray
+      // armed, whatever the inner merge's strictness
+      val live = parts.filter(_.max_ts >= wm).toArray
       if (live.isEmpty) Iterator.empty
       else {
         val prev = state.getOption
         val (incTs, incId) = prev.map(p => (p.inc_ts, p.inc_id))
-          .getOrElse(live.iterator.map(r => (r.ts_ms, r.event_id)).min)
-        val st = live.foldLeft(prev.map(_.st).getOrElse(spec.empty))(spec.step)
+          .getOrElse(live.iterator.map(p => (p.ord_ts, p.ord_id)).min)
+        val st = live.foldLeft(prev.map(_.st).getOrElse(spec.empty))(
+          (s, p) => spec.merge(s, p.st))
         state.update(IncSt(incTs, incId, st))
-        val maxTs = live.iterator.map(_.ts_ms).max
+        val maxTs = live.iterator.map(_.max_ts).max
         state.setTimeoutTimestamp(math.max(maxTs, wm) + horizonMs)
         Iterator.single(SinkRow(key, spec.tenant(key),
           spec.render(key, st), incTs, incId, st, None))
@@ -227,27 +295,38 @@ object StreamImport {
     * the merging sink. Unbounded: NoTimeout, emitting plain entity
     * rows — exact replay under arbitrary disorder for the
     * adversarial-order specs.
+    *
+    * Both shapes run the map-side [[preFold]] BEFORE the stateful
+    * shuffle, so the exchange carries per-(key, input-partition)
+    * partials, never raw records — a hot key's per-record fold work is
+    * spread across the input partitions and its single stateful task
+    * only merges ≤ one partial per input partition per batch.
+    * The watermark column is assigned on the partial's `max_ts`: the
+    * batch maximum over partials equals the maximum over raw records,
+    * so watermark ADVANCEMENT is unchanged by the pre-fold.
     */
-  private def entityStream[S <: Product : TypeTag, O <: Product : TypeTag](
+  private[graft] def entityStream[S <: Product : TypeTag, O <: Product : TypeTag](
       events: DataFrame, spec: EntityFold[S, O], bounded: Boolean,
       watermark: String, horizonMs: Long): DataFrame = {
     import events.sparkSession.implicits._
+    implicit val preEnc: Encoder[PreFold[S]] = Encoders.product[PreFold[S]]
+    val partials = toRecs(events).mapPartitions(preFold(spec))
     if (bounded) {
       implicit val incEnc: Encoder[IncSt[S]] = Encoders.product[IncSt[S]]
       implicit val outEnc: Encoder[SinkRow[O, S]] = Encoders.product[SinkRow[O, S]]
-      toRecs(events)
-        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      partials
+        .withColumn("event_time", timestamp_millis(col("max_ts")))
         .withWatermark("event_time", watermark)
-        .as[Rec]
-        .groupByKey(_.user_id)
+        .as[PreFold[S]]
+        .groupByKey(_.entity_key)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
           boundedUpdate(spec, horizonMs))
         .toDF()
     } else {
       implicit val sEnc: Encoder[S] = Encoders.product[S]
       implicit val oEnc: Encoder[O] = Encoders.product[O]
-      toRecs(events)
-        .groupByKey(_.user_id)
+      partials
+        .groupByKey(_.entity_key)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
           unboundedUpdate(spec))
         .toDF()
@@ -1152,6 +1231,23 @@ object StreamImport {
     val k = graft.operators.ApproxOps.KmvK
     events.selectExpr("event_type", "graft_hash60(cast(user_id as string)) as h")
       .as[(String, Long)]
+      // map-side partial sketch: the stateful exchange receives at most
+      // k hashes per (group, input partition), never the raw hash
+      // stream — bottom-k of a union = bottom-k of merged bottom-ks,
+      // so a hot group's per-record work spreads across partitions
+      // (the same skew bound as the entity folds' preFold)
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { case (g, h) =>
+          val set = m.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long]())
+          set.add(h)
+          if (set.size > k) set.pollLast()
+        }
+        m.iterator.flatMap { case (g, set) =>
+          import scala.jdk.CollectionConverters._
+          set.iterator().asScala.map(h => (g, h.longValue()))
+        }
+      }
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, Long)], state: GroupState[KmvSt]) =>

@@ -1348,4 +1348,108 @@ class StreamingSpec extends SparkSpec {
     // and the real decode differs from what the byte-stub would fake
     assert(want.toSeq != decodeStub(payload, meta).map(frameChecksum).toSeq)
   }
+
+  test("preFold: partials merge to the exact fold; flush cap bounds the map") {
+    val t0 = 1700000000000L
+    val types = Array("signup", "purchase", "click", "view", "error")
+    val recs = (0 until 1000).map(i =>
+      mkRec(i.toLong, t0 + i, (i % 37).toLong, types(i % 5), value = i * 0.5, k = i % 100))
+    // default cap: one partial per key per partition
+    val one = StreamImport.preFold(StreamImport.transferFold)(recs.iterator).toVector
+    assert(one.size == 37, s"expected 37 partials, got ${one.size}")
+    assert(one.map(_.max_ts).max == recs.map(_.ts_ms).max)
+    assert(one.map(p => (p.ord_ts, p.ord_id)).min ==
+      recs.map(r => (r.ts_ms, r.event_id)).min)
+    // a tiny cap flushes repeatedly — several partials per key — and the
+    // monoid merge STILL reconstructs the exact per-key fold
+    val partials = StreamImport.preFold(StreamImport.transferFold, maxEntries = 8)(
+      recs.iterator).toVector
+    assert(partials.size > 37 && partials.size <= recs.size)
+    val merged = partials.groupBy(_.entity_key).view
+      .mapValues(ps => ps.map(_.st).reduce(StreamImport.transferFold.merge)).toMap
+    val direct = recs.groupBy(_.user_id).view
+      .mapValues(_.foldLeft(StreamImport.transferFold.empty)(StreamImport.transferFold.step)).toMap
+    assert(merged == direct)
+  }
+
+  test("pre-fold skew bound: one hot key, the stateful exchange receives partials, not raw records") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val types = Array("signup", "purchase", "click", "view", "error")
+    def rec(id: Long, user: Long): Rec =
+      mkRec(id, t0 + id * 100, user, types((id % 5).toInt), value = (id % 97) * 1.0, k = id % 100)
+    // one hot workflow instance owns HALF the corpus — the reference's
+    // row-at-a-time loop never notices; a naive keyed shuffle funnels
+    // all 4000 of its records through one stateful task
+    val hotN = 4000
+    val coldKeys = 40
+    val recs = (0 until hotN).map(i => rec(i.toLong, 1L)) ++
+      (0 until hotN).map(i => rec((hotN + i).toLong, 2 + (i % coldKeys).toLong))
+    // total shuffle traffic of the whole run, to bound below raw-record
+    // volume (partials + the sink merge join, never the 8000 records)
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stream = MemoryStream[Rec]
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft_skew_").toString + "/t"
+      val q = StreamImport.transfersStream(stream.toDF(), bounded = true)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_skewchk_").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          TenantUpsertSink.upsert(sinkDir, b, "entity_key",
+            Some(StreamImport.foldMerge(StreamImport.transferFold)))
+        }
+        .start()
+      // 8 addData blocks = 8 input partitions in ONE micro-batch: the
+      // hot key's fold work runs 8-way parallel map-side
+      recs.grouped(recs.length / 8 + 1).foreach(c => stream.addData(c.toIndexedSeq))
+      q.processAllAvailable()
+      // plan shape: the pre-fold MapPartitions sits BELOW the stateful
+      // operator's shuffle — what turns raw records into partials
+      // before they ever hit the exchange
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val fmgws = exec.collectFirst {
+        case f: org.apache.spark.sql.execution.streaming.operators.stateful.flatmapgroupswithstate.FlatMapGroupsWithStateExec => f
+      }.getOrElse(fail("no FlatMapGroupsWithStateExec in the plan"))
+      val exch = fmgws.collectFirst {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.getOrElse(fail("no shuffle below the stateful operator"))
+      assert(exch.collectFirst {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+      }.nonEmpty, "pre-fold MapPartitions missing below the stateful exchange")
+      q.stop()
+      // listener events drain asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline && shuffled.get() != last) {
+        last = shuffled.get(); Thread.sleep(300)
+      }
+      // ≤ (keys × partitions) partials reach the stateful exchange and
+      // the sink merge joins O(keys) rows — raw-record shuffling would
+      // put all 8000 records (plus sink traffic) on the wire
+      assert(shuffled.get() < recs.length / 2,
+        s"whole-run shuffle volume ${shuffled.get()} — raw records on the stateful exchange?")
+      // and the result is EXACT: equals the direct fold of every record
+      val got = TenantUpsertSink.readCurrent(spark, sinkDir).get
+        .select(explode(col("rows")).as("r")).select("r.*")
+        .orderBy("transfer_key").collect()
+      val want = recs.groupBy(_.user_id).toSeq.sortBy(_._1).map { case (k, rs) =>
+        val st = rs.foldLeft(StreamImport.transferFold.empty)(StreamImport.transferFold.step)
+        StreamImport.transferFold.render(k, st).head
+      }
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.toSeq == w.productIterator.toSeq,
+          s"key ${g.get(0)}: stream=${g.toSeq} direct=${w.productIterator.toSeq}")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
