@@ -182,6 +182,52 @@ object JdbcUpsert {
     } finally batch.unpersist()
   }
 
+  /** Name of the key-staging side table for a fold sink's
+    * read-modify-write (single underscore: never mistakable for a
+    * tenant-routed `BASE__<hex>` table, and [[tenantsOf]]'s strict hex
+    * check would ignore it anyway).
+    */
+  def stageTableFor(base: String): String = base + "_BATCHKEYS"
+
+  /** Land a batch's key set in the staging side table, executor-side:
+    * the scale-safe replacement for collecting keys to the driver and
+    * inlining them into one giant IN list (which breaks on an
+    * AvailableNow first batch = the whole backlog). The table is
+    * cleared first — its contents only have meaning WITHIN one
+    * foreachBatch invocation, the same scope Spark serializes per
+    * query (two queries sharing a base table would already race on the
+    * MERGE itself).
+    */
+  def stageKeys(url: String, stageTable: String, keys: DataFrame): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      ensureTable(conn, stageTable,
+        StructType(Seq(StructField("entity_key", LongType, nullable = false))),
+        "entity_key")
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $stageTable") finally st.close()
+    } finally conn.close()
+    keys.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        conn.setAutoCommit(false)
+        val ps = conn.prepareStatement(s"INSERT INTO $stageTable (entity_key) VALUES (?)")
+        try {
+          rows.foreach { r => ps.setLong(1, r.getLong(0)); ps.addBatch() }
+          ps.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case s: Throwable => e.addSuppressed(s) }
+            throw e
+        } finally {
+          try ps.close() catch { case _: Throwable => () }
+          try conn.close() catch { case _: Throwable => () }
+        }
+      }
+    }
+  }
+
   /** Tenants that already have a routed table in the database —
     * recovered from table-name metadata (the hex encoding of
     * [[tableFor]] is injective, so the decode is exact). Lets a
@@ -224,14 +270,24 @@ object JdbcUpsert {
     * frame is column-compatible with what was upserted.
     */
   def readCurrent(spark: SparkSession, url: String, baseTable: String,
-      tenants: Seq[String]): DataFrame = {
+      tenants: Seq[String], keyedBy: Option[String] = None): DataFrame = {
     require(tenants.nonEmpty,
       "JdbcUpsert.readCurrent: empty tenant list — nothing was upserted yet, " +
         "or the caller derived tenants from an empty sink")
     val all = tenants.map { t =>
+      // with a staging table the read is a DATABASE-SIDE semi-join
+      // against the batch's landed keys — per-batch read cost stays
+      // O(batch keys) with no driver-materialized literal list and a
+      // constant-size SQL text, whatever the batch's key count
+      val dbtable = keyedBy match {
+        case Some(stage) =>
+          s"(SELECT t.* FROM ${tableFor(baseTable, t)} t WHERE EXISTS " +
+            s"(SELECT 1 FROM $stage s WHERE s.entity_key = t.entity_key)) g"
+        case None => tableFor(baseTable, t)
+      }
       spark.read.format("jdbc")
         .option("url", url)
-        .option("dbtable", tableFor(baseTable, t))
+        .option("dbtable", dbtable)
         .load()
     }.reduce(_ unionByName _)
     all.toDF(all.columns.toIndexedSeq.map(_.toLowerCase): _*)
