@@ -34,9 +34,19 @@ object OutOfOrder {
 
   case class Assoc(user_id: Long, process_id: String)
 
-  case class BufferSt(assoc: Option[String], buffered: List[Long], maxTs: Long)
+  case class BufferSt(assoc: Option[String],
+    buffered: List[StreamImport.Rec], maxTs: Long)
 
-  case class Routed(event_id: Long, user_id: Long, process_id: String)
+  /** A routed record: the FULL original record plus its resolved
+    * process association — what the reference's TempDocumentStore
+    * flush re-processes (whole buffered documents, not ids), so a
+    * downstream entity fold can consume the routed stream directly.
+    */
+  case class Routed(event_id: Long, ts_ms: Long, user_id: Long,
+    event_type: String, value: Double, k: Long, process_id: String)
+
+  private def route(r: StreamImport.Rec, pid: String): Routed =
+    Routed(r.event_id, r.ts_ms, r.user_id, r.event_type, r.value, r.k, pid)
 
   val DeadLetter = "__dead_letter__"
 
@@ -70,30 +80,32 @@ object OutOfOrder {
       // route on the way out.
       val st = state.getOption.getOrElse(BufferSt(None, Nil, 0L))
       state.remove()
-      return st.buffered.reverseIterator.map(Routed(_, key, DeadLetter))
+      return st.buffered.reverseIterator.map(route(_, DeadLetter))
     }
     val st0 = state.getOption.getOrElse(BufferSt(None, Nil, 0L))
     val out = Seq.newBuilder[Routed]
     var st = st0
     recs.foreach { r =>
       st = st.copy(maxTs = math.max(st.maxTs, r.ts_ms))
-      if (r.event_type == "signup") {
-        if (st.assoc.isEmpty) {
-          val a = assocOf(key)
-          // association arrived: flush the buffer in arrival order
-          st.buffered.reverse.foreach(id => out += Routed(id, key, a))
-          st = st.copy(assoc = Some(a), buffered = Nil)
-        }
+      if (r.event_type == "signup" && st.assoc.isEmpty) {
+        val a = assocOf(key)
+        // association arrived: flush the buffer in arrival order, and
+        // the association-carrying record itself routes too (the
+        // reference processes PROCESS_INSTANCE records into the
+        // entity's lifecycle — startedAt — not just the association)
+        st.buffered.reverse.foreach(b => out += route(b, a))
+        st = st.copy(assoc = Some(a), buffered = Nil)
+        out += route(r, a)
       } else st.assoc match {
-        case Some(a) => out += Routed(r.event_id, key, a)
+        case Some(a) => out += route(r, a)
         case None =>
-          st = st.copy(buffered = r.event_id :: st.buffered)
+          st = st.copy(buffered = r :: st.buffered)
           // an ACTIVELY-written orphan pushes its idle horizon forward
           // forever, so the timeout alone cannot bound its buffer —
           // overflow the oldest entries to dead-letter at the cap
           if (st.buffered.length > MaxBuffer) {
             val (keep, spill) = st.buffered.splitAt(MaxBuffer)
-            spill.reverse.foreach(id => out += Routed(id, key, DeadLetter))
+            spill.reverse.foreach(b => out += route(b, DeadLetter))
             st = st.copy(buffered = keep)
           }
       }
@@ -109,14 +121,14 @@ object OutOfOrder {
   }
 
   /** Streaming events (with event-time column `ts`) → routed records.
-    * Watermark 30 min: buffered orphans flush to dead-letter 1 h after
-    * the watermark passes them.
+    * Default watermark 30 min: buffered orphans flush to dead-letter
+    * 1 h after the watermark passes them.
     */
-  def routed(events: DataFrame): Dataset[Routed] = {
+  def routed(events: DataFrame, watermark: String = "30 minutes"): Dataset[Routed] = {
     import events.sparkSession.implicits._
     StreamImport.toRecs(events)
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", "30 minutes")
+      .withWatermark("event_time", watermark)
       .as[StreamImport.Rec]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)

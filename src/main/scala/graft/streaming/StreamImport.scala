@@ -307,7 +307,8 @@ object StreamImport {
     */
   private[graft] def entityStream[S <: Product : TypeTag, O <: Product : TypeTag](
       events: DataFrame, spec: EntityFold[S, O], bounded: Boolean,
-      watermark: String, horizonMs: Long): DataFrame = {
+      watermark: String, horizonMs: Long,
+      opMode: OutputMode = OutputMode.Update): DataFrame = {
     import events.sparkSession.implicits._
     implicit val preEnc: Encoder[PreFold[S]] = Encoders.product[PreFold[S]]
     val partials = toRecs(events).mapPartitions(preFold(spec))
@@ -319,7 +320,7 @@ object StreamImport {
         .withWatermark("event_time", watermark)
         .as[PreFold[S]]
         .groupByKey(_.entity_key)
-        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        .flatMapGroupsWithState(opMode, GroupStateTimeout.EventTimeTimeout)(
           boundedUpdate(spec, horizonMs))
         .toDF()
     } else {
@@ -395,17 +396,19 @@ object StreamImport {
       val merged =
         if (tenants.isEmpty) batch
         else {
-          // read-modify-write reads ONLY the batch's keys: the IN
-          // filter pushes down to the database (Spark JDBC In-filter
-          // pushdown), so per-batch read cost is O(batch keys), not
-          // O(table) — the same selectivity the reference's
-          // findByWorkflowInstanceKey point-reads have. The key list
-          // is driver-collected; a micro-batch's touched-key set is
-          // trigger-bounded, like the sink's tenant enumeration.
-          val keys = batch.select("entity_key").distinct()
-            .collect().map(_.getLong(0)).toSeq
-          val current = jdbcFoldRead(spark, url, baseTable, schema, tenants)
-            .where(col("entity_key").isin(keys: _*))
+          // read-modify-write reads ONLY the batch's keys — the same
+          // selectivity the reference's findByWorkflowInstanceKey
+          // point-reads have — via a database-side semi-join: the
+          // batch's distinct keys land in a staging side table
+          // (executor-side inserts, nothing through the driver) and
+          // each tenant read is an EXISTS against it. No driver
+          // collect, no literal IN list — an AvailableNow first batch
+          // equal to the whole backlog stages keys at O(batch) write
+          // cost instead of OOMing the driver or overflowing a SQL
+          // statement.
+          val stage = JdbcUpsert.stageTableFor(baseTable)
+          JdbcUpsert.stageKeys(url, stage, batch.select("entity_key").distinct())
+          val current = jdbcFoldRead(spark, url, baseTable, schema, tenants, Some(stage))
           foldMerge(spec).apply(current, batch)
         }
       JdbcUpsert.upsert(url, baseTable, flat(merged), "entity_key")
@@ -418,8 +421,8 @@ object StreamImport {
     */
   def jdbcFoldRead(spark: SparkSession, url: String, baseTable: String,
       schema: org.apache.spark.sql.types.StructType,
-      tenants: Seq[String]): DataFrame =
-    JdbcUpsert.readCurrent(spark, url, baseTable, tenants).select(
+      tenants: Seq[String], keyedBy: Option[String] = None): DataFrame =
+    JdbcUpsert.readCurrent(spark, url, baseTable, tenants, keyedBy).select(
       col("entity_key"), col("tenant"), col("inc_ts"), col("inc_id"),
       from_json(col("rows_json"), schema("rows").dataType).as("rows"),
       from_json(col("open_json"), schema("open").dataType).as("open"),
@@ -1458,6 +1461,55 @@ object StreamImport {
     }
     rm(new java.io.File(work))
     result
+  }
+
+  /** Default watermark delay of [[importLoop]]'s entity fold: must
+    * absorb the out-of-order buffer's worst-case association latency
+    * ([[OutOfOrder.OrphanHorizonMs]] + the routing watermark's own
+    * disorder allowance) on top of the stream's disorder — a record
+    * the buffer held back reaches the fold that much later than its
+    * event time.
+    */
+  val ComposedWatermark = "2 hours"
+
+  /** The reference's FULL import loop composed as ONE streaming query
+    * (NatsConsumer.listen → TempDocumentStore buffering →
+    * RecordParser → InflightTransferManager → JPA save,
+    * NatsConsumer.java:39-106): raw JSON strings (the graft-queue
+    * subject or any value-string stream) → one `from_json` parse →
+    * out-of-order association buffering (append-mode keyed state,
+    * [[OutOfOrder.routed]]) → map-side pre-fold → BOUNDED entity fold
+    * → [[SinkRow]]s for the incarnation-merging sink. Dead-lettered
+    * records (association never arrived) are filtered out, as the
+    * reference's TempDocumentStore leak would never reach an entity.
+    *
+    * Both stateful operators run in APPEND mode — Spark only chains
+    * multiple flatMapGroupsWithState operators when all are Append and
+    * the query is Append — which leaves the bounded fold's execution
+    * unchanged (the mode gates only the planner's checks) and its
+    * emissions remain per-key cumulative SinkRows for the MERGING
+    * upsert sink, which absorbs re-emission by key. The fold's late
+    * cut stays exact through the buffer because a flushed record rides
+    * the SAME partial as the (fresh) association record that released
+    * it, and a partial with any non-late record folds whole; the
+    * widened [[ComposedWatermark]] covers the rest. Spark's global
+    * cross-stateful-operator late-row check must be disabled for this
+    * composition (`spark.sql.streaming.statefulOperator.
+    * checkCorrectness.enabled=false`) — the partial-granularity late
+    * rule plus the widened delay is the correctness argument the
+    * generic checker cannot see.
+    */
+  def importLoop(raw: DataFrame, watermark: String = ComposedWatermark,
+      horizonMs: Long = EvictHorizonMs): DataFrame = {
+    val recSchema = Encoders.product[Rec].schema
+    val events = raw
+      .select(from_json(col("value"), recSchema).as("r"))
+      .select("r.*")
+    val routedRecs = OutOfOrder.routed(events)
+      .filter(col("process_id") =!= OutOfOrder.DeadLetter)
+      .drop("process_id")
+    entityStream(routedRecs.toDF(), transferFold, bounded = true,
+      watermark, horizonMs, opMode = OutputMode.Append)
   }
 
   /** Driver-checked transfers run — oracle-identical to the batch

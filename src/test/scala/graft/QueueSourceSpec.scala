@@ -90,4 +90,80 @@ class QueueSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("subject"))
   }
+
+  test("importLoop: the FULL reference loop in ONE query — subject → out-of-order buffer → bounded fold → merging sink") {
+    // NatsConsumer.java:39-106 runs listen → TempDocumentStore →
+    // RecordParser → Inflight*Manager → JPA as one consumer; here the
+    // same composition is ONE streaming query with TWO chained stateful
+    // operators: association buffering then the bounded entity fold.
+    import spark.implicits._
+    val subject = "zeebe-export-loop"
+    QueueHub.clear(subject)
+    // the composed query chains stateful operators; Spark's generic
+    // cross-operator late-row check cannot see the partial-granularity
+    // late rule + widened fold watermark that make this composition
+    // exact (importLoop's doc carries the argument)
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      val t0 = 1704067200000L
+      def r(id: Long, tsMs: Long, user: Long, typ: String,
+          value: Double = 10.0, k: Long = 0): StreamImport.Rec =
+        StreamImport.Rec(id, tsMs, user, typ, value, k)
+      def js(x: StreamImport.Rec): String =
+        s"""{"event_id":${x.event_id},"ts_ms":${x.ts_ms},"user_id":${x.user_id},""" +
+          s""""event_type":"${x.event_type}","value":${x.value},"k":${x.k}}"""
+      // u1: association first — records route as they arrive.
+      // u2: activity BEFORE its signup — must buffer, then flush and
+      //     fold once the association lands (the out-of-order case the
+      //     reference built TempDocumentStore for).
+      // u3: association never arrives — must never reach an entity.
+      val u1 = Seq(r(1, t0, 1, "signup"), r(2, t0 + 1000, 1, "purchase", value = 5.0),
+        r(3, t0 + 2000, 1, "click", value = 2.5))
+      val u2early = Seq(r(10, t0 + 500, 2, "click", value = 7.0),
+        r(11, t0 + 1500, 2, "purchase", value = 9.0))
+      val u2rest = Seq(r(12, t0 + 10 * 60 * 1000, 2, "signup"),
+        r(13, t0 + 11 * 60 * 1000, 2, "view"))
+      val u3 = Seq(r(20, t0 + 100, 3, "click", value = 1.0), r(21, t0 + 200, 3, "error", k = 95))
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft_loop_").toString + "/t"
+      val merge = StreamImport.foldMerge(StreamImport.transferFold)
+      val stream = spark.readStream.format("graft-queue").option("subject", subject).load()
+      val q = StreamImport.importLoop(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_loopchk_").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
+        }
+        .start()
+      def sinkRows(): Map[Long, Seq[Any]] =
+        graft.streaming.TenantUpsertSink.readCurrent(spark, sinkDir)
+          .map(_.select(explode(col("rows")).as("r")).select("r.*").collect()
+            .map(w => w.getAs[Long]("transfer_key") -> w.toSeq).toMap)
+          .getOrElse(Map.empty)
+      // batch 1: u1 complete, u2's orphan activity, u3's orphans
+      QueueHub.publish(subject, (u1 ++ u2early ++ u3).map(js))
+      q.processAllAvailable()
+      // ONE query, TWO stateful operators
+      assert(q.lastProgress.stateOperators.length == 2,
+        s"expected the buffer AND the fold in one query, got ${q.lastProgress.stateOperators.length}")
+      val afterFirst = sinkRows()
+      assert(afterFirst.keySet == Set(1L),
+        s"only the associated instance materializes: ${afterFirst.keySet}")
+      // batch 2: u2's signup arrives → its buffered records flush
+      // THROUGH the fold with the signup, extending the entity
+      QueueHub.publish(subject, u2rest.map(js))
+      q.processAllAvailable()
+      q.stop()
+      val got = sinkRows()
+      assert(got.keySet == Set(1L, 2L), s"unexpected entity keys: ${got.keySet}")
+      // exact vs the direct fold of EVERY record of each routed user
+      val fold = StreamImport.transferFold
+      for ((key, rs) <- Seq(1L -> u1, 2L -> (u2early ++ u2rest))) {
+        val want = fold.render(key,
+          rs.foldLeft(fold.empty)(fold.step)).head.productIterator.toSeq
+        assert(got(key) == want, s"key $key: composed=${got(key)} direct=$want")
+      }
+    } finally
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+  }
 }

@@ -1082,16 +1082,21 @@ class StreamingSpec extends SparkSpec {
     stream.addData(mkRec(100, t0, 7, "click"), mkRec(101, t0 + 1000, 7, "view"))
     q.processAllAvailable()
     assert(spark.table("ooo_out").count() == 0)
-    // batch 2: the association arrives → buffer flushes with process id
+    // batch 2: the association arrives → buffer flushes with process
+    // id, and the signup itself routes (it carries lifecycle data)
     stream.addData(mkRec(102, t0 + 2000, 7, "signup"))
     q.processAllAvailable()
     val flushed = spark.table("ooo_out").orderBy("event_id").collect()
-    assert(flushed.map(_.getAs[Long]("event_id")).toSeq == Seq(100L, 101L))
+    assert(flushed.map(_.getAs[Long]("event_id")).toSeq == Seq(100L, 101L, 102L))
     assert(flushed.forall(_.getAs[String]("process_id") == "proc-t7"))
+    // the routed rows carry the FULL record, not just ids — what lets
+    // a downstream entity fold consume the routed stream directly
+    assert(flushed.map(_.getAs[String]("event_type")).toSeq == Seq("click", "view", "signup"))
+    assert(flushed.map(_.getAs[Long]("ts_ms")).toSeq == Seq(t0, t0 + 1000, t0 + 2000))
     // batch 3: post-association records route immediately
     stream.addData(mkRec(103, t0 + 3000, 7, "click"))
     q.processAllAvailable()
-    assert(spark.table("ooo_out").count() == 3)
+    assert(spark.table("ooo_out").count() == 4)
     // batch 4: an orphan for user 8, then the watermark sails past its
     // 1 h idle horizon (driven by user 9's much later events) → the
     // orphan flushes to the dead-letter route and state drops
