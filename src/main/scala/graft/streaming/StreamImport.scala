@@ -1362,6 +1362,58 @@ object StreamImport {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** LEFT OUTER event-time stream-stream join — [[joinStream]] plus
+    * the unmatched rows (clicks with NO purchase within the following
+    * hour), which the ops-UI correlation read also needs. Matches emit
+    * eagerly like the inner join; a null-extended row for an unmatched
+    * click emits only when the WATERMARK closes its match window
+    * (c_ts + 1 h), i.e. the click provably can never match — state
+    * stays bounded exactly as in the inner join.
+    */
+  def joinOuterStream(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        timestamp_millis(col("ts_ms")).as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        timestamp_millis(col("ts_ms")).as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
+  /** Driver-checked left-outer stream join. Determinism at stream end:
+    * a null-extended row only exists once the watermark passed its
+    * click's match window, and the final watermark is data-dependent —
+    * so the checked projection keeps every MATCHED row (those emit
+    * eagerly, unconditionally) but an UNMATCHED row only for clicks
+    * whose window is closed with a full watermark-delay margin to
+    * spare (c_ts ≤ max ts − 3 h: window end ≤ max ts − 2 h < final
+    * watermark = max ts − 1 h). The oracle applies the same cut, so
+    * both sides enumerate exactly the provably-closed region.
+    * Unmatched purchase_id renders as −1 (engine-portable; no NULL
+    * hashing asymmetry in the compare).
+    */
+  def runJoinOuterToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val maxTs = Tables.events(spark, dir).agg(max("ts_ms")).head().getLong(0)
+    val cutoff = maxTs - 3L * 3600 * 1000
+    runPipeline(spark, dir, events =>
+      joinOuterStream(events)
+        .select(col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          col("user_id"), unix_millis(col("c_ts")).as("c_ts_ms"))
+        .withColumn("pair_key", concat(col("click_id"), lit("_"), col("purchase_id")))
+        .withColumn("tenant", concat(lit("t"), col("user_id") % 10)),
+      "pair_key", mode = "append")
+      .where(col("purchase_id") =!= -1L || col("c_ts_ms") <= cutoff)
+      .select("click_id", "purchase_id", "user_id")
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Driver-checked stream-stream join — oracle = the batch interval
     * self-join.
     */
@@ -1529,6 +1581,7 @@ object StreamImport {
     "stream_dedup" -> (runDedupToCompletion _),
     "stream_window" -> (runWindowToCompletion _),
     "stream_join" -> (runJoinToCompletion _),
+    "stream_join_outer" -> (runJoinOuterToCompletion _),
     "stream_hll" -> (runHllToCompletion _),
     "stream_kmv" -> (runKmvToCompletion _),
     "stream_topn" -> (runTopnToCompletion _),
@@ -1553,6 +1606,17 @@ object StreamImport {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts) AND epoch_ms(c.ts) + 3600000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "stream_join_outer" ->
+      """WITH mx AS (SELECT MAX(epoch_ms(ts)) AS m FROM events)
+        |SELECT c.event_id AS click_id,
+        |  COALESCE(p.event_id, -1) AS purchase_id, c.user_id
+        |FROM events c LEFT JOIN events p ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts) AND epoch_ms(c.ts) + 3600000
+        |WHERE c.event_type = 'click'
+        | AND (p.event_id IS NOT NULL
+        |      OR epoch_ms(c.ts) <= (SELECT m FROM mx) - 10800000)
         |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_hll" -> graft.operators.ApproxOps.sketchHllSql,
     "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,

@@ -1354,6 +1354,44 @@ class StreamingSpec extends SparkSpec {
     assert(want.toSeq != decodeStub(payload, meta).map(frameChecksum).toSeq)
   }
 
+  test("stream_join_outer: null-extension waits for the watermark to close the match window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val stream = MemoryStream[Rec]
+    val q = StreamImport.joinOuterStream(stream.toDF())
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("oj_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_oj_").toString)
+      .start()
+    def out() = spark.table("oj_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // an unmatched click cannot be PROVEN unmatched yet → no emission
+    stream.addData(mkRec(1, t0, 1, "click"))
+    q.processAllAvailable()
+    assert(out().isEmpty, "null-extended row emitted before the window closed")
+    // a matched pair emits eagerly, no watermark wait (cross-batch:
+    // the click is buffered state from batch 1... this one is batch 2)
+    stream.addData(mkRec(2, t0 + 60000, 2, "click"),
+      mkRec(3, t0 + 120000, 2, "purchase"))
+    q.processAllAvailable()
+    assert(out() == Set((2L, Some(3L))), s"eager match wrong: ${out()}")
+    // watermark sails past click 1's match window (t0 + 1 h): the
+    // null-extended row for it NOW emits. BOTH sides must see the
+    // advance — the watermark is the min across the two event-time
+    // columns, and only click/purchase records reach them
+    stream.addData(mkRec(4, t0 + 4 * 3600 * 1000L, 3, "click"),
+      mkRec(5, t0 + 4 * 3600 * 1000L, 4, "purchase"))
+    q.processAllAvailable()
+    stream.addData(mkRec(6, t0 + 4 * 3600 * 1000L + 1, 3, "click"),
+      mkRec(7, t0 + 4 * 3600 * 1000L + 1, 4, "purchase"))
+    q.processAllAvailable()
+    assert(out().contains((1L, None)),
+      s"closed window did not null-extend the unmatched click: ${out()}")
+    q.stop()
+  }
+
   test("preFold: partials merge to the exact fold; flush cap bounds the map") {
     val t0 = 1700000000000L
     val types = Array("signup", "purchase", "click", "view", "error")
