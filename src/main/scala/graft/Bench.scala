@@ -39,43 +39,55 @@ object Bench {
       }
       Scratch.releaseAll()
     }
+    // repetitions per query, MEDIAN reported: single runs bounced ±2×
+    // on sub-second queries from sweep-order residue alone (rounds 4-6
+    // all spent judge time re-timing in isolation); the median of 3
+    // makes BENCH_rN diffable round-over-round. Large corpora can dial
+    // it down (the sf1 scale point runs 1×).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val failed = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>
-      // ---- per-query isolation, all OUTSIDE the timing ----
-      // round 1's leak was Scratch blocks; what remained in round 2 was
-      // ~2-4× sweep-order drift from shuffle-file/GC residue of EARLIER
-      // queries. Quiesce before each measurement: release scratch,
-      // drop cached plans, and force a GC cycle so the ContextCleaner
-      // reclaims dead shuffle files — then run the query in a FRESH
-      // child session (own SQL conf/cache/temp state, shared executors
-      // and file-listing warmup).
-      Scratch.releaseAll()
-      spark.catalog.clearCache()
-      // unload lingering streaming state-store providers and their
-      // maintenance thread — an earlier stream_* query's providers
-      // (in-memory version maps + background snapshot uploads) survive
-      // query stop and inflated later stream queries up to 4.6× in the
-      // sweep; the next streaming query restarts maintenance lazily
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      System.gc()
-      Thread.sleep(150) // let the async cleaner drain
-      val session = spark.newSession()
-      functions.GraftFunctions.register(session)
-      val t0 = System.nanoTime()
-      // noop sink materializes EVERY column and keeps the final sort
-      // in the plan — count() would let Catalyst prune the aggregates
-      // and EliminateSorts drop the orderBy, timing a fraction of the
-      // real query
-      val ok = try {
-        fn(session, sfDir).write.mode("overwrite").format("noop").save(); true
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
-          false
+      val times = (1 to reps).map { _ =>
+        // ---- per-rep isolation, all OUTSIDE the timing ----
+        // round 1's leak was Scratch blocks; what remained in round 2
+        // was ~2-4× sweep-order drift from shuffle-file/GC residue of
+        // EARLIER queries. Quiesce before each measurement: release
+        // scratch, drop cached plans, and force a GC cycle so the
+        // ContextCleaner reclaims dead shuffle files — then run the
+        // query in a FRESH child session (own SQL conf/cache/temp
+        // state, shared executors and file-listing warmup).
+        Scratch.releaseAll()
+        spark.catalog.clearCache()
+        // unload lingering streaming state-store providers and their
+        // maintenance thread — an earlier stream_* query's providers
+        // (in-memory version maps + background snapshot uploads)
+        // survive query stop and inflated later stream queries up to
+        // 4.6× in the sweep; the next streaming query restarts
+        // maintenance lazily
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        System.gc()
+        Thread.sleep(150) // let the async cleaner drain
+        val session = spark.newSession()
+        functions.GraftFunctions.register(session)
+        val t0 = System.nanoTime()
+        // noop sink materializes EVERY column and keeps the final sort
+        // in the plan — count() would let Catalyst prune the
+        // aggregates and EliminateSorts drop the orderBy, timing a
+        // fraction of the real query
+        try {
+          fn(session, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
-      // a failed query reports -1, never its time-to-crash
-      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // a failed rep poisons the query: report -1, never a partial
+      // median over surviving reps (that would hide flaky failures)
+      val elapsed =
+        if (times.contains(-1.0)) { failed += name; -1.0 }
+        else times.sorted.apply(times.size / 2)
       name -> elapsed
     }
     // the last query's scratch blocks
