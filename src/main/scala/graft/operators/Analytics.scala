@@ -827,7 +827,233 @@ object Analytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** TPC-H Q6 shape: the pure scan-side query — one table, three
+    * range predicates, one global sum. Every predicate reaches the
+    * parquet scan (`PushedFilters` carries shipdate, quantity; the
+    * discount band compares on the 2-decimal cast), so at 100 TB this
+    * reads only row groups whose stats overlap the year and ships ONE
+    * row to the driver: the query whole-stage-codegens to scan +
+    * partial sum + single-row final sum, no shuffle of data rows.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        dec2(col("l_discount")).between(lit("0.02").cast("decimal(18,2)"),
+          lit("0.04").cast("decimal(18,2)")) &&
+        col("l_quantity") < 24)
+      .agg(money4Str(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))))
+        .as("revenue"))
+
+  def q6ForecastSql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                      CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 shape: returned-item revenue top-20 — a quarter of
+    * orders joined to its R-flagged line items, revenue per customer,
+    * nation name from the broadcast dim. The date filter pushes to the
+    * orders scan and the returnflag filter to the lineitem scan BEFORE
+    * the orderkey shuffle; the top-20 runs as TakeOrderedAndProject
+    * (per-partition top-20, tiny driver merge), never a global sort.
+    * The tie-break (revenue, custkey) makes the LIMIT cut
+    * deterministic in both engines.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1996-10-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("_rev"))
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("_rev")).as("_r"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        money4Str(col("_r")).as("revenue"), col("_r"))
+      .orderBy(col("_r").desc, col("c_custkey"))
+      .limit(20)
+      .drop("_r")
+  }
+
+  def q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(CAST(rev AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+      |FROM (
+      |  SELECT o_custkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |    AND l_returnflag = 'R'
+      |  GROUP BY o_custkey) t
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue SHARE in a month — a two-branch
+    * conditional aggregate over lineitem ⋈ part. The share is rendered
+    * at fixed e4 precision by INTEGER arithmetic (both sums scaled to
+    * integer cents-of-cents, then bigint floor-divide): no decimal
+    * division whose precision rules differ between engines, no
+    * doubles. The month filter pushes to the lineitem scan; part joins
+    * on partkey (AQE broadcasts the dim at small SF).
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("_promo"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("_total"))
+      .select(
+        expr("CAST(CAST(_promo * 10000 AS BIGINT) * 10000 DIV CAST(_total * 10000 AS BIGINT) AS BIGINT)")
+          .as("promo_share_e4"),
+        money4Str(col("_promo")).as("promo_revenue"),
+        money4Str(col("_total")).as("total_revenue"))
+  }
+
+  def q14PromoSql: String =
+    """SELECT
+      |  CAST(promo * 10000 AS BIGINT) * 10000 // CAST(total * 10000 AS BIGINT) AS promo_share_e4,
+      |  CAST(CAST(promo AS DECIMAL(38,4)) AS VARCHAR) AS promo_revenue,
+      |  CAST(CAST(total AS DECIMAL(38,4)) AS VARCHAR) AS total_revenue
+      |FROM (
+      |  SELECT
+      |    SUM(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00') t""".stripMargin
+
+  /** TPC-H Q17 shape: small-quantity orders for one brand — the
+    * correlated "below 20% of this part's average quantity" filter,
+    * decorrelated into a per-part aggregate joined back. Division-free
+    * correlation: qty < 0.2 × (sum/cnt) becomes qty × 5 × cnt < sum by
+    * integer cross-multiplication, exact in decimal space. The brand
+    * filter shrinks part BEFORE the join (broadcast at small SF); the
+    * per-part stats reuse the matched join's partkey partitioning.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13").select("p_partkey")
+    val matched = Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), dec2(col("l_quantity")).as("_q"),
+        dec2(col("l_extendedprice")).as("_e"))
+    val stats = matched.groupBy(col("l_partkey").as("_sk"))
+      .agg(sum(col("_q")).as("_sq"), count(lit(1)).as("_cnt"))
+    matched.join(stats, col("l_partkey") === col("_sk"))
+      .filter(col("_q") * lit(5) * col("_cnt") < col("_sq"))
+      .agg(moneyStr(sum(col("_e"))).as("small_qty_revenue"),
+        count(lit(1)).cast(LongType).as("n_lines"))
+  }
+
+  def q17SmallQtySql: String =
+    """WITH m AS (
+      |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS e
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#13'),
+      |s AS (SELECT l_partkey AS sk, SUM(q) AS sq, COUNT(*) AS cnt
+      |      FROM m GROUP BY 1)
+      |SELECT CAST(CAST(SUM(e) AS DECIMAL(38,2)) AS VARCHAR) AS small_qty_revenue,
+      |       COUNT(*) AS n_lines
+      |FROM m JOIN s ON l_partkey = sk
+      |WHERE q * 5 * cnt < sq""".stripMargin
+
+  /** TPC-H Q19 shape: DISJUNCTIVE join predicates — three
+    * brand × quantity-band arms OR-ed together after the partkey
+    * equi-join. Catalyst extracts the common equi-key (the join stays
+    * a hash join, never a cartesian) and pushes the per-side conjunct
+    * unions down to both scans; the OR evaluates post-join on the
+    * matched pairs only.
+    */
+  def q19Discount(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#13" && col("l_quantity").between(20, 30)))
+      .agg(money4Str(sum(dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))).as("revenue"),
+        count(lit(1)).cast(LongType).as("n_lines"))
+  }
+
+  def q19DiscountSql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q22 shape: rich prospects who never ordered — an
+    * uncorrelated scalar threshold (above the positive-balance mean)
+    * plus an ANTI join against orders, grouped by nation. The mean
+    * compare is division-free (bal × cnt⁺ > sum⁺ in decimal space);
+    * the anti join ships only custkeys; the scalar subquery is ONE
+    * tiny extra aggregate inlined into the filter, the same plan
+    * shape q11_share pins.
+    */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val pos = c.filter(col("c_acctbal") > 0)
+      .agg(sum(dec2(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+    // "never ordered RECENTLY": the date cut keeps the anti join
+    // non-vacuous at every SF (an all-time cut goes empty once each
+    // customer has ordered once, which happens by sf0.01)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey")
+    c.crossJoin(broadcast(pos))
+      .filter(dec2(col("c_acctbal")) * col("n") > col("s"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast(LongType).as("numcust"),
+        moneyStr(sum(dec2(col("c_acctbal")))).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  def q22NoOrdersSql: String =
+    """WITH pos AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS totacctbal
+      |FROM customer, pos
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Forecast _),
+    "q10_returns" -> (q10Returns _),
+    "q14_promo" -> (q14Promo _),
+    "q17_smallqty" -> (q17SmallQty _),
+    "q19_discount" -> (q19Discount _),
+    "q22_noorders" -> (q22NoOrders _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_regional" -> (q5Regional _),
@@ -856,6 +1082,12 @@ object Analytics {
     "q_cube" -> (qCube _))
 
   def oracles: Map[String, String] = Map(
+    "q6_forecast" -> q6ForecastSql,
+    "q10_returns" -> q10ReturnsSql,
+    "q14_promo" -> q14PromoSql,
+    "q17_smallqty" -> q17SmallQtySql,
+    "q19_discount" -> q19DiscountSql,
+    "q22_noorders" -> q22NoOrdersSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_regional" -> q5RegionalSql,

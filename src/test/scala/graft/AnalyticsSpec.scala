@@ -322,4 +322,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("cume_e6") > 0 && r.getAs[Long]("cume_e6") <= 1000000))
     assert(rows.forall(r => r.getAs[Long]("prank_e6") >= 0 && r.getAs[Long]("prank_e6") <= 1000000))
   }
+
+  test("q6 plan: all three predicates reach the parquet scan, no data shuffle") {
+    val plan = Analytics.q6Forecast(spark, sfDir).queryExecution.executedPlan.toString
+    // the rendered PushedFilters list truncates, so anchor on its
+    // (stable) head plus the Filter node's own predicate text
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate not pushed to the scan in:\n$plan")
+    assert(plan.contains("l_quantity") && plan.contains("< 24.0"),
+      s"quantity predicate missing in:\n$plan")
+    // the only exchange is the single-row partial->final aggregate
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a global-sum query must not hash-shuffle data rows:\n$plan")
+  }
+
+  test("q19 plan: disjunctive predicates stay a single equi hash join, never a cartesian") {
+    val plan = Analytics.q19Discount(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"OR-predicates degraded the join:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash join in:\n$plan")
+  }
+
+  test("q22: threshold subquery inlines as one aggregate; anti join keeps only never-ordered") {
+    val df = Analytics.q22NoOrders(spark, sfDir)
+    val got = df.collect()
+    assert(got.nonEmpty, "q22 went vacuous at the spec SF")
+    // cross-check one nation against a direct computation
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey", "c_acctbal").collect()
+    val pos = c.map(_.getDouble(2)).filter(_ > 0)
+    val (s2, n2) = (pos.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum, pos.length)
+    val recent = Tables.orders(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("o_orderdate") >= org.apache.spark.sql.functions.lit("2000-01-01"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expect = c.filter(r => BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * n2 > s2)
+      .filterNot(r => recent.contains(r.getLong(0)))
+      .groupBy(_.getInt(1)).view.mapValues(_.length.toLong).toMap
+    val gotMap = got.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotMap == expect, s"got $gotMap want $expect")
+  }
 }
