@@ -1047,7 +1047,124 @@ object Analytics {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** TPC-H Q16 shape: supplier diversity per part class —
+    * COUNT(DISTINCT supplier) by (brand, type, size) over the
+    * part ⋈ lineitem supply relation, EXCLUDING a blacklisted supplier
+    * set (NOT IN → anti join). The blacklist (negative-balance
+    * suppliers) ships as a broadcast; the distinct-count shuffles
+    * (brand, type, size, suppkey) pairs once, then counts — no
+    * expand-based distinct over the raw relation.
+    */
+  def q16PartSupp(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("_bad"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size").isin(1, 5, 9, 13))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("_bad"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  def q16PartSuppSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size IN (1, 5, 9, 13)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 shape: suppliers who moved EXCESS volume — a semi-join
+    * chain: promo parts → per-(supplier, part) shipped quantity in a
+    * year → suppliers where some part's volume clears a threshold →
+    * supplier names. Each stage shrinks before the next join; the
+    * final supplier join sees only qualifying suppkeys (semi join, no
+    * payload). The reference's available-quantity subquery becomes the
+    * shipped-volume aggregate our schema carries.
+    */
+  def q20Excess(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val vol = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("_v"))
+      .filter(col("_v") > lit(50).cast("decimal(18,2)"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(vol, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  def q20ExcessSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'PROMO'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21 shape: the sole-blame supplier — orders where supplier
+    * s shipped LATE (> 60 days after the order date) and NO OTHER
+    * supplier of the same order was late: one EXISTS and one
+    * NOT-EXISTS, both correlated on the same relation. Decorrelated
+    * by aggregation instead of two subquery joins: per (order,
+    * supplier) late flags roll up to per-order (late-supplier count,
+    * the one late suppkey via conditional max), and "sole blame" is
+    * the single filter n_late_supps = 1 — one shuffle on orderkey,
+    * no self-join of lineitem against itself.
+    */
+  def q21Blame(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+    val flags = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
+        .otherwise(0)).as("_late"))
+    val blamed = flags.groupBy(col("l_orderkey"))
+      .agg(sum(col("_late")).as("_n_late"),
+        max(when(col("_late") === 1, col("l_suppkey"))).as("_who"),
+        count(lit(1)).as("_n_supps"))
+      .filter(col("_n_late") === 1 && col("_n_supps") > 1)
+    blamed.groupBy(col("_who").as("s_suppkey"))
+      .agg(count(lit(1)).cast(LongType).as("numwait"))
+      .join(Tables.supplier(spark, dir), Seq("s_suppkey"))
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  def q21BlameSql: String =
+    """WITH flags AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey, l_suppkey),
+      |blamed AS (
+      |  SELECT l_orderkey, MAX(CASE WHEN late = 1 THEN l_suppkey END) AS who
+      |  FROM flags GROUP BY l_orderkey
+      |  HAVING SUM(late) = 1 AND COUNT(*) > 1)
+      |SELECT who AS s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM blamed JOIN supplier ON who = s_suppkey
+      |GROUP BY who, s_name
+      |ORDER BY numwait DESC, s_suppkey LIMIT 25""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_partsupp" -> (q16PartSupp _),
+    "q20_excess" -> (q20Excess _),
+    "q21_blame" -> (q21Blame _),
     "q6_forecast" -> (q6Forecast _),
     "q10_returns" -> (q10Returns _),
     "q14_promo" -> (q14Promo _),
@@ -1082,6 +1199,9 @@ object Analytics {
     "q_cube" -> (qCube _))
 
   def oracles: Map[String, String] = Map(
+    "q16_partsupp" -> q16PartSuppSql,
+    "q20_excess" -> q20ExcessSql,
+    "q21_blame" -> q21BlameSql,
     "q6_forecast" -> q6ForecastSql,
     "q10_returns" -> q10ReturnsSql,
     "q14_promo" -> q14PromoSql,
