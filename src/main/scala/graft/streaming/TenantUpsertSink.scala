@@ -11,17 +11,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * idempotent by key, latest batch wins).
   *
   * Layout: generation directories (`gen-NNN` each holding
-  * `tenant=T` parquet partitions) plus an atomically-renamed
-  * `_CURRENT` MANIFEST mapping each tenant to
-  * the generation holding its current rows. An upsert rewrites ONLY
-  * the tenants present in the batch — per-batch cost is O(touched
-  * tenants' rows), not O(table): untouched tenants keep pointing at
-  * their existing generation and their files are never re-written
-  * (the JDBC-MERGE cost contract this sink stands in for). A crash at
-  * any point leaves the previous manifest valid and every generation
-  * it references intact, so re-running the batch converges.
-  * Generations no longer referenced by any tenant are pruned
-  * best-effort after the manifest swing.
+  * `tenant=T/_bucket=B` parquet partitions — the bucket a stable hash
+  * of the key) plus an atomically-renamed `_CURRENT` MANIFEST mapping
+  * each (tenant, bucket) to the generation holding its current rows.
+  * An upsert rewrites ONLY the (tenant, bucket) partitions present in
+  * the batch — per-batch cost is O(touched buckets' rows), not
+  * O(touched tenants' rows) and never O(table): a small batch against
+  * a huge tenant rewrites 1/buckets of it, the granularity knob the
+  * round-6 review flagged (few large tenants made touched-tenant cost
+  * approach O(table)). Untouched partitions keep pointing at their
+  * existing generation and their files are never re-written (the
+  * JDBC-MERGE cost contract this sink stands in for). A crash at any
+  * point leaves the previous manifest valid and every generation it
+  * references intact, so re-running the batch converges. Generations
+  * no longer referenced by any entry are pruned best-effort after the
+  * manifest swing. The bucket count must stay FIXED for a table's
+  * lifetime (it routes keys to their existing rows, like any hash
+  * bucketing).
   *
   * Concurrency contract: SINGLE WRITER, and readers must fully
   * consume (or checkpoint) a [[readCurrent]] frame before the next
@@ -52,6 +58,15 @@ object TenantUpsertSink {
 
   private val Pointer = "_CURRENT"
 
+  /** Buckets per tenant. Fixed for a table's lifetime. */
+  val DefaultBuckets = 16
+
+  /** The stable key → bucket route. */
+  private def bucketCol(key: String, buckets: Int) = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    pmod(xxhash64(col(key)), lit(buckets.toLong)).cast("int")
+  }
+
   /** Spark's partition-directory escaping (what `partitionBy` itself
     * writes) — manifest keys and path fragments store the ESCAPED
     * form so they always name the directory that exists on disk.
@@ -67,11 +82,17 @@ object TenantUpsertSink {
       m.groupBy(_._2).map { case (gen, entries) =>
         spark.read
           .option("basePath", s"$tableDir/$gen")
-          .parquet(entries.keys.toSeq.sorted.map(t => s"$tableDir/$gen/tenant=$t"): _*)
-      }.reduce(_ unionByName _)
+          .parquet(entries.keys.toSeq.sorted.map(tb => s"$tableDir/$gen/tenant=$tb"): _*)
+      }.reduce(_ unionByName _).drop("_bucket")
     }
 
-  /** tenant → generation holding that tenant's current rows. */
+  /** "tenant/_bucket=N" → generation holding that bucket's current
+    * rows. The manifest key IS the path fragment under
+    * `$gen/tenant=`; the tenant part is path-escaped, so the
+    * "/_bucket=" separator cannot occur inside it, and the parse's
+    * lastIndexOf('=') still finds the generation (generation names
+    * contain no '=').
+    */
   private def currentManifest(tableDir: String): Option[Map[String, String]] = {
     val p = new java.io.File(tableDir, Pointer)
     if (!p.exists()) None
@@ -91,7 +112,8 @@ object TenantUpsertSink {
     * must encode "no existing row" in the batch's own columns.
     */
   def upsert(tableDir: String, batch: DataFrame, key: String,
-      mergeWithCurrent: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
+      mergeWithCurrent: Option[(DataFrame, DataFrame) => DataFrame] = None,
+      buckets: Int = DefaultBuckets): Unit = {
     val spark = batch.sparkSession
     // every action inside foreachBatch RE-RUNS the micro-batch plan
     // (a stateful fold here) — cache it so the emptiness probe, the
@@ -130,23 +152,29 @@ object TenantUpsertSink {
           s"TenantUpsertSink: key $bad arrived under multiple tenants in one batch — " +
             "tenant must be a stable function of the key (see class doc)")
       }
-      val touched = summary.getSeq[String](1).map(esc).toSet
+      // touched (tenant, bucket) routing set — bounded by
+      // tenants × buckets, the same class of bound as the reference's
+      // per-tenant DataSource registry
+      val routed = batch.withColumn("_bucket", bucketCol(key, buckets))
+      val touched = routed.select("tenant", "_bucket").distinct().collect()
+        .map(r => s"${esc(r.getString(0))}/_bucket=${r.getInt(1)}").toSet
       val existingTouched = touched.intersect(manifest.keySet)
       val merged =
         if (existingTouched.isEmpty) batch
         else {
-          val current = existingTouched.groupBy(manifest).map { case (gen, tenants) =>
+          val current = existingTouched.groupBy(manifest).map { case (gen, tbs) =>
             spark.read
               .option("basePath", s"$tableDir/$gen")
-              .parquet(tenants.toSeq.sorted.map(t => s"$tableDir/$gen/tenant=$t"): _*)
-          }.reduce(_ unionByName _)
+              .parquet(tbs.toSeq.sorted.map(tb => s"$tableDir/$gen/tenant=$tb"): _*)
+          }.reduce(_ unionByName _).drop("_bucket")
           val incoming = mergeWithCurrent.map(f => f(current, batch)).getOrElse(batch)
           current.join(incoming.select(key).distinct(), Seq(key), "left_anti")
             .unionByName(incoming)
         }
       val gen = s"gen-${System.nanoTime()}"
-      merged.write.mode(SaveMode.Overwrite)
-        .partitionBy("tenant")
+      merged.withColumn("_bucket", bucketCol(key, buckets))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("tenant", "_bucket")
         .parquet(s"$tableDir/$gen")
       // atomic manifest swing: untouched tenants keep their generation,
       // touched tenants move to the new one (keys already escaped)

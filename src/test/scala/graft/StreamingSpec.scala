@@ -856,12 +856,16 @@ class StreamingSpec extends SparkSpec {
     // snapshot tenant t1's files: b2 does not touch t1, so the
     // partition-pruned rewrite must leave these EXACT files in place
     def tenantFiles(t: String): Map[String, Seq[Byte]] = {
+      // manifest keys are bucket-granular: "<tenant>/_bucket=N=gen";
+      // collect every bucket dir of the tenant
       val manifest = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(dir, "_CURRENT"))).linesIterator
         .map { l => val i = l.lastIndexOf('='); l.substring(0, i) -> l.substring(i + 1) }.toMap
-      val pdir = new java.io.File(dir, s"${manifest(t)}/tenant=$t")
-      pdir.listFiles().filter(_.getName.endsWith(".parquet")).map(f =>
-        f.getAbsolutePath -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      manifest.collect { case (tb, gen) if tb.startsWith(s"$t/") =>
+        val pdir = new java.io.File(dir, s"$gen/tenant=$tb")
+        pdir.listFiles().filter(_.getName.endsWith(".parquet")).map(f =>
+          f.getAbsolutePath -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      }.flatten.toMap
     }
     val t1Before = tenantFiles("t1")
     assert(t1Before.nonEmpty)
@@ -881,6 +885,25 @@ class StreamingSpec extends SparkSpec {
     // swing must not corrupt reads (pointer still names a valid gen)
     new java.io.File(dir, "gen-9999999999999999999").mkdirs()
     assert(TenantUpsertSink.readCurrent(spark, dir).get.count() == 3)
+    // BUCKET granularity (the round-6 watch item): load one tenant
+    // with keys across many buckets, then touch a single key — the
+    // other buckets' files must survive byte-identical at their OLD
+    // paths (their manifest entries still point at the old gen)
+    val wide = (100L to 131L).map(k => (k, "t9", "w0"))
+      .toDF("transfer_key", "tenant", "payload")
+    TenantUpsertSink.upsert(dir, wide, "transfer_key")
+    val before9 = tenantFiles("t9")
+    TenantUpsertSink.upsert(dir,
+      Seq((100L, "t9", "w1")).toDF("transfer_key", "tenant", "payload"), "transfer_key")
+    val after9 = tenantFiles("t9")
+    val surviving = before9.count { case (p, bytes) => after9.get(p).contains(bytes) }
+    assert(surviving >= before9.size / 2,
+      s"touching one key rewrote most of the tenant: $surviving of ${before9.size} files survived")
+    assert(surviving < before9.size, "the touched key's own bucket must move")
+    val rows = TenantUpsertSink.readCurrent(spark, dir).get
+      .filter(col("tenant") === "t9").collect()
+      .map(r => r.getAs[Long]("transfer_key") -> r.getAs[String]("payload")).toMap
+    assert(rows(100L) == "w1" && rows.size == 32 && rows.count(_._2 == "w0") == 31)
   }
 
   test("upsert sink: a key arriving under two tenants in one batch fails loudly") {
