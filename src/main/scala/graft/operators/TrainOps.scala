@@ -208,6 +208,65 @@ object TrainOps {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Curriculum-ordered training sequence: band documents by an
+    * easy-to-hard difficulty proxy (average word length — short-word
+    * prose first), then give each band a deterministic salted-hash
+    * reading order, sharded exactly like [[pipeShuffle]]. The banding
+    * uses FIXED thresholds (corpus quartiles at authoring time), not
+    * NTILE: quantile banding needs a global sort/percentile pass and
+    * re-bands every doc whenever the corpus grows, while fixed cuts
+    * are row-local, scale-free, and stable under backfill — the same
+    * argument as [[pipeSplit]]'s salted-hash holdout. Position is
+    * per (band, shard): a trainer reads bands in order, round-robin
+    * over shards — no global row_number (a single-task sort at
+    * 100 TB) anywhere in the plan.
+    */
+  val CurriculumShards = 64
+  val CurriculumSalt = "curr|"
+  val CurriculumCutsE2: Seq[Long] = Seq(438L, 450L, 463L)
+
+  def pipeCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val ordHash = s"graft_hash60(concat('$CurriculumSalt', CAST(doc_id AS STRING)))"
+    val Seq(c1, c2, c3) = CurriculumCutsE2
+    val w = Window.partitionBy("band", "shard").orderBy(col("ord"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("avg_len_e2",
+        expr("100 * (length(text) - (n_tokens - 1)) DIV n_tokens"))
+      .select(col("doc_id"),
+        when(col("avg_len_e2") <= c1, 1L).when(col("avg_len_e2") <= c2, 2L)
+          .when(col("avg_len_e2") <= c3, 3L).otherwise(4L).as("band"),
+        expr(s"$ordHash % $CurriculumShards").as("shard"),
+        expr(ordHash).as("ord"))
+      .withColumn("pos", (row_number().over(w) - 1).cast(LongType))
+      .select("doc_id", "band", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  def pipeCurriculumSql: String = {
+    val ordHash = graft.functions.Portable.hash60Duck(
+      s"CONCAT('$CurriculumSalt', CAST(doc_id AS VARCHAR))")
+    val Seq(c1, c2, c3) = CurriculumCutsE2
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) - (len(string_split(text,' ')) - 1) AS BIGINT) AS char_sum
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN 100 * char_sum // n_tokens <= $c1 THEN 1
+       |         WHEN 100 * char_sum // n_tokens <= $c2 THEN 2
+       |         WHEN 100 * char_sum // n_tokens <= $c3 THEN 3
+       |         ELSE 4 END AS band,
+       |    $ordHash % $CurriculumShards AS shard,
+       |    $ordHash AS ord
+       |  FROM q)
+       |SELECT doc_id, CAST(band AS BIGINT) AS band, CAST(shard AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY band, shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   /** Split geometry shared by [[pipeSplit]], its oracle, AND the
     * decontamination guard — one source of truth for the salt and the
     * stratum boundaries (a drift between the split and the guard
@@ -448,6 +507,7 @@ object TrainOps {
     "pipe_quota" -> (pipeQuota _),
     "pipe_tokenize" -> (pipeTokenize _),
     "pipe_shuffle" -> (pipeShuffle _),
+    "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_split" -> (pipeSplit _))
 
   def oracles: Map[String, String] = Map(
@@ -461,5 +521,6 @@ object TrainOps {
     "pipe_quota" -> pipeQuotaSql,
     "pipe_tokenize" -> pipeTokenizeSql,
     "pipe_shuffle" -> pipeShuffleSql,
+    "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_split" -> pipeSplitSql)
 }
