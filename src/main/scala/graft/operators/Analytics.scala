@@ -1161,7 +1161,190 @@ object Analytics {
       |GROUP BY who, s_name
       |ORDER BY numwait DESC, s_suppkey LIMIT 25""".stripMargin
 
+  /** TPC-H Q2 shape: the min-cost supplier per part — a correlated
+    * MIN over the supply relation, decorrelated into a per-part
+    * minimum joined back by equality, then decorated with supplier /
+    * nation / region dims. Unit cost is computed in INTEGER space per
+    * line (cents × 100 div integral quantity — the corpus's
+    * quantities are whole numbers), so the min and the equality
+    * join-back are exact in both engines with no decimal-division
+    * precision rules in play. The region filter prunes suppliers
+    * BEFORE the supply aggregate (broadcast dims), and the per-part
+    * min reuses the aggregate's partkey partitioning.
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    val s = Tables.supplier(spark, dir)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") === 9).select("p_partkey", "p_name")
+    val unit = expr(
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100 DIV CAST(l_quantity AS BIGINT)")
+    val supply = Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"), col("p_name"))
+      .agg(min(unit).as("cost_e4"))
+    val best = supply.groupBy(col("l_partkey").as("_pk"))
+      .agg(min(col("cost_e4")).as("_best"))
+    supply.join(best, col("l_partkey") === col("_pk") && col("cost_e4") === col("_best"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("l_suppkey").as("s_suppkey"), col("s_name"), col("n_name"), col("cost_e4"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  def q2MinCostSql: String =
+    """WITH s AS (
+      |  SELECT s_suppkey, s_name, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'),
+      |supply AS (
+      |  SELECT l_partkey, l_suppkey, s_name, n_name, p_name,
+      |    MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100
+      |        // CAST(l_quantity AS BIGINT)) AS cost_e4
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN s ON l_suppkey = s_suppkey
+      |  WHERE p_size = 9
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |best AS (SELECT l_partkey AS pk, MIN(cost_e4) AS b FROM supply GROUP BY 1)
+      |SELECT l_partkey AS p_partkey, p_name, l_suppkey AS s_suppkey,
+      |  s_name, n_name, cost_e4
+      |FROM supply JOIN best ON l_partkey = pk AND cost_e4 = b
+      |ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  /** TPC-H Q8 shape: national market share per year — one nation's
+    * fraction of regional revenue, two order years, rendered at fixed
+    * e4 precision by integer arithmetic (the q14 pattern: no decimal
+    * division). Dims broadcast; ONE shuffle for the year aggregate.
+    */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA"))
+    val cust = Tables.customer(spark, dir)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+    val rev = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), rev.as("_rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("n_name") === "BRAZIL", col("_rev"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("_nat"),
+        sum(col("_rev")).as("_tot"))
+      .select(col("o_year"),
+        expr("CAST(CAST(_nat * 10000 AS BIGINT) * 10000 DIV CAST(_tot * 10000 AS BIGINT) AS BIGINT)")
+          .as("mkt_share_e4"),
+        money4Str(col("_nat")).as("nation_revenue"),
+        money4Str(col("_tot")).as("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  def q8ShareSql: String =
+    """SELECT o_year,
+      |  CAST(nat * 10000 AS BIGINT) * 10000 // CAST(tot * 10000 AS BIGINT) AS mkt_share_e4,
+      |  CAST(CAST(nat AS DECIMAL(38,4)) AS VARCHAR) AS nation_revenue,
+      |  CAST(CAST(tot AS DECIMAL(38,4)) AS VARCHAR) AS total_revenue
+      |FROM (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    SUM(CASE WHEN n_name = 'BRAZIL'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS nat,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS tot
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'AMERICA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1) t
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q15 shape: the top supplier(s) — an aggregated revenue
+    * view, a scalar MAX over it, and an equality join-back (exact
+    * decimal equality, engine-portable). The view computes once and
+    * feeds both the max and the final filter.
+    */
+  def q15TopSupp(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("_r"))
+    val top = rev.agg(max(col("_r")).as("_m"))
+    rev.crossJoin(broadcast(top)).filter(col("_r") === col("_m"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), money4Str(col("_r")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  def q15TopSuppSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(CAST(r AS DECIMAL(38,4)) AS VARCHAR) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE r = (SELECT MAX(r) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q12 shape (delay-bucket proxy — the corpus has no
+    * shipmode/commit/receipt columns): per shipping-delay class, how
+    * many critical vs non-critical orders shipped there — the
+    * join + two-branch conditional count Q12 exercises, with the
+    * grouping dimension DERIVED per row (date arithmetic) instead of
+    * stored.
+    */
+  def q12LateMode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_class",
+        when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"), "fast")
+          .when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "slow")
+          .otherwise("normal"))
+      .groupBy(col("delay_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy("delay_class")
+  }
+
+  def q12LateModeSql: String =
+    """SELECT
+      |  CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+      |       WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 'slow'
+      |       ELSE 'normal' END AS delay_class,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_mincost" -> (q2MinCost _),
+    "q8_share" -> (q8Share _),
+    "q12_latemode" -> (q12LateMode _),
+    "q15_topsupp" -> (q15TopSupp _),
     "q16_partsupp" -> (q16PartSupp _),
     "q20_excess" -> (q20Excess _),
     "q21_blame" -> (q21Blame _),
@@ -1199,6 +1382,10 @@ object Analytics {
     "q_cube" -> (qCube _))
 
   def oracles: Map[String, String] = Map(
+    "q2_mincost" -> q2MinCostSql,
+    "q8_share" -> q8ShareSql,
+    "q12_latemode" -> q12LateModeSql,
+    "q15_topsupp" -> q15TopSuppSql,
     "q16_partsupp" -> q16PartSuppSql,
     "q20_excess" -> q20ExcessSql,
     "q21_blame" -> q21BlameSql,
