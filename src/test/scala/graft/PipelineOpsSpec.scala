@@ -183,6 +183,39 @@ class PipelineOpsSpec extends SparkSpec {
       s"doc $id moved from ${full(id)} to $s when the corpus shrank") }
   }
 
+  test("pipe_curriculum: bands exhaustive and growth-stable; positions dense per (band, shard)") {
+    import graft.operators.TrainOps
+    val full = TrainOps.pipeCurriculum(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("band"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))).toMap
+    assert(full.nonEmpty && full.size == Tables.documents(spark, sfDir).count())
+    assert(full.values.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    // positions are a dense 0..n-1 sequence within every (band, shard)
+    full.values.groupBy(v => (v._1, v._2)).foreach { case (bs, vs) =>
+      val ps = vs.map(_._3).toSeq.sorted
+      assert(ps == (0L until ps.size.toLong), s"holes in positions of $bs")
+    }
+    // growth stability: band and shard are pure functions of the doc —
+    // recomputing over a subset never re-bands or re-shards a doc
+    // (fixed cuts, not quantiles; position may compact, order may not
+    // flip: relative pos order within (band, shard) is preserved)
+    val half = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_curr_").toString
+    half.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val sub = TrainOps.pipeCurriculum(spark, dir2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("band"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))).toMap
+    assert(sub.nonEmpty)
+    sub.foreach { case (id, (b, sh, _)) =>
+      assert(full(id)._1 == b && full(id)._2 == sh,
+        s"doc $id re-banded/re-sharded when the corpus shrank") }
+    sub.groupBy { case (_, (b, sh, _)) => (b, sh) }.foreach { case (_, docs) =>
+      val byOld = docs.toSeq.sortBy { case (id, _) => full(id)._3 }.map(_._2._3)
+      assert(byOld == byOld.sorted, "relative curriculum order flipped under subsetting")
+    }
+  }
+
   test("pipe_decontaminate: only train-x-holdout pairs, each from the ngram detector") {
     import graft.operators.TrainOps
     val rows = TrainOps.pipeDecontaminate(spark, sfDir).collect()
