@@ -58,8 +58,17 @@ object TenantUpsertSink {
 
   private val Pointer = "_CURRENT"
 
-  /** Buckets per tenant. Fixed for a table's lifetime. */
-  val DefaultBuckets = 16
+  /** Buckets per tenant — the rewrite-granularity knob. Fixed for a
+    * table's lifetime (it routes keys to their existing rows). The
+    * default of 1 is the right FILE GEOMETRY at gate corpus sizes
+    * (per-gen file count is tenants × buckets, and 16× more tiny
+    * parquet files measurably tripled the toy-scale stream sweep); a
+    * production deployment sizes buckets so each bucket file lands in
+    * the 100 MB–1 GB range — at which point a small batch against a
+    * huge tenant rewrites 1/buckets of it instead of all of it (the
+    * round-6 watch item; granularity spec-pinned at 16 buckets).
+    */
+  val DefaultBuckets = 1
 
   /** The stable key → bucket route. */
   private def bucketCol(key: String, buckets: Int) = {
@@ -132,15 +141,17 @@ object TenantUpsertSink {
       // tenant) and the within-batch half of the tenant-stability
       // contract (class doc): per key, its tenant and whether a second
       // tenant appeared; a violating producer fails before writing
-      import org.apache.spark.sql.functions.{col => c, countDistinct, first, max => mx, collect_set, sum => sm, when => wh}
-      val perKey = batch.groupBy(c(key))
-        .agg(first("tenant").as("t"), countDistinct("tenant").as("nt"),
+      import org.apache.spark.sql.functions.{col => c, countDistinct, first, max => mx, collect_set, struct, sum => sm, when => wh}
+      val routed = batch.withColumn("_bucket", bucketCol(key, buckets))
+      val perKey = routed.groupBy(c(key))
+        .agg(first("tenant").as("t"), first("_bucket").as("b"),
+          countDistinct("tenant").as("nt"),
           // countDistinct/first/collect_set all skip nulls, which
           // would make a null-tenant producer SILENTLY invisible to
           // the manifest — count them so the boundary fails loudly
           sm(wh(c("tenant").isNull, 1L).otherwise(0L)).as("nulls"))
       val summary = perKey
-        .agg(mx("nt").as("max_nt"), collect_set("t").as("tenants"),
+        .agg(mx("nt").as("max_nt"), collect_set(struct(c("t"), c("b"))).as("tbs"),
           sm("nulls").as("null_tenants")).head()
       require(summary.getLong(2) == 0L,
         s"TenantUpsertSink: ${summary.getLong(2)} rows arrived with a NULL tenant — " +
@@ -153,10 +164,10 @@ object TenantUpsertSink {
             "tenant must be a stable function of the key (see class doc)")
       }
       // touched (tenant, bucket) routing set — bounded by
-      // tenants × buckets, the same class of bound as the reference's
-      // per-tenant DataSource registry
-      val routed = batch.withColumn("_bucket", bucketCol(key, buckets))
-      val touched = routed.select("tenant", "_bucket").distinct().collect()
+      // tenants × buckets (the reference's per-tenant DataSource
+      // registry class of bound), and already computed by the ONE
+      // summary aggregation above
+      val touched = summary.getSeq[org.apache.spark.sql.Row](1)
         .map(r => s"${esc(r.getString(0))}/_bucket=${r.getInt(1)}").toSet
       val existingTouched = touched.intersect(manifest.keySet)
       val merged =

@@ -885,23 +885,35 @@ class StreamingSpec extends SparkSpec {
     // swing must not corrupt reads (pointer still names a valid gen)
     new java.io.File(dir, "gen-9999999999999999999").mkdirs()
     assert(TenantUpsertSink.readCurrent(spark, dir).get.count() == 3)
-    // BUCKET granularity (the round-6 watch item): load one tenant
-    // with keys across many buckets, then touch a single key — the
+    // BUCKET granularity (the round-6 watch item), in its own table —
+    // the bucket count is fixed per table lifetime: load one tenant
+    // with keys across 16 buckets, then touch a single key — the
     // other buckets' files must survive byte-identical at their OLD
     // paths (their manifest entries still point at the old gen)
+    val bdir = java.nio.file.Files.createTempDirectory("graft_bucket_").toString + "/t"
+    def t9Files(): Map[String, Seq[Byte]] = {
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(bdir, "_CURRENT"))).linesIterator
+        .map { l => val i = l.lastIndexOf('='); l.substring(0, i) -> l.substring(i + 1) }.toMap
+      manifest.collect { case (tb, gen) if tb.startsWith("t9/") =>
+        new java.io.File(bdir, s"$gen/tenant=$tb").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(f =>
+            f.getAbsolutePath -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      }.flatten.toMap
+    }
     val wide = (100L to 131L).map(k => (k, "t9", "w0"))
       .toDF("transfer_key", "tenant", "payload")
-    TenantUpsertSink.upsert(dir, wide, "transfer_key")
-    val before9 = tenantFiles("t9")
-    TenantUpsertSink.upsert(dir,
-      Seq((100L, "t9", "w1")).toDF("transfer_key", "tenant", "payload"), "transfer_key")
-    val after9 = tenantFiles("t9")
+    TenantUpsertSink.upsert(bdir, wide, "transfer_key", buckets = 16)
+    val before9 = t9Files()
+    TenantUpsertSink.upsert(bdir,
+      Seq((100L, "t9", "w1")).toDF("transfer_key", "tenant", "payload"),
+      "transfer_key", buckets = 16)
+    val after9 = t9Files()
     val surviving = before9.count { case (p, bytes) => after9.get(p).contains(bytes) }
     assert(surviving >= before9.size / 2,
       s"touching one key rewrote most of the tenant: $surviving of ${before9.size} files survived")
     assert(surviving < before9.size, "the touched key's own bucket must move")
-    val rows = TenantUpsertSink.readCurrent(spark, dir).get
-      .filter(col("tenant") === "t9").collect()
+    val rows = TenantUpsertSink.readCurrent(spark, bdir).get.collect()
       .map(r => r.getAs[Long]("transfer_key") -> r.getAs[String]("payload")).toMap
     assert(rows(100L) == "w1" && rows.size == 32 && rows.count(_._2 == "w0") == 31)
   }
