@@ -83,6 +83,10 @@ object Bench {
             -1.0
         }
       }
+      // per-rep times to stderr: median drift across reps of the SAME
+      // query is diagnosable from the sweep log without a re-run
+      if (reps > 1) System.err.println(
+        s"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(", ")}")
       // a failed rep poisons the query: report -1, never a partial
       // median over surviving reps (that would hide flaky failures)
       val elapsed =
