@@ -602,6 +602,25 @@ object TextOps {
     */
   def minhashCandidatesFullWith(spark: SparkSession, dir: String,
       k: Int, bandRows: Int): DataFrame = {
+    // sigs + bands materialize once — the self-join consumes this
+    // frame on both sides
+    val exploded = graft.Scratch.cp(bandedFrame(spark, dir, k, bandRows))
+    val cand = exploded.as("a").join(exploded.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bands"))
+    graft.Scratch.seal(cand, exploded)
+  }
+
+  /** The banded signature frame (doc_id, band_idx, band_key) every
+    * minhash consumer joins on — the full-corpus self-join
+    * ([[minhashCandidatesFullWith]]) and the incremental
+    * delta-vs-corpus form ([[dedupIncremental]]).
+    */
+  private def bandedFrame(spark: SparkSession, dir: String,
+      k: Int, bandRows: Int): DataFrame = {
     require(k % bandRows == 0,
       s"graft-minhash: bandRows=$bandRows must divide the signature length $k")
     val nBands = k / bandRows
@@ -620,20 +639,56 @@ object TextOps {
           .map(r => s"mhs[${j * bandRows + r}]").mkString(", '_', ")
         expr(hx(s"concat($parts)")).as(s"band$j")
       }: _*)
-    // sigs + bands materialize once — the self-join consumes this
-    // frame on both sides
-    val exploded = graft.Scratch.cp(bands.select(col("doc_id"),
+    bands.select(col("doc_id"),
       explode(expr(s"map_from_arrays(sequence(0, ${nBands - 1}), " +
         s"array(${(0 until nBands).map(j => s"band$j").mkString(",")}))")))
-      .toDF("doc_id", "band_idx", "band_key"))
-    val cand = exploded.as("a").join(exploded.as("b"),
-      col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).cast(LongType).as("n_bands"))
-    graft.Scratch.seal(cand, exploded)
+      .toDF("doc_id", "band_idx", "band_key")
   }
+
+  /** INCREMENTAL near-dup detection — dedup a NEW batch of documents
+    * against the existing corpus without re-self-joining the corpus:
+    * the append-only shape a daily 100 TB ingest actually runs (the
+    * dedup-side sibling of imp_entity_incremental's merge-not-
+    * recompute). The delta here is a deterministic slice
+    * (doc_id % 10 = 7, ~10%); in production it is the day's arrivals.
+    *
+    * Plan shape (the whole point): the delta's banded signatures ride
+    * a BROADCAST into a hash join against the corpus side, which is
+    * scanned ONCE and never self-joins — corpus-side cost is linear
+    * per ingest, not quadratic, and identical pairs to the full
+    * self-join restricted to (new, old) — the SAME oracle CTEs prove
+    * it. Delta-internal duplicates are the normal in-batch dedup's
+    * job ([[dedupMinhash]] over the delta alone).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, exploded) = dedupIncrementalUnsealed(spark, dir)
+    graft.Scratch.seal(pairs, exploded).orderBy("new_id", "old_id")
+  }
+
+  /** Unsealed variant — keeps the join plan inspectable (sealing
+    * checkpoints it away); returns (pairs, scratch frame to release).
+    */
+  private[graft] def dedupIncrementalUnsealed(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val exploded = graft.Scratch.cp(bandedFrame(spark, dir, MinhashK, 2))
+    val delta = exploded.filter(col("doc_id") % 10 === 7)
+    val base = exploded.filter(col("doc_id") % 10 =!= 7)
+    val pairs = base.as("o").join(broadcast(delta.as("n")),
+        col("o.band_idx") === col("n.band_idx") &&
+          col("o.band_key") === col("n.band_key"))
+      .groupBy(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bands"))
+    (pairs, exploded)
+  }
+
+  def dedupIncrementalSql: String =
+    s"""WITH ${minhashCandidatesSqlCtes}
+       |SELECT CASE WHEN a_id % 10 = 7 THEN a_id ELSE b_id END AS new_id,
+       |       CASE WHEN a_id % 10 = 7 THEN b_id ELSE a_id END AS old_id,
+       |       n_bands
+       |FROM cand
+       |WHERE (a_id % 10 = 7) <> (b_id % 10 = 7)
+       |ORDER BY new_id, old_id""".stripMargin
 
   /** CTE chain ending in `cand(a_id, b_id, n_bands)` — shared by the
     * minhash oracle and the component-closure oracle.
@@ -737,6 +792,7 @@ object TextOps {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _))
 
   def oracles: Map[String, String] = Map(
@@ -753,5 +809,6 @@ object TextOps {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql)
 }

@@ -216,6 +216,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: broadcast delta, corpus never self-joins, pairs == restricted full dedup") {
+    import graft.operators.TextOps
+    // the UNSEALED frame keeps the plan (sealing checkpoints it away)
+    val (pairs, scratch) = TextOps.dedupIncrementalUnsealed(spark, sfDir)
+    val got0 = pairs.collect()
+    // ONE join and it is the broadcast hash join (delta side built,
+    // corpus side streamed once) — a self-join of the banded frame
+    // would show a second join or a sort-merge over two exchanges
+    // (captured AFTER the action so AQE's final plan is asserted)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert("Join".r.findAllIn(plan.replace("BroadcastHashJoin", "BHJ")).isEmpty,
+      s"unexpected extra join in:\n$plan")
+    graft.Scratch.seal(pairs.limit(1), scratch).collect() // release scratch
+    val got = got0.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // equivalence: the FULL self-join's pairs, restricted to
+    // (delta, base) and re-oriented, are exactly the incremental pairs
+    val full = TextOps.dedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("n_bands")))
+    val want = full.collect {
+      case (a, b, n) if (a % 10 == 7) != (b % 10 == 7) =>
+        if (a % 10 == 7) (a, b, n) else (b, a, n)
+    }.toSet
+    assert(got == want, s"incremental=${got.size} restricted-full=${want.size}")
+    assert(got.nonEmpty, "no cross-slice pairs at spec scale — vacuous")
+  }
+
   test("pipe_decontaminate: only train-x-holdout pairs, each from the ngram detector") {
     import graft.operators.TrainOps
     val rows = TrainOps.pipeDecontaminate(spark, sfDir).collect()
