@@ -1581,6 +1581,16 @@ object StreamImport {
     * generic checker cannot see.
     */
   def importLoop(raw: DataFrame, watermark: String = ComposedWatermark,
+      horizonMs: Long = EvictHorizonMs): DataFrame =
+    importLoopWith(raw, transferFold, watermark, horizonMs)
+
+  /** [[importLoop]] for ANY entity fold — the reference consumer
+    * materializes every entity (Transfer, TransactionRequest, Batch)
+    * from the one listen loop, so the composition is fold-generic.
+    */
+  def importLoopWith[S <: Product : TypeTag, O <: Product : TypeTag](
+      raw: DataFrame, spec: EntityFold[S, O],
+      watermark: String = ComposedWatermark,
       horizonMs: Long = EvictHorizonMs): DataFrame = {
     val recSchema = Encoders.product[Rec].schema
     val events = raw
@@ -1589,7 +1599,7 @@ object StreamImport {
     val routedRecs = OutOfOrder.routed(events)
       .filter(col("process_id") =!= OutOfOrder.DeadLetter)
       .drop("process_id")
-    entityStream(routedRecs.toDF(), transferFold, bounded = true,
+    entityStream(routedRecs.toDF(), spec, bounded = true,
       watermark, horizonMs, opMode = OutputMode.Append)
   }
 
