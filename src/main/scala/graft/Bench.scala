@@ -96,17 +96,24 @@ object Bench {
     }
     // the last query's scratch blocks
     Scratch.releaseAll()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-query seconds rounded to ms: full nanosecond doubles doubled
+    // the line length and got the r7 tail capture truncated mid-JSON
+    // (half the round's numbers were only recoverable from the sf1
+    // file); ms resolution is already below the documented VM noise
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    // compact summary printed LAST: the driver keeps only a short tail
-    // of this output, which truncated the (long) per-query line in
-    // rounds 4-5 and lost the total — this line survives any tail.
+    // compact summary FIRST, full per-query line LAST: the driver keeps
+    // only a short TAIL of this output, which in r7 cut the per-query
+    // line's head — last position puts the long line fully inside any
+    // tail window, and the compact total stays recoverable from it.
     // Distinct metric name so a consumer aggregating by metric never
     // double-counts the total (round-6 advice).
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

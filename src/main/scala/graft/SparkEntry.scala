@@ -22,7 +22,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ ImporterCore.oracles ++ Specs.oracles ++
-      TextOps.oracles ++ VectorOps.oracles ++ StreamImport.oracles ++
-      RawIngest.oracles ++ Components.oracles ++ TemporalJoins.oracles ++
-      TrainOps.oracles ++ ApproxOps.oracles
+      TextOps.oracles ++ VectorOps.oracles ++ Multimodal.oracles ++
+      StreamImport.oracles ++ RawIngest.oracles ++ Components.oracles ++
+      TemporalJoins.oracles ++ TrainOps.oracles ++ ApproxOps.oracles
 }

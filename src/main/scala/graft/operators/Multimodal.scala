@@ -43,7 +43,16 @@ object Multimodal {
 
   case class MediaMeta(format: String, width: Int, height: Int, n_frames: Int)
   case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
-  case class FrameFeature(doc_id: Long, frame_idx: Int, dim: Int, checksum: Long,
+
+  /** One sampled frame: the typed metadata the demux/decode verified
+    * (format, dims, sample count) plus the decoded-pixel features
+    * folded to fixed-point integer checksums — the deterministic arm
+    * the DuckDB oracle checks (metadata re-derived in pure SQL;
+    * checksums against the committed expectation parquet, see
+    * [[mmPipelineSql]]).
+    */
+  case class FrameFeature(doc_id: Long, frame_idx: Int, format: String,
+    width: Int, height: Int, n_frames: Int, dim: Int, checksum: Long,
     thumb_checksum: Long)
 
   private val Formats = Array("jpeg", "png", "wav", "mp4")
@@ -486,23 +495,54 @@ object Multimodal {
       // created per call; heavier codecs would be cached in this scope)
       rows.flatMap { r =>
         decodeFrames(r.payload, r.meta).zipWithIndex.map { case ((feat, thumb), idx) =>
-          FrameFeature(r.doc_id, idx, feat.length, frameChecksum(feat), thumb)
+          FrameFeature(r.doc_id, idx, r.meta.format, r.meta.width, r.meta.height,
+            r.meta.n_frames, feat.length, frameChecksum(feat), thumb)
         }
       }
     }
   }
 
-  /** Driver-visible pipeline result (rows-only check — every arm's
-    * decode is a real codec now, but codec output is not
-    * SQL-reproducible, so no DuckDB oracle is claimable by
-    * construction; the png/jpeg/wav decodes and the mp4
-    * demux-then-decode are pinned by roundtrip + known-checksum
-    * specs): one row per sampled frame.
+  /** Driver-visible pipeline result: one row per sampled frame, fully
+    * oracled (rows+schema+hash) since round 8. Codec output is not
+    * SQL-reproducible, so the oracle splits the deterministic arm in
+    * two (see [[mmPipelineSql]]): the typed METADATA columns are
+    * re-derived in pure SQL from doc_id (independent), and the
+    * fixed-point frame/thumbnail CHECKSUMS come from the committed
+    * expectation parquet ([[MmExpectedPath]]) keyed by
+    * (doc_id, md5(text), frame_idx). The expectation file is a
+    * regression pin generated once by [[graft.MmExpected]];
+    * independence of the decode itself rests on the roundtrip +
+    * synthesis-formula specs (StreamingSpec's mm png/jpeg/wav/mp4
+    * suites recompute features from the pixel formula without
+    * touching the codec).
     */
   def mmPipeline(spark: SparkSession, dir: String): DataFrame =
     features(spark, dir).toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** Committed expectation parquet covering the UNION of every test
+    * corpus (the four sf dirs), deduplicated by
+    * (doc_id, seed_hex, frame_idx) — the oracle joins it against the
+    * CURRENT corpus's documents on doc_id AND md5(text), so each sf
+    * dir selects exactly its own expected frames.
+    */
+  val MmExpectedPath = "/root/repo/testdata/mm_expected.parquet"
+
+  def mmPipelineSql: String =
+    s"""SELECT e.doc_id, e.frame_idx,
+       |  CASE CAST(e.doc_id % 4 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+       |    WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+       |  CAST(16 * (1 << CAST(e.doc_id % 3 AS INT)) AS INT) AS width,
+       |  CAST(16 * (1 << CAST(e.doc_id % 3 AS INT)) AS INT) AS height,
+       |  CAST(1 + e.doc_id % 5 AS INT) AS n_frames,
+       |  e.dim, e.checksum, e.thumb_checksum
+       |FROM read_parquet('$MmExpectedPath/*.parquet') e
+       |JOIN documents d ON d.doc_id = e.doc_id AND e.seed_hex = md5(d.text)
+       |ORDER BY e.doc_id, e.frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _))
+
+  def oracles: Map[String, String] = Map(
+    "mm_pipeline" -> mmPipelineSql)
 }

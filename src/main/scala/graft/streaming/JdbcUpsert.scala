@@ -66,6 +66,10 @@ object JdbcUpsert {
     // error, so those columns get a LOB type; setString/getString and
     // Spark's JDBC read (CLOB → StringType) both cover it
     case StringType if f.name.toLowerCase.endsWith("_json") => "CLOB"
+    // stage-table run ids are UUIDs and part of a composite PRIMARY
+    // KEY — a VARCHAR(4000) key column would blow Derby's index key
+    // size limit
+    case StringType if f.name.equalsIgnoreCase("run_id") => "VARCHAR(64)"
     case StringType  => "VARCHAR(4000)"
     case other => throw new IllegalArgumentException(
       s"JdbcUpsert: no SQL mapping for $other")
@@ -192,18 +196,27 @@ object JdbcUpsert {
   /** Land a batch's key set in the staging side table, executor-side:
     * the scale-safe replacement for collecting keys to the driver and
     * inlining them into one giant IN list (which breaks on an
-    * AvailableNow first batch = the whole backlog). The table is
-    * cleared first — its contents only have meaning WITHIN one
-    * foreachBatch invocation, the same scope Spark serializes per
-    * query (two queries sharing a base table would already race on the
-    * MERGE itself).
+    * AvailableNow first batch = the whole backlog).
+    *
+    * Every invocation stamps its rows with a fresh `run_id` and
+    * returns it; [[readCurrent]]'s EXISTS filters on that id, so rows
+    * a ZOMBIE executor task commits after this clear (a failed
+    * earlier attempt's task racing its retry) carry a stale id and
+    * can never join into the wrong batch's read — the staleness the
+    * round-7 advice flagged. The DELETE at entry only bounds table
+    * growth; correctness rests on the id filter. (Two queries
+    * concurrently targeting the same BASE table remain outside the
+    * sink's contract — they would already race on the MERGE itself.)
     */
-  def stageKeys(url: String, stageTable: String, keys: DataFrame): Unit = {
+  def stageKeys(url: String, stageTable: String, keys: DataFrame): String = {
+    val runId = java.util.UUID.randomUUID().toString
     val conn = DriverManager.getConnection(url)
     try {
       ensureTable(conn, stageTable,
-        StructType(Seq(StructField("entity_key", LongType, nullable = false))),
-        "entity_key")
+        StructType(Seq(
+          StructField("run_id", StringType, nullable = false),
+          StructField("entity_key", LongType, nullable = false))),
+        "run_id, entity_key")
       val st = conn.createStatement()
       try st.executeUpdate(s"DELETE FROM $stageTable") finally st.close()
     } finally conn.close()
@@ -211,9 +224,12 @@ object JdbcUpsert {
       if (rows.hasNext) {
         val conn = DriverManager.getConnection(url)
         conn.setAutoCommit(false)
-        val ps = conn.prepareStatement(s"INSERT INTO $stageTable (entity_key) VALUES (?)")
+        val ps = conn.prepareStatement(
+          s"INSERT INTO $stageTable (run_id, entity_key) VALUES (?, ?)")
         try {
-          rows.foreach { r => ps.setLong(1, r.getLong(0)); ps.addBatch() }
+          rows.foreach { r =>
+            ps.setString(1, runId); ps.setLong(2, r.getLong(0)); ps.addBatch()
+          }
           ps.executeBatch()
           conn.commit()
         } catch {
@@ -226,6 +242,7 @@ object JdbcUpsert {
         }
       }
     }
+    runId
   }
 
   /** Tenants that already have a routed table in the database —
@@ -239,18 +256,30 @@ object JdbcUpsert {
     try {
       val prefix = (baseTable + "__").toUpperCase
       val md = conn.getMetaData
-      // narrow at the metadata query (no full-catalog scan): LIKE
-      // pattern with the metadata escape char protecting the prefix's
-      // own _ wildcards
+      // narrow at the metadata query (no full-catalog scan). The JDBC
+      // LIKE pattern is CASE-SENSITIVE against the database's STORED
+      // identifier case — Derby/H2 store unquoted identifiers
+      // upper-cased, PostgreSQL lower-cases them — so probe the
+      // metadata for the folding the engine actually uses and query
+      // each candidate folding (mixed-case stores get both); the
+      // case-insensitive post-filter below stays the source of truth
+      val storedCases =
+        (if (md.storesLowerCaseIdentifiers) Seq(prefix.toLowerCase)
+         else if (md.storesUpperCaseIdentifiers) Seq(prefix)
+         else Seq(prefix, prefix.toLowerCase)).distinct
+      // the metadata escape char protects the prefix's own _ wildcards
       val esc = md.getSearchStringEscape
-      val pattern = prefix.flatMap {
-        case c @ ('_' | '%') => esc + c
-        case c => c.toString
-      } + "%"
-      val rs = md.getTables(null, null, pattern, Array("TABLE"))
-      val names = Iterator.continually(rs).takeWhile(_.next())
-        .map(_.getString("TABLE_NAME")).toList
-      rs.close()
+      val names = storedCases.flatMap { p =>
+        val pattern = p.flatMap {
+          case c @ ('_' | '%') => esc + c
+          case c => c.toString
+        } + "%"
+        val rs = md.getTables(null, null, pattern, Array("TABLE"))
+        val got = Iterator.continually(rs).takeWhile(_.next())
+          .map(_.getString("TABLE_NAME")).toList
+        rs.close()
+        got
+      }.distinct
       // strict shape check: only names whose suffix is whole hex pairs
       // are routed tenant tables — an unrelated table sharing the
       // prefix (or a non-tenant side table) must be IGNORED, not
@@ -270,7 +299,7 @@ object JdbcUpsert {
     * frame is column-compatible with what was upserted.
     */
   def readCurrent(spark: SparkSession, url: String, baseTable: String,
-      tenants: Seq[String], keyedBy: Option[String] = None): DataFrame = {
+      tenants: Seq[String], keyedBy: Option[(String, String)] = None): DataFrame = {
     require(tenants.nonEmpty,
       "JdbcUpsert.readCurrent: empty tenant list — nothing was upserted yet, " +
         "or the caller derived tenants from an empty sink")
@@ -278,11 +307,14 @@ object JdbcUpsert {
       // with a staging table the read is a DATABASE-SIDE semi-join
       // against the batch's landed keys — per-batch read cost stays
       // O(batch keys) with no driver-materialized literal list and a
-      // constant-size SQL text, whatever the batch's key count
+      // constant-size SQL text, whatever the batch's key count. The
+      // EXISTS also filters on the staging run id, so stale rows from
+      // a zombie task's late commit can never join (see [[stageKeys]])
       val dbtable = keyedBy match {
-        case Some(stage) =>
+        case Some((stage, runId)) =>
           s"(SELECT t.* FROM ${tableFor(baseTable, t)} t WHERE EXISTS " +
-            s"(SELECT 1 FROM $stage s WHERE s.entity_key = t.entity_key)) g"
+            s"(SELECT 1 FROM $stage s WHERE s.entity_key = t.entity_key " +
+            s"AND s.run_id = '$runId')) g"
         case None => tableFor(baseTable, t)
       }
       spark.read.format("jdbc")

@@ -181,6 +181,22 @@ object StreamImport {
     */
   private[graft] val PreFoldFlushEntries = 1 << 15
 
+  /** Whether the entity folds run the map-side pre-fold (the
+    * production default — it is the hot-key skew bound at scale).
+    * `SPARK_GRAFT_PREFOLD=off` selects the raw-record path instead:
+    * records shuffle raw and fold inside the stateful operator — no
+    * per-partition hash map, no per-partial accumulator
+    * serialization. That trade wins only when batches are tiny AND no
+    * key is hot (the r8 A/B measured the pre-fold's fixed cost at the
+    * toy gate batch sizes — see PLANS.md "Pre-fold attribution");
+    * at 100 TB the pre-fold is what keeps a hot key from funneling
+    * all its raw records through one stateful task, so the env switch
+    * exists for measurement and small deployments, not as a tuning
+    * default.
+    */
+  private[graft] val PreFoldDefault: Boolean =
+    sys.env.get("SPARK_GRAFT_PREFOLD").forall(!_.equalsIgnoreCase("off"))
+
   /** Per-partition pre-fold: group-fold a partition's records into
     * [[PreFold]] partials with the bounded hash map described above.
     */
@@ -236,6 +252,45 @@ object StreamImport {
       (s, p) => spec.merge(s, p.st))
     state.update(st)
     spec.render(key, st).iterator
+  }
+
+  /** Raw-record variant of [[unboundedUpdate]] — the pre-pre-fold
+    * (round-6) data path kept selectable for the bench A/B and for
+    * deployments whose batches are tiny with no hot keys (see
+    * [[PreFoldDefault]]): records shuffle raw and fold inside the
+    * stateful operator.
+    */
+  private def unboundedUpdateRaw[S, O](spec: EntityFold[S, O])(
+      key: Long, recs: Iterator[Rec], state: GroupState[S]): Iterator[O] = {
+    val st = recs.foldLeft(state.getOption.getOrElse(spec.empty))(spec.step)
+    state.update(st)
+    spec.render(key, st).iterator
+  }
+
+  /** Raw-record variant of [[boundedUpdate]] (same eviction contract;
+    * the late cut is per-RECORD here rather than per-partial).
+    */
+  private def boundedUpdateRaw[S, O](spec: EntityFold[S, O], horizonMs: Long)(
+      key: Long, recs: Iterator[Rec], state: GroupState[IncSt[S]]): Iterator[SinkRow[O, S]] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val wm = state.getCurrentWatermarkMs()
+      val live = recs.filter(_.ts_ms >= wm).toArray
+      if (live.isEmpty) Iterator.empty
+      else {
+        val prev = state.getOption
+        val (incTs, incId) = prev.map(p => (p.inc_ts, p.inc_id))
+          .getOrElse(live.iterator.map(r => (r.ts_ms, r.event_id)).min)
+        val st = live.foldLeft(prev.map(_.st).getOrElse(spec.empty))(spec.step)
+        state.update(IncSt(incTs, incId, st))
+        val maxTs = live.iterator.map(_.ts_ms).max
+        state.setTimeoutTimestamp(math.max(maxTs, wm) + horizonMs)
+        Iterator.single(SinkRow(key, spec.tenant(key),
+          spec.render(key, st), incTs, incId, st, None))
+      }
+    }
   }
 
   /** Bounded keyed fold with watermark-driven state EVICTION — the
@@ -304,33 +359,57 @@ object StreamImport {
     * The watermark column is assigned on the partial's `max_ts`: the
     * batch maximum over partials equals the maximum over raw records,
     * so watermark ADVANCEMENT is unchanged by the pre-fold.
+    *
+    * `preFold = false` selects the raw-record (round-6) path: records
+    * shuffle raw and fold inside the stateful operator — see
+    * [[PreFoldDefault]] for when that trade wins.
     */
   private[graft] def entityStream[S <: Product : TypeTag, O <: Product : TypeTag](
       events: DataFrame, spec: EntityFold[S, O], bounded: Boolean,
       watermark: String, horizonMs: Long,
-      opMode: OutputMode = OutputMode.Update): DataFrame = {
+      opMode: OutputMode = OutputMode.Update,
+      preFold: Boolean = PreFoldDefault): DataFrame = {
     import events.sparkSession.implicits._
-    implicit val preEnc: Encoder[PreFold[S]] = Encoders.product[PreFold[S]]
-    val partials = toRecs(events).mapPartitions(preFold(spec))
     if (bounded) {
       implicit val incEnc: Encoder[IncSt[S]] = Encoders.product[IncSt[S]]
       implicit val outEnc: Encoder[SinkRow[O, S]] = Encoders.product[SinkRow[O, S]]
-      partials
-        .withColumn("event_time", timestamp_millis(col("max_ts")))
-        .withWatermark("event_time", watermark)
-        .as[PreFold[S]]
-        .groupByKey(_.entity_key)
-        .flatMapGroupsWithState(opMode, GroupStateTimeout.EventTimeTimeout)(
-          boundedUpdate(spec, horizonMs))
-        .toDF()
+      if (preFold) {
+        implicit val preEnc: Encoder[PreFold[S]] = Encoders.product[PreFold[S]]
+        toRecs(events).mapPartitions(this.preFold(spec))
+          .withColumn("event_time", timestamp_millis(col("max_ts")))
+          .withWatermark("event_time", watermark)
+          .as[PreFold[S]]
+          .groupByKey(_.entity_key)
+          .flatMapGroupsWithState(opMode, GroupStateTimeout.EventTimeTimeout)(
+            boundedUpdate(spec, horizonMs))
+          .toDF()
+      } else {
+        toRecs(events)
+          .withColumn("event_time", timestamp_millis(col("ts_ms")))
+          .withWatermark("event_time", watermark)
+          .as[Rec]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(opMode, GroupStateTimeout.EventTimeTimeout)(
+            boundedUpdateRaw(spec, horizonMs))
+          .toDF()
+      }
     } else {
       implicit val sEnc: Encoder[S] = Encoders.product[S]
       implicit val oEnc: Encoder[O] = Encoders.product[O]
-      partials
-        .groupByKey(_.entity_key)
-        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-          unboundedUpdate(spec))
-        .toDF()
+      if (preFold) {
+        implicit val preEnc: Encoder[PreFold[S]] = Encoders.product[PreFold[S]]
+        toRecs(events).mapPartitions(this.preFold(spec))
+          .groupByKey(_.entity_key)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+            unboundedUpdate(spec))
+          .toDF()
+      } else {
+        toRecs(events)
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+            unboundedUpdateRaw(spec))
+          .toDF()
+      }
     }
   }
 
@@ -407,8 +486,8 @@ object StreamImport {
           // cost instead of OOMing the driver or overflowing a SQL
           // statement.
           val stage = JdbcUpsert.stageTableFor(baseTable)
-          JdbcUpsert.stageKeys(url, stage, batch.select("entity_key").distinct())
-          val current = jdbcFoldRead(spark, url, baseTable, schema, tenants, Some(stage))
+          val runId = JdbcUpsert.stageKeys(url, stage, batch.select("entity_key").distinct())
+          val current = jdbcFoldRead(spark, url, baseTable, schema, tenants, Some((stage, runId)))
           foldMerge(spec).apply(current, batch)
         }
       JdbcUpsert.upsert(url, baseTable, flat(merged), "entity_key")
@@ -421,7 +500,7 @@ object StreamImport {
     */
   def jdbcFoldRead(spark: SparkSession, url: String, baseTable: String,
       schema: org.apache.spark.sql.types.StructType,
-      tenants: Seq[String], keyedBy: Option[String] = None): DataFrame =
+      tenants: Seq[String], keyedBy: Option[(String, String)] = None): DataFrame =
     JdbcUpsert.readCurrent(spark, url, baseTable, tenants, keyedBy).select(
       col("entity_key"), col("tenant"), col("inc_ts"), col("inc_id"),
       from_json(col("rows_json"), schema("rows").dataType).as("rows"),
@@ -1472,31 +1551,63 @@ object StreamImport {
 
   // --------------------------------------------------------- plumbing
 
-  /** MEASURED state-store footprint of a finished streaming query, one
-    * stderr line per query: per state operator, the max-over-batches
-    * state row count and state memory from StreamingQueryProgress
-    * (RocksDB reports its native memory there). This is what turns the
+  /** MEASURED state-store footprint of a streaming query, one stderr
+    * line per query: per state operator, the max-over-batches state
+    * row count and state memory from StreamingQueryProgress (RocksDB
+    * reports its native memory there). This is what turns the
     * "constant state" design claims (stream_hll: groups × 256
     * registers; stream_kmv: ≤ k longs per group; bounded folds:
     * O(keys within horizon)) into numbers the plan review can cite —
     * and what a production deployment would ship to its metrics
     * system per trigger.
+    *
+    * Maxima accumulate through a [[StreamingQueryListener]] over the
+    * query's WHOLE lifetime — `q.recentProgress` is a ring buffer
+    * capped by `spark.sql.streaming.numRecentProgressUpdates`
+    * (default 100), so a long run read back through it would silently
+    * under-report the peak.
     */
-  private def logStateMetrics(q: org.apache.spark.sql.streaming.StreamingQuery,
-      label: String): Unit =
-    try {
-      val progs = q.recentProgress
-      val ops = progs.iterator.flatMap(_.stateOperators.iterator.zipWithIndex).toSeq
-      if (ops.nonEmpty) {
-        val line = ops.groupBy(_._2).toSeq.sortBy(_._1).map { case (i, xs) =>
-          val name = xs.map(_._1.operatorName).headOption.getOrElse("op")
-          val rows = xs.map(_._1.numRowsTotal).max
-          val mem = xs.map(_._1.memoryUsedBytes).max
-          s"$name[$i] maxRows=$rows maxMem=${mem}B"
-        }.mkString("; ")
-        System.err.println(s"[graft-state] $label: $line")
+  private class StateMetricsListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    // (queryId, opIndex) -> (opName, maxRows, maxMemBytes)
+    private val maxima =
+      scala.collection.concurrent.TrieMap.empty[(java.util.UUID, Int), (String, Long, Long)]
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      e.progress.stateOperators.iterator.zipWithIndex.foreach { case (op, i) =>
+        val k = (e.progress.id, i)
+        val prev = maxima.getOrElse(k, (op.operatorName, 0L, 0L))
+        maxima.put(k, (op.operatorName,
+          math.max(prev._2, op.numRowsTotal),
+          math.max(prev._3, op.memoryUsedBytes)))
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    /** Listener events deliver on an async bus thread, so the LAST
+      * batch's event may not have landed when the query terminates —
+      * merge the query's own recentProgress (synchronously updated,
+      * but ring-buffer-capped) over the listener's full history
+      * instead of sleeping.
+      */
+    def log(q: org.apache.spark.sql.streaming.StreamingQuery, label: String): Unit =
+      try {
+        q.recentProgress.iterator.flatMap(_.stateOperators.iterator.zipWithIndex)
+          .foreach { case (op, i) =>
+            val k = (q.id, i)
+            val prev = maxima.getOrElse(k, (op.operatorName, 0L, 0L))
+            maxima.put(k, (op.operatorName,
+              math.max(prev._2, op.numRowsTotal),
+              math.max(prev._3, op.memoryUsedBytes)))
+          }
+        val ops = maxima.toSeq.collect { case ((id, i), v) if id == q.id => (i, v) }
+        if (ops.nonEmpty) {
+          val line = ops.sortBy(_._1).map { case (i, (name, rows, mem)) =>
+            s"$name[$i] maxRows=$rows maxMem=${mem}B"
+          }.mkString("; ")
+          System.err.println(s"[graft-state] $label: $line")
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Shared end-to-end runner: stream the sf dir's events file through
     * `transform` with an AvailableNow trigger into the tenant-routed
@@ -1520,6 +1631,8 @@ object StreamImport {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir))
+    val metrics = new StateMetricsListener
+    spark.streams.addListener(metrics)
     val q = transform(stream)
       .writeStream
       .outputMode(mode)
@@ -1529,8 +1642,9 @@ object StreamImport {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    logStateMetrics(q, s"$label@$dir")
+    try q.awaitTermination()
+    finally spark.streams.removeListener(metrics)
+    metrics.log(q, s"$label@$dir")
     // detach from the temp files so the work dir can be reclaimed (a
     // lazy plan over deleted parquet would fail at consume time);
     // tracked in Scratch so the session can sweep it after consumption
@@ -1592,6 +1706,18 @@ object StreamImport {
       raw: DataFrame, spec: EntityFold[S, O],
       watermark: String = ComposedWatermark,
       horizonMs: Long = EvictHorizonMs): DataFrame = {
+    // fail at composition time with the reason, not at the planner's
+    // generic late-row error: callers must scope the override to a
+    // CHILD session (spark.newSession + conf.set) so the global
+    // cross-stateful-operator safety check stays on for every other
+    // query — see [[runImportLoopToCompletion]] for the pattern
+    require(raw.sparkSession.conf.get(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true") == "false",
+      "importLoop chains two stateful operators whose exactness rests on the " +
+        "partial-granularity late rule + widened fold watermark (see scaladoc) — " +
+        "Spark's generic checker cannot see that argument, so set " +
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false " +
+        "in a CHILD session (spark.newSession) before composing this query")
     val recSchema = Encoders.product[Rec].schema
     val events = raw
       .select(from_json(col("value"), recSchema).as("r"))
@@ -1612,8 +1738,72 @@ object StreamImport {
         "amount", "last_click_value", "status", "n_events")
       .orderBy("transfer_key")
 
+  /** Gate entry for the COMPOSED loop — the reference consumer
+    * end-to-end (NatsConsumer.listen:39-106): the corpus's events
+    * rendered as raw JSON strings onto a graft-queue subject (the
+    * shape the NATS listener receives), then ONE [[importLoop]] query
+    * — DSv2 queue source → from_json → out-of-order association
+    * buffer → map-side pre-fold → bounded transfer fold →
+    * incarnation-merging sink — and the sink read back. Answers the
+    * SAME oracle as the batch imp_entity_transfers: every user in the
+    * corpus carries a signup association (verified at every sf), the
+    * per-user pre-signup backlog (max 40 records) is far under the
+    * orphan buffer cap, and the whole backlog lands in the first
+    * micro-batch so nothing is watermark-late.
+    *
+    * The required cross-stateful-operator conf override is scoped to a
+    * CHILD session here — the caller's session keeps Spark's safety
+    * check on.
+    */
+  def runImportLoopToCompletion(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val subject = s"zeebe-export-gate-${System.nanoTime()}"
+    val msgs = toRecs(Tables.events(spark, dir))
+      .orderBy("ts_ms", "event_id")
+      .select(to_json(struct(col("event_id"), col("ts_ms"), col("user_id"),
+        col("event_type"), col("value"), col("k"))))
+      .as[String](Encoders.STRING)
+      .collect()
+    graft.sources.QueueHub.publish(subject, msgs.toIndexedSeq)
+    val work = java.nio.file.Files.createTempDirectory("graft_loop_gate_").toString
+    val sinkDir = s"$work/sink"
+    val merge = foldMerge(transferFold)
+    val metrics = new StateMetricsListener
+    spark.streams.addListener(metrics)
+    val stream = spark.readStream.format("graft-queue")
+      .option("subject", subject).load()
+    val q = importLoop(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/chk")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
+      }
+      .start()
+    try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
+    finally {
+      spark.streams.removeListener(metrics)
+      graft.sources.QueueHub.clear(subject)
+    }
+    metrics.log(q, s"import_loop@$dir")
+    val result = graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
+      .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(work))
+    result
+      .select(explode(col("rows")).as("r")).select("r.*")
+      .select("transfer_key", "tenant", "started_ms", "completed_ms",
+        "amount", "last_click_value", "status", "n_events")
+      .orderBy("transfer_key")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_import" -> (runToCompletion _),
+    "import_loop" -> (runImportLoopToCompletion _),
     "stream_txnreq" -> (runTxnreqToCompletion _),
     "stream_batches" -> (runBatchesToCompletion _),
     "stream_wide" -> (runWideToCompletion _),
@@ -1629,6 +1819,9 @@ object StreamImport {
   /** Streaming paths answer the SAME oracles as the batch entities. */
   def oracles: Map[String, String] = Map(
     "stream_import" -> graft.operators.ImporterCore.impEntityTransfersSql,
+    // the composed loop materializes the same transfers entity — the
+    // reference's whole consumer answers the batch entity oracle
+    "import_loop" -> graft.operators.ImporterCore.impEntityTransfersSql,
     "stream_txnreq" -> graft.operators.ImporterCore.impEntityTxnreqSql,
     "stream_batches" -> graft.operators.ImporterCore.impEntityBatchesSql,
     "stream_wide" -> graft.operators.ImporterCore.impEntityWideSql,

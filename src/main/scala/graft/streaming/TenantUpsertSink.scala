@@ -83,11 +83,21 @@ object TenantUpsertSink {
   private def esc(tenant: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(tenant)
 
+  /** Header line recording the table's bucket count — a DURABLE
+    * layout parameter (it routes keys to their existing rows), so it
+    * is persisted with the manifest and validated on every upsert
+    * instead of trusted to match: an upsert with a different count
+    * would silently miss the key's existing bucket and leave its
+    * stale row alive (duplicate keys on read) — the round-7 advice's
+    * corruption scenario, now a loud failure.
+    */
+  private val BucketsHeader = "#buckets="
+
   /** The table's current contents (None before the first upsert). See
     * the class doc for the reader contract.
     */
   def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
-    currentManifest(tableDir).map { m =>
+    currentManifest(tableDir).map { case (_, m) =>
       m.groupBy(_._2).map { case (gen, entries) =>
         spark.read
           .option("basePath", s"$tableDir/$gen")
@@ -95,21 +105,40 @@ object TenantUpsertSink {
       }.reduce(_ unionByName _).drop("_bucket")
     }
 
-  /** "tenant/_bucket=N" → generation holding that bucket's current
+  /** Parse `_CURRENT`: the bucket-count header plus
+    * "tenant/_bucket=N" → generation holding that bucket's current
     * rows. The manifest key IS the path fragment under
     * `$gen/tenant=`; the tenant part is path-escaped, so the
     * "/_bucket=" separator cannot occur inside it, and the parse's
     * lastIndexOf('=') still finds the generation (generation names
-    * contain no '=').
+    * contain no '='). A manifest without the header, or an entry key
+    * without the bucketed format, is REJECTED loudly — silently
+    * guessing a layout parameter risks exactly the duplicate-key
+    * corruption the header exists to prevent.
     */
-  private def currentManifest(tableDir: String): Option[Map[String, String]] = {
+  private def currentManifest(tableDir: String): Option[(Int, Map[String, String])] = {
     val p = new java.io.File(tableDir, Pointer)
     if (!p.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p.toPath))
-      .linesIterator.filter(_.nonEmpty).map { line =>
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(p.toPath))
+        .linesIterator.filter(_.nonEmpty).toSeq
+      val buckets = lines.headOption match {
+        case Some(h) if h.startsWith(BucketsHeader) =>
+          h.substring(BucketsHeader.length).toInt
+        case other => throw new IllegalStateException(
+          s"TenantUpsertSink: manifest $p lacks the '$BucketsHeader' header " +
+            s"(first line: $other) — written by an incompatible version? " +
+            "The bucket count is a durable layout parameter and cannot be guessed.")
+      }
+      val entries = lines.tail.map { line =>
+        require(line.contains("/_bucket="), s"TenantUpsertSink: manifest $p entry " +
+          s"'$line' does not name a bucketed partition — refusing to read a layout " +
+          "this version cannot route keys into")
         val i = line.lastIndexOf('=')
         line.substring(0, i) -> line.substring(i + 1)
-      }.toMap)
+      }.toMap
+      Some((buckets, entries))
+    }
   }
 
   /** Upsert `batch` by `key`. When `mergeWithCurrent` is supplied, it
@@ -135,7 +164,17 @@ object TenantUpsertSink {
       // there is also nothing to change — skip
       if (batch.isEmpty) return
       new java.io.File(tableDir).mkdirs()
-      val manifest = currentManifest(tableDir).getOrElse(Map.empty)
+      val parsed = currentManifest(tableDir)
+      // validate the durable layout parameter BEFORE routing anything:
+      // a mismatched bucket count would rewrite the wrong buckets and
+      // leave stale rows alive — fail loudly instead
+      parsed.foreach { case (existing, _) =>
+        require(existing == buckets,
+          s"TenantUpsertSink: table $tableDir was written with buckets=$existing " +
+            s"but this upsert was called with buckets=$buckets — the bucket count " +
+            "is FIXED for a table's lifetime (it routes keys to their existing rows)")
+      }
+      val manifest = parsed.map(_._2).getOrElse(Map.empty)
       // ONE shuffled pass yields both the tenant routing set (bounded
       // — the reference's RoutingDataSource holds one DataSource per
       // tenant) and the within-batch half of the tenant-stability
@@ -192,7 +231,8 @@ object TenantUpsertSink {
       val next = manifest ++ touched.map(_ -> gen)
       val tmp = new java.io.File(tableDir, s"$Pointer.tmp")
       java.nio.file.Files.write(tmp.toPath,
-        next.toSeq.sorted.map { case (t, g) => s"$t=$g" }.mkString("\n").getBytes)
+        (s"$BucketsHeader$buckets" +:
+          next.toSeq.sorted.map { case (t, g) => s"$t=$g" }).mkString("\n").getBytes)
       java.nio.file.Files.move(tmp.toPath, new java.io.File(tableDir, Pointer).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

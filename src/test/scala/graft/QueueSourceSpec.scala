@@ -102,9 +102,14 @@ class QueueSourceSpec extends SparkSpec {
     // the composed query chains stateful operators; Spark's generic
     // cross-operator late-row check cannot see the partial-granularity
     // late rule + widened fold watermark that make this composition
-    // exact (importLoop's doc carries the argument)
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    try {
+    // exact (importLoop's doc carries the argument). The override is
+    // scoped to a CHILD session — the shared test session keeps the
+    // safety check on for every other query (importLoop itself asserts
+    // the conf, so a caller missing this fails with the reason)
+    val loopSession = spark.newSession()
+    loopSession.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    locally {
       val t0 = 1704067200000L
       def r(id: Long, tsMs: Long, user: Long, typ: String,
           value: Double = 10.0, k: Long = 0): StreamImport.Rec =
@@ -126,7 +131,7 @@ class QueueSourceSpec extends SparkSpec {
       val u3 = Seq(r(20, t0 + 100, 3, "click", value = 1.0), r(21, t0 + 200, 3, "error", k = 95))
       val sinkDir = java.nio.file.Files.createTempDirectory("graft_loop_").toString + "/t"
       val merge = StreamImport.foldMerge(StreamImport.transferFold)
-      val stream = spark.readStream.format("graft-queue").option("subject", subject).load()
+      val stream = loopSession.readStream.format("graft-queue").option("subject", subject).load()
       val q = StreamImport.importLoop(stream)
         .writeStream.outputMode("append")
         .option("checkpointLocation",
@@ -163,7 +168,17 @@ class QueueSourceSpec extends SparkSpec {
           rs.foldLeft(fold.empty)(fold.step)).head.productIterator.toSeq
         assert(got(key) == want, s"key $key: composed=${got(key)} direct=$want")
       }
-    } finally
-      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+      // the safety check was never disabled on the shared session
+      assert(spark.conf.get(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled") != "false")
+    }
+  }
+
+  test("importLoop refuses to compose while the cross-operator safety check is on") {
+    val strict = spark.newSession()
+    val stream = strict.readStream.format("graft-queue")
+      .option("subject", "zeebe-export-strict").load()
+    val e = intercept[IllegalArgumentException](StreamImport.importLoop(stream))
+    assert(e.getMessage.contains("checkCorrectness"))
   }
 }
