@@ -27,13 +27,24 @@ object TriggerProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // land the corpus as nFiles TIME-RANGED files (range partitioning
-    // sorts, and part-file names sort with the ranges, so the file
-    // source's path-ordered pickup approximates time-ordered arrival)
+    // land the corpus as nFiles TIME-RANGED files. Range partition N
+    // holds the N-th time slice and names part-0000N — but the file
+    // SOURCE picks files by MODIFICATION time, and parallel write
+    // tasks finish in arbitrary order, so the mtimes must be restamped
+    // in range order or the "arrival" order is shuffled and the
+    // watermark drops whole out-of-order files as late (measured:
+    // emissions collapsed 4× at mft=1 before the restamp)
     val staged = java.nio.file.Files.createTempDirectory("graft_probe_in_").toString
     val events = Tables.events(spark, sfDir)
     events.repartitionByRange(nFiles, col("ts_ms"))
       .write.mode("overwrite").parquet(staged)
+    val parts = new java.io.File(staged).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 1000L))
+    }
     val total = events.count()
 
     mfts.foreach { mft =>

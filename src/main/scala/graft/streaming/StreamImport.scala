@@ -1472,15 +1472,24 @@ object StreamImport {
     * so the checked projection keeps every MATCHED row (those emit
     * eagerly, unconditionally) but an UNMATCHED row only for clicks
     * whose window is closed with a full watermark-delay margin to
-    * spare (c_ts ≤ max ts − 3 h: window end ≤ max ts − 2 h < final
-    * watermark = max ts − 1 h). The oracle applies the same cut, so
-    * both sides enumerate exactly the provably-closed region.
-    * Unmatched purchase_id renders as −1 (engine-portable; no NULL
-    * hashing asymmetry in the compare).
+    * spare. The reference point must be the MIN of the two sides'
+    * own maxima, NOT the corpus max: the global watermark is
+    * min(max c_ts, max p_ts) − 1 h (each withWatermark column
+    * advances on its own events), so a purchase tail that lags the
+    * corpus max by more than the margin would leave a corpus-max-based
+    * "closed" region not actually closed (caught at sf0.001: the last
+    * purchase trailed the last click by >1 h and one oracle row never
+    * emitted). Cut: c_ts ≤ min(max c_ts, max p_ts) − 3 h ⇒ window end
+    * ≤ wm-basis − 2 h < final watermark = wm-basis − 1 h. The oracle
+    * applies the same min-based cut, so both sides enumerate exactly
+    * the provably-closed region. Unmatched purchase_id renders as −1
+    * (engine-portable; no NULL hashing asymmetry in the compare).
     */
   def runJoinOuterToCompletion(spark: SparkSession, dir: String): DataFrame = {
-    val maxTs = Tables.events(spark, dir).agg(max("ts_ms")).head().getLong(0)
-    val cutoff = maxTs - 3L * 3600 * 1000
+    val m = Tables.events(spark, dir).agg(
+      max(when(col("event_type") === "click", col("ts_ms"))),
+      max(when(col("event_type") === "purchase", col("ts_ms")))).head()
+    val cutoff = math.min(m.getLong(0), m.getLong(1)) - 3L * 3600 * 1000
     runPipeline(spark, dir, events =>
       joinOuterStream(events)
         .select(col("click_id"),
@@ -1840,7 +1849,10 @@ object StreamImport {
         | AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts) AND epoch_ms(c.ts) + 3600000
         |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_join_outer" ->
-      """WITH mx AS (SELECT MAX(epoch_ms(ts)) AS m FROM events)
+      """WITH mx AS (SELECT LEAST(
+        |    MAX(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END),
+        |    MAX(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)) AS m
+        |  FROM events)
         |SELECT c.event_id AS click_id,
         |  COALESCE(p.event_id, -1) AS purchase_id, c.user_id
         |FROM events c LEFT JOIN events p ON c.user_id = p.user_id
