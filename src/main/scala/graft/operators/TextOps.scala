@@ -477,6 +477,73 @@ object TextOps {
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Window width (tokens) for the passage-level exact-substring
+    * detector — the published heuristic is "an exact run of ~50
+    * characters shared verbatim"; 8 whitespace tokens is that order
+    * of magnitude on prose.
+    */
+  private[graft] val SubstringW = 8
+
+  /** Passage-level EXACT-substring dedup — the fixed-width
+    * rolling-window approximation of exact-substring deduplication
+    * (a document sharing a verbatim run of [[SubstringW]] tokens with
+    * an earlier document is a passage dup; any duplicated passage of
+    * ≥ W tokens necessarily shares at least one aligned W-window, so
+    * the detector is a SUPERSET of the ≥W-run criterion). Complements
+    * the whole-document detectors (minhash/simhash judge global
+    * similarity and miss a verbatim paragraph inside an otherwise
+    * novel document).
+    *
+    * Scale shape — the reason this formulation and not a self-join:
+    * unlike the pairwise near-dup detectors, NO PAIR IS EVER
+    * ENUMERATED. Each distinct window collapses to its earliest owner
+    * (min doc_id) in one aggregation, and every occurrence joins that
+    * one-row-per-window frame — a boilerplate window shared by a
+    * million documents contributes one row per occurrence, never a
+    * million-squared candidate set, so no df-cap is needed and total
+    * work is linear in corpus token count: exactly two shuffles on
+    * the window hash (aggregate + join, the join reusing the
+    * aggregate's partitioning) plus the per-doc count shuffle.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    dedupSubstringOf(Tables.documents(spark, dir))
+  }
+
+  /** Frame-parametric core of [[dedupSubstring]] — `docs` needs
+    * (doc_id, text); caller registers GraftFunctions.
+    */
+  private[graft] def dedupSubstringOf(docs: DataFrame): DataFrame = {
+    val wins = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${shinglesOfExpr(SubstringW, "toks")})")).as("s"))
+      .select(col("doc_id"), expr(hx("s")).as("h"))
+    val firstSeen = wins.groupBy("h").agg(min("doc_id").as("first_doc"))
+    wins.join(firstSeen, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_windows"),
+        sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as("n_dup_windows"),
+        max(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as("is_dup"))
+      .select("doc_id", "n_windows", "n_dup_windows", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstringSql: String =
+    s"""WITH w0 AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(${shinglesDuck(SubstringW)})) AS s
+       |  FROM documents),
+       |w1 AS (SELECT doc_id, ${hxDuck("s")} AS h FROM w0),
+       |fs AS (SELECT h, MIN(doc_id) AS first_doc FROM w1 GROUP BY h)
+       |SELECT w1.doc_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(CASE WHEN w1.doc_id > fs.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_windows,
+       |  CAST(MAX(CASE WHEN w1.doc_id > fs.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS is_dup
+       |FROM w1 JOIN fs USING (h)
+       |GROUP BY w1.doc_id ORDER BY doc_id""".stripMargin
+
   /** n-gram Jaccard near-dup: distinct 3-gram shingles, hot-shingle
     * df-cap (document frequency > 100 dropped — the standard guard
     * that keeps the self-join candidate set linear at 100 TB), join
@@ -790,6 +857,7 @@ object TextOps {
     "text_oov" -> (textOov _),
     "text_bigram" -> (textBigram _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -807,6 +875,7 @@ object TextOps {
     "text_oov" -> textOovSql,
     "text_bigram" -> textBigramSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -350,6 +350,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d.count() == Tables.documents(spark, sfDir).select("text").distinct().count())
   }
 
+  test("dedup_substring flags a verbatim 8-token run against an earlier doc; owner and novel docs stay clean") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel" // exactly W = 8 tokens
+    val docs = Seq(
+      // 0: the passage's first owner — must NOT be flagged by its own window
+      (0L, s"opening words here $run and a unique tail zero"),
+      // 1: copies the passage verbatim inside otherwise-novel text
+      (1L, s"completely different framing $run with another ending one"),
+      // 2: shares 7 of the 8 tokens (one swapped) — BELOW the window width, clean
+      (2L, "alpha bravo charlie delta echo foxtrot golf india plus filler words two"),
+      // 3: wholly novel
+      (3L, "nothing in common with any other document at all in this corpus three")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupSubstringOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L)._2 == 0L, s"first owner flagged: ${got(0L)}")
+    assert(got(1L) == (1L, 1L), s"verbatim copier not flagged once: ${got(1L)}")
+    assert(got(2L)._2 == 0L, s"7-token overlap (< W) flagged: ${got(2L)}")
+    assert(got(3L)._2 == 0L, s"novel doc flagged: ${got(3L)}")
+    // every document yields windows (short docs fall back to one partial window)
+    assert(TextOps.dedupSubstringOf(docs).count() == 4)
+  }
+
   test("ann_bruteforce: 5 neighbors per vector, self excluded, ranks contiguous") {
     val ann = VectorOps.annBruteforce(spark, sfDir)
     val n = Tables.embeddings(spark, sfDir).count()
