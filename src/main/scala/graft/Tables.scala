@@ -21,23 +21,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read the nanos as a long and normalize to epoch
-    * millis (`ts_ms`) — the same floor the DuckDB oracle's
-    * `epoch_ms(ts)` produces (ns → µs → ms, both truncating).
+  /** `events.ts` has shipped in two physical shapes across corpus
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only accepts as a raw long via the legacy conf) and plain
+    * TIMESTAMP(MICROS). Normalize either to epoch millis (`ts_ms`) —
+    * the same floor the DuckDB oracle's `epoch_ms(ts)` produces for
+    * both shapes (ns → µs → ms, all truncating).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEvents(load(spark, dir, "events"))
   }
 
-  /** The nanos→millis normalization contract, shared by the batch
-    * loader and the streaming source (divergence here would split the
-    * two paths that answer one oracle).
+  /** The ts→millis normalization contract, shared by the batch loader
+    * and the streaming source (divergence here would split the two
+    * paths that answer one oracle). Type-adaptive: a LONG `ts` is
+    * epoch NANOS (the legacy-conf read of TIMESTAMP(NANOS) files); a
+    * timestamp `ts` converts via `unix_millis` — for the NTZ shape the
+    * wall-clock is UTC by the corpus contract, which the cast honors
+    * because [[Graft.session]] pins the session time zone to UTC.
     */
-  def normalizeEvents(raw: DataFrame): DataFrame =
-    raw.withColumn("ts_ms", org.apache.spark.sql.functions.expr("ts div 1000000"))
-      .drop("ts")
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("unix_millis(cast(ts as timestamp))")
+      case _ => expr("unix_millis(ts)")
+    }
+    raw.withColumn("ts_ms", tsMs).drop("ts")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -6,8 +6,10 @@ shifts by the same per-copy offset as its dimension's primary key
 (orders.o_custkey moves with customer.c_custkey, lineitem's three FKs
 move with orders/part/supplier). Fixed dims (region, nation) copy
 unchanged, as TPC-H scaling does. Timestamps keep their source parquet
-types bit-for-bit (events.ts stays TIMESTAMP(NANOS) -- the Spark loader
-reads it via nanosAsLong and a silent ns->us rewrite would break it).
+types bit-for-bit (events.ts has shipped as TIMESTAMP(NANOS) and as
+TIMESTAMP(MICROS) across corpus generations; the Spark loader adapts
+to either -- see Tables.normalizeEvents -- so the amplifier must not
+rewrite the physical type out from under it).
 
 Content columns:
   - documents: each copy appends a short per-copy marker to `text`
