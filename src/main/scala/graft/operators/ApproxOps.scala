@@ -394,12 +394,134 @@ object ApproxOps {
       .orderBy("event_type")
   }
 
+  /** Count-min sketch geometry: depth (independent hash rows) × width
+    * (counters per row). The frequency-estimation member of the sketch
+    * family — HLL answers "how many distinct", KMV answers set
+    * operations, Misra-Gries answers "which are heavy" (exactly), CMS
+    * answers "how often does THIS item occur" for ANY item in
+    * O(depth) counter reads, with the one-sided guarantee
+    * est ≥ true count (Cormode & Muthukrishnan 2005). Width 64 /
+    * depth 4 keeps the whole table at groups × 256 counters — same
+    * footprint class as the HLL registers.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  /** The counter fold over an events-shaped frame — ONE derivation
+    * shared by the batch sketch and the STREAMING maintainer
+    * ([[graft.streaming.StreamImport]]'s stream_cms), which must agree
+    * counter-for-counter because they answer the same oracle. Row i's
+    * hash is the portable 60-bit hash of "i:item" (per-row
+    * independence via the salt prefix), column = hash mod width.
+    * Counter increments are SUMS — commutative, so partition order and
+    * micro-batch splits are invisible, and per-partition sketches
+    * merge into the exact global sketch by counter-wise addition
+    * (spec-pinned): the property that lets per-day/per-shard sketches
+    * union at 100 TB without re-reading raw history.
+    *
+    * Scale posture: after map-side partial counting, at most
+    * groups × depth × width counter rows cross the exchange — constant
+    * in input size, like the HLL registers. Absent counters are zero
+    * (never incremented) on both engine sides alike.
+    */
+  private[graft] def cmsCounters(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), posexplode(expr(
+        s"transform(sequence(0, ${CmsDepth - 1}), " +
+          "i -> graft_hash60(concat(cast(i as string), ':', cast(user_id as string))))"))
+        .as(Seq("row_i", "h")))
+      .select(col("event_type"),
+        col("row_i").cast(LongType).as("row_i"),
+        expr(s"h % $CmsWidth").as("col_i"))
+      .groupBy("event_type", "row_i", "col_i")
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+
+  /** Per-event-type CMS counter table over the user-id stream: ONE
+    * shuffled groupBy of (type, row, col).
+    */
+  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    cmsCounters(Tables.events(spark, dir))
+      .orderBy("event_type", "row_i", "col_i")
+  }
+
+  def sketchCmsSql: String = {
+    val h = graft.functions.Portable.hash60Duck(
+      "CONCAT(CAST(i AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
+    s"""WITH x AS (
+       |  SELECT event_type, CAST(i AS BIGINT) AS row_i, $h % $CmsWidth AS col_i
+       |  FROM events, generate_series(0, ${CmsDepth - 1}) AS t(i))
+       |SELECT event_type, row_i, col_i, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** Point-frequency estimates read FROM the sketch: for each probe
+    * (type, user), est = min over the depth counters the item hashes
+    * to — deterministic integers, so the whole read path carries a
+    * full oracle; the ≥-exact guarantee is spec-pinned separately.
+    * Probe set bounded by construction (user_id ≡ 0 mod 97 — the
+    * bounded-probe contract, same posture as ann_bruteforce's gate
+    * shape).
+    *
+    * Scale posture: the sketch is ≤ groups × depth × width rows →
+    * BROADCAST to the probe side; the raw event stream is touched
+    * only by the sketch build's constant-width aggregation and the
+    * probes' pushed-down filter — no raw-row self-join anywhere.
+    */
+  def sketchCmsEst(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val events = Tables.events(spark, dir)
+    val probes = events.filter(col("user_id") % 97 === 0)
+      .select("event_type", "user_id").distinct()
+      .select(col("event_type"), col("user_id"), posexplode(expr(
+        s"transform(sequence(0, ${CmsDepth - 1}), " +
+          "i -> graft_hash60(concat(cast(i as string), ':', cast(user_id as string))))"))
+        .as(Seq("row_i", "h")))
+      .select(col("event_type"), col("user_id"),
+        col("row_i").cast(LongType).as("row_i"),
+        expr(s"h % $CmsWidth").as("col_i"))
+    probes.join(broadcast(cmsCounters(events)), Seq("event_type", "row_i", "col_i"))
+      .groupBy("event_type", "user_id")
+      .agg(min("cnt").cast(LongType).as("est"))
+      .orderBy("event_type", "user_id")
+  }
+
+  def sketchCmsEstSql: String = {
+    val h = graft.functions.Portable.hash60Duck(
+      "CONCAT(CAST(i AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
+    s"""WITH cms AS (
+       |  SELECT event_type, CAST(i AS BIGINT) AS row_i, $h % $CmsWidth AS col_i,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events, generate_series(0, ${CmsDepth - 1}) AS t(i)
+       |  GROUP BY 1, 2, 3),
+       |probes AS (
+       |  SELECT DISTINCT event_type, user_id, CAST(i AS BIGINT) AS row_i,
+       |    $h % $CmsWidth AS col_i
+       |  FROM events, generate_series(0, ${CmsDepth - 1}) AS t(i)
+       |  WHERE user_id % 97 = 0)
+       |SELECT p.event_type, p.user_id, CAST(MIN(c.cnt) AS BIGINT) AS est
+       |FROM probes p JOIN cms c
+       |  ON c.event_type = p.event_type AND c.row_i = p.row_i AND c.col_i = p.col_i
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Merge CMS sketches: counter-wise SUM (absent = 0) — the additive
+    * monoid that unions per-partition/per-day sketches into the exact
+    * global table.
+    */
+  def cmsMerge(sketches: Seq[Map[(Long, Long), Long]]): Map[(Long, Long), Long] =
+    sketches.foldLeft(Map.empty[(Long, Long), Long]) { (acc, s) =>
+      s.foldLeft(acc) { case (a, (rc, n)) => a.updated(rc, a.getOrElse(rc, 0L) + n) }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (sketchHll _),
     "sketch_kmv" -> (sketchKmv _),
     "sketch_set_ops" -> (sketchSetOps _),
     "sketch_topk" -> (sketchTopk _),
-    "sketch_quantile" -> (sketchQuantile _))
+    "sketch_quantile" -> (sketchQuantile _),
+    "sketch_cms" -> (sketchCms _),
+    "sketch_cms_est" -> (sketchCmsEst _))
 
   def oracles: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
@@ -407,5 +529,7 @@ object ApproxOps {
     "sketch_set_ops" -> sketchSetOpsSql,
     "sketch_topk" -> sketchTopkSql,
     // the histogram form must reproduce the positional form exactly
-    "sketch_quantile" -> Analytics.qPercentilesSql)
+    "sketch_quantile" -> Analytics.qPercentilesSql,
+    "sketch_cms" -> sketchCmsSql,
+    "sketch_cms_est" -> sketchCmsEstSql)
 }

@@ -1295,6 +1295,36 @@ object StreamImport {
       .select("event_type", "bucket", "max_rho")
       .orderBy("event_type", "bucket")
 
+  /** Streaming count-min frequency sketch in CONSTANT state: the CMS
+    * counter table maintained as a streaming SUM aggregate. The state
+    * is exactly groups × depth × width counter rows no matter how many
+    * billions of events stream through — the frequency companion to
+    * [[hllStream]]'s distinct registers: after the stream has run,
+    * ANY item's frequency is answerable in depth counter reads with
+    * est ≥ true. Counter increments are commutative sums, so
+    * micro-batch splits and arrival order are invisible; update mode
+    * re-emits a counter row only when it grows and the keyed sink
+    * upserts it. Same counter derivation — and the SAME oracle — as
+    * the batch [[graft.operators.ApproxOps.sketchCms]].
+    */
+  def cmsStream(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    graft.operators.ApproxOps.cmsCounters(events)
+  }
+
+  /** Driver-checked streaming counter table — oracle = the batch
+    * sketch_cms SQL.
+    */
+  def runCmsToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events =>
+      cmsStream(events)
+        .withColumn("ckey",
+          concat_ws("_", col("event_type"), col("row_i"), col("col_i")))
+        .withColumn("tenant", col("event_type")),
+      "ckey", label = "stream_cms")
+      .select("event_type", "row_i", "col_i", "cnt")
+      .orderBy("event_type", "row_i", "col_i")
+
   /** Streaming KMV (bottom-k) distinct sketch in CONSTANT state — the
     * theta-sketch companion to [[hllStream]]: per group the state is
     * exactly the k smallest distinct hashes (≤ k longs, forever), so
@@ -1821,6 +1851,7 @@ object StreamImport {
     "stream_join" -> (runJoinToCompletion _),
     "stream_join_outer" -> (runJoinOuterToCompletion _),
     "stream_hll" -> (runHllToCompletion _),
+    "stream_cms" -> (runCmsToCompletion _),
     "stream_kmv" -> (runKmvToCompletion _),
     "stream_topn" -> (runTopnToCompletion _),
     "stream_sessionize" -> (runSessionizeToCompletion _))
@@ -1863,6 +1894,7 @@ object StreamImport {
         |      OR epoch_ms(c.ts) <= (SELECT m FROM mx) - 10800000)
         |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_hll" -> graft.operators.ApproxOps.sketchHllSql,
+    "stream_cms" -> graft.operators.ApproxOps.sketchCmsSql,
     "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,
     "stream_topn" -> graft.operators.Analytics.qWindowTopNSql,
     "stream_sessionize" ->

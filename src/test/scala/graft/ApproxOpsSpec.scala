@@ -179,4 +179,67 @@ class ApproxOpsSpec extends SparkSpec {
     val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
     assert(df.count() <= types * ApproxOps.HllBuckets)
   }
+
+  test("sketch_cms: one-sided guarantee (est >= exact for EVERY item), table bounded, mergeable") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val events = Tables.events(spark, sfDir)
+    // exact per-(type, user) frequencies — the answer CMS overestimates
+    val exact = events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).cast("long").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("n")).toMap
+    // sketch read path: estimate EVERY seen item (not just the gate's
+    // bounded probe set) via the same min-over-depth-counters rule
+    val sketch = ApproxOps.sketchCms(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("row_i"), r.getAs[Long]("col_i")) ->
+        r.getAs[Long]("cnt")).toMap
+    def estimate(et: String, user: Long): Long =
+      (0 until ApproxOps.CmsDepth).map { i =>
+        val h = graft.functions.Hash60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$i:$user"))
+        sketch.getOrElse((et, i.toLong, h % ApproxOps.CmsWidth), 0L)
+      }.min
+    exact.foreach { case ((et, u), n) =>
+      val est = estimate(et, u)
+      assert(est >= n, s"CMS UNDER-estimated ($et, $u): est=$est exact=$n")
+    }
+    // width 64 x depth 4 at this corpus: the mean estimate should not
+    // be wildly inflated (collision mass is bounded by n/width per row)
+    val inflations = exact.map { case ((et, u), n) => estimate(et, u) - n }
+    val total = exact.values.sum
+    assert(inflations.sum.toDouble / exact.size <=
+      2.0 * ApproxOps.CmsDepth * total / ApproxOps.CmsWidth,
+      "mean CMS inflation exceeds the expected collision mass bound")
+    // table bounded by groups x depth x width regardless of input
+    val types = events.select("event_type").distinct().count()
+    assert(sketch.size <= types * ApproxOps.CmsDepth * ApproxOps.CmsWidth)
+    // merge = counter-wise sum: per-half sketches union into the exact
+    // global table (the per-day/per-shard 100 TB property)
+    val halves = Seq(events.filter(col("event_id") % 2 === 0),
+      events.filter(col("event_id") % 2 === 1)).map { part =>
+      ApproxOps.cmsCounters(part).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("row_i"), r.getAs[Long]("col_i")) ->
+          r.getAs[Long]("cnt")).toMap
+    }
+    val perType = halves.map(_.groupBy(_._1._1).view.mapValues(
+      _.map { case ((_, ri, ci), n) => (ri, ci) -> n }.toMap).toMap)
+    val merged = (perType.head.keySet ++ perType(1).keySet).map { et =>
+      et -> ApproxOps.cmsMerge(perType.map(_.getOrElse(et, Map.empty)))
+    }.toMap
+    sketch.foreach { case ((et, ri, ci), n) =>
+      assert(merged(et).getOrElse((ri, ci), 0L) == n,
+        s"merged halves disagree with the full sketch at ($et, $ri, $ci)")
+    }
+  }
+
+  test("sketch_cms plan: one hash shuffle for the build; est broadcasts the sketch") {
+    val df = ApproxOps.sketchCms(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+    val est = ApproxOps.sketchCmsEst(spark, sfDir)
+    val estPlan = est.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(estPlan.contains("BroadcastHashJoin"),
+      s"probe-side lookup should broadcast the bounded sketch:\n$estPlan")
+  }
 }
