@@ -743,6 +743,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length <= types * graft.operators.ApproxOps.HllBuckets)
   }
 
+  test("stream_cms: counter table maintained across adversarial micro-batches equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    // adversarial order: counter-wise sum must be arrival-insensitive
+    val shuffled = new scala.util.Random(17).shuffle(recs.toVector)
+    val stream = MemoryStream[StreamImport.Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_cms_").toString + "/t"
+    val q = StreamImport.cmsStream(stream.toDF())
+      .withColumn("ckey",
+        concat_ws("_", col("event_type"), col("row_i"), col("col_i")))
+      .withColumn("tenant", col("event_type"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cmschk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "ckey")
+      }
+      .start()
+    shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    // CONSTANT state: bounded by groups × depth × width counters,
+    // never by input or key cardinality
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(q.lastProgress.stateOperators(0).numRowsTotal <=
+      types * graft.operators.ApproxOps.CmsDepth * graft.operators.ApproxOps.CmsWidth,
+      "cms state must stay within the fixed counter-table geometry")
+    q.stop()
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("event_type", "row_i", "col_i", "cnt")
+      .orderBy("event_type", "row_i", "col_i").collect()
+    val batch = graft.operators.ApproxOps.sketchCms(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_kmv: bottom-k sketch maintained across adversarial micro-batches equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
