@@ -514,6 +514,20 @@ object ApproxOps {
       s.foldLeft(acc) { case (a, (rc, n)) => a.updated(rc, a.getOrElse(rc, 0L) + n) }
     }
 
+  /** Driver-side point read of a sketch map ((row, col) → count):
+    * est(item) = min over the depth counters "i:item" hashes to,
+    * absent = 0. One-sided: est ≥ true count always; est ≤ true +
+    * ε·N with probability 1 − δ for ε = e/width, δ = e^−depth
+    * (Cormode & Muthukrishnan 2005). The same rule the oracled
+    * sketch_cms_est frame computes in-engine.
+    */
+  def cmsEstimate(sketch: Map[(Long, Long), Long], item: String): Long =
+    (0 until CmsDepth).map { i =>
+      val h = graft.functions.Hash60.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$i:$item"))
+      sketch.getOrElse((i.toLong, h % CmsWidth), 0L)
+    }.min
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (sketchHll _),
     "sketch_kmv" -> (sketchKmv _),

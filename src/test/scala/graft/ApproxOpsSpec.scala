@@ -193,12 +193,12 @@ class ApproxOpsSpec extends SparkSpec {
     val sketch = ApproxOps.sketchCms(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getAs[Long]("row_i"), r.getAs[Long]("col_i")) ->
         r.getAs[Long]("cnt")).toMap
+    val byType = sketch.groupBy(_._1._1).view.mapValues(
+      _.map { case ((_, ri, ci), n) => (ri, ci) -> n }.toMap).toMap
+    // one read-path semantics, three surfaces: the driver helper here,
+    // the oracled sketch_cms_est frame in-engine, and the oracle SQL
     def estimate(et: String, user: Long): Long =
-      (0 until ApproxOps.CmsDepth).map { i =>
-        val h = graft.functions.Hash60.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s"$i:$user"))
-        sketch.getOrElse((et, i.toLong, h % ApproxOps.CmsWidth), 0L)
-      }.min
+      ApproxOps.cmsEstimate(byType(et), user.toString)
     exact.foreach { case ((et, u), n) =>
       val est = estimate(et, u)
       assert(est >= n, s"CMS UNDER-estimated ($et, $u): est=$est exact=$n")
@@ -213,6 +213,11 @@ class ApproxOpsSpec extends SparkSpec {
     // table bounded by groups x depth x width regardless of input
     val types = events.select("event_type").distinct().count()
     assert(sketch.size <= types * ApproxOps.CmsDepth * ApproxOps.CmsWidth)
+    // the oracled in-engine read path and the driver helper agree
+    ApproxOps.sketchCmsEst(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("est") == estimate(r.getString(0), r.getLong(1)),
+        s"frame est disagrees with driver helper at (${r.getString(0)}, ${r.getLong(1)})")
+    }
     // merge = counter-wise sum: per-half sketches union into the exact
     // global table (the per-day/per-shard 100 TB property)
     val halves = Seq(events.filter(col("event_id") % 2 === 0),
