@@ -1659,9 +1659,10 @@ object StreamImport {
       label: String = "stream"): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_").toString
     val sinkDir = s"$work/sink"
-    // Raw file schema (ts is parquet TIMESTAMP(NANOS) read as long —
-    // Tables.events sets the legacy conf); normalization then comes
-    // from the SAME helper the batch loader uses.
+    // Raw file schema (ts arrives as TIMESTAMP(NANOS)-as-long under
+    // the legacy conf OR as a native timestamp, depending on corpus
+    // generation); normalization then comes from the SAME
+    // type-adaptive helper the batch loader uses.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source wants a directory: stream the sf dir

@@ -374,6 +374,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(TextOps.dedupSubstringOf(docs).count() == 4)
   }
 
+  test("dedup_substring plan: three hash shuffles, no join ever enumerates doc pairs") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = TextOps.dedupSubstring(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // the linear-work claim: window-hash aggregate + the occurrence
+    // side of the join + the per-doc count — and nothing else (a
+    // pair-enumerating formulation would add a shuffle per join side
+    // of the doc-pair frame)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"expected <= 3 hash exchanges, got $shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair enumeration crept into the plan:\n$plan")
+  }
+
   test("ann_bruteforce: 5 neighbors per vector, self excluded, ranks contiguous") {
     val ann = VectorOps.annBruteforce(spark, sfDir)
     val n = Tables.embeddings(spark, sfDir).count()
