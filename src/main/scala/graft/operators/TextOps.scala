@@ -544,6 +544,63 @@ object TextOps {
        |FROM w1 JOIN fs USING (h)
        |GROUP BY w1.doc_id ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL passage-level dedup — flag a NEW batch's documents
+    * that share a verbatim ≥[[SubstringW]]-token run with the EXISTING
+    * corpus, without recomputing the corpus-wide first-seen table:
+    * the daily-append sibling of [[dedupSubstring]], exactly as
+    * [[dedupIncremental]] is to [[dedupMinhash]]. The delta here is
+    * the deterministic doc_id % 10 = 7 slice; in production it is the
+    * day's arrivals, and "corpus" membership replaces the full form's
+    * doc_id ordering (anything already ingested is earlier by
+    * definition).
+    *
+    * Plan shape (the point): the corpus side is scanned ONCE and
+    * NEVER shuffles raw window rows — the delta's distinct window
+    * hashes ride a BROADCAST into a hash join against the corpus
+    * window stream, and only the MATCHED hashes (≤ the delta's own
+    * window count after map-side partial dedup) cross an exchange.
+    * Corpus-side cost is linear per ingest, independent of how many
+    * corpus docs share a boilerplate window.
+    */
+  def dedupSubstringInc(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val wins = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${shinglesOfExpr(SubstringW, "toks")})")).as("s"))
+      .select(col("doc_id"), expr(hx("s")).as("h"))
+    val delta = wins.filter(col("doc_id") % 10 === 7)
+    val corpus = wins.filter(col("doc_id") % 10 =!= 7)
+    // windows present in BOTH: corpus rows hash-probe the broadcast
+    // delta window set; the groupBy's map-side partials bound the
+    // shuffle at distinct matched hashes per partition
+    val hits = corpus.join(broadcast(delta.select("h").distinct()), "h")
+      .groupBy("h").agg(count(lit(1)).as("_c")).select(col("h"), lit(1L).as("hit"))
+    delta.join(broadcast(hits), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_windows"),
+        coalesce(sum("hit"), lit(0L)).cast(LongType).as("n_dup_windows"),
+        coalesce(max("hit"), lit(0L)).cast(LongType).as("is_dup"))
+      .select("doc_id", "n_windows", "n_dup_windows", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstringIncSql: String =
+    s"""WITH w0 AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(${shinglesDuck(SubstringW)})) AS s
+       |  FROM documents),
+       |w1 AS (SELECT doc_id, ${hxDuck("s")} AS h FROM w0),
+       |delta AS (SELECT doc_id, h FROM w1 WHERE doc_id % 10 = 7),
+       |corpus_h AS (SELECT DISTINCT h FROM w1 WHERE doc_id % 10 <> 7)
+       |SELECT d.doc_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_windows,
+       |  CAST(MAX(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS is_dup
+       |FROM delta d LEFT JOIN corpus_h c ON d.h = c.h
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** n-gram Jaccard near-dup: distinct 3-gram shingles, hot-shingle
     * df-cap (document frequency > 100 dropped — the standard guard
     * that keeps the self-join candidate set linear at 100 TB), join
@@ -858,6 +915,7 @@ object TextOps {
     "text_bigram" -> (textBigram _),
     "dedup_exact" -> (dedupExact _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_inc" -> (dedupSubstringInc _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -876,6 +934,7 @@ object TextOps {
     "text_bigram" -> textBigramSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_substring_inc" -> dedupSubstringIncSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,

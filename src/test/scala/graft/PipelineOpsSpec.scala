@@ -374,6 +374,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(TextOps.dedupSubstringOf(docs).count() == 4)
   }
 
+  test("dedup_substring_inc: delta flags against corpus windows; corpus never shuffles raw rows") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = TextOps.dedupSubstringInc(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "no delta docs at this corpus — vacuous")
+    // only delta docs appear, every column internally consistent
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 7)
+      assert(r.getLong(2) <= r.getLong(1), "more dup windows than windows")
+      assert((r.getLong(3) == 1L) == (r.getLong(2) > 0L))
+    }
+    // semantics cross-check vs the full detector's window table: a
+    // delta doc is dup iff it shares ANY window hash with a corpus doc
+    import org.apache.spark.sql.functions._
+    val wins = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, greatest(size(toks) - 8, 0)), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 8))))")).as("s"))
+      .select(col("doc_id"), expr("graft_hash60(s)").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val corpusH = wins.collect { case (d, h) if d % 10 != 7 => h }.toSet
+    val expect = wins.filter(_._1 % 10 == 7).groupBy(_._1).map { case (d, ws) =>
+      d -> ws.count(w => corpusH.contains(w._2)).toLong
+    }
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) == r.getLong(2),
+        s"doc ${r.getLong(0)}: expected ${expect(r.getLong(0))} dup windows, got ${r.getLong(2)}")
+    }
+    // plan: the corpus window stream feeds BROADCAST hash joins — the
+    // append-only shape must never shuffle raw corpus rows on the
+    // window hash (only matched-hash partials cross an exchange)
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected two broadcast probes (delta set, hit set):\n$plan")
+  }
+
   test("dedup_substring plan: three hash shuffles, no join ever enumerates doc pairs") {
     graft.functions.GraftFunctions.register(spark)
     val df = TextOps.dedupSubstring(spark, sfDir)
