@@ -562,13 +562,22 @@ object TextOps {
     * Corpus-side cost is linear per ingest, independent of how many
     * corpus docs share a boilerplate window.
     */
-  def dedupSubstringInc(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val wins = Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
+  /** (doc_id, h) distinct window hashes of a documents-shaped frame —
+    * the shared front half of the passage detectors. Row-local, so it
+    * works identically on batch AND streaming frames (the streaming
+    * incremental runner derives its delta windows through this same
+    * helper; divergence here would split two paths answering one
+    * oracle). Caller registers GraftFunctions.
+    */
+  private[graft] def substringWindows(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${shinglesOfExpr(SubstringW, "toks")})")).as("s"))
       .select(col("doc_id"), expr(hx("s")).as("h"))
+
+  def dedupSubstringInc(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val wins = substringWindows(Tables.documents(spark, dir))
     val delta = wins.filter(col("doc_id") % 10 === 7)
     val corpus = wins.filter(col("doc_id") % 10 =!= 7)
     // windows present in BOTH: corpus rows hash-probe the broadcast

@@ -1325,6 +1325,62 @@ object StreamImport {
       .select("event_type", "row_i", "col_i", "cnt")
       .orderBy("event_type", "row_i", "col_i")
 
+  /** Streaming incremental passage dedup — the PRODUCTION shape of
+    * [[graft.operators.TextOps.dedupSubstringInc]]: the day's document
+    * arrivals STREAM in while the existing corpus's window-hash index
+    * is a STATIC frame probed by a stream-static left join (in
+    * production the index is yesterday's precomputed artifact; here it
+    * materializes once via Scratch, so micro-batches probe parquet
+    * instead of re-deriving the corpus per batch). Per-doc window
+    * counts fold as an update-mode streaming aggregate — state is one
+    * row per DELTA doc seen (the ingest batch bounds it; corpus size
+    * never enters the state), and the corpus side never shuffles raw
+    * rows, exactly the batch plan's contract. Answers the batch
+    * dedup_substring_inc's SAME oracle.
+    */
+  def runSubstringIncToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_ssi_").toString
+    val sinkDir = s"$work/sink"
+    val corpusIdx = graft.Scratch.cp(
+      graft.operators.TextOps.substringWindows(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7))
+        .select("h").distinct().withColumn("hit", lit(1L)))
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val agg = graft.operators.TextOps.substringWindows(
+        stream.filter(col("doc_id") % 10 === 7))
+      .join(corpusIdx, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        coalesce(sum("hit"), lit(0L)).cast("long").as("n_dup_windows"),
+        coalesce(max("hit"), lit(0L)).cast("long").as("is_dup"))
+      .withColumn("dkey", col("doc_id").cast("string"))
+      .withColumn("tenant", concat(lit("t"), col("doc_id") % 10))
+    val metrics = new StateMetricsListener
+    spark.streams.addListener(metrics)
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", s"$work/chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, batch, "dkey")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally spark.streams.removeListener(metrics)
+    metrics.log(q, s"stream_substring_inc@$dir")
+    val result = graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
+      .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(work))
+    result.select("doc_id", "n_windows", "n_dup_windows", "is_dup")
+      .orderBy("doc_id")
+  }
+
   /** Streaming KMV (bottom-k) distinct sketch in CONSTANT state — the
     * theta-sketch companion to [[hllStream]]: per group the state is
     * exactly the k smallest distinct hashes (≤ k longs, forever), so
@@ -1853,6 +1909,7 @@ object StreamImport {
     "stream_join_outer" -> (runJoinOuterToCompletion _),
     "stream_hll" -> (runHllToCompletion _),
     "stream_cms" -> (runCmsToCompletion _),
+    "stream_substring_inc" -> (runSubstringIncToCompletion _),
     "stream_kmv" -> (runKmvToCompletion _),
     "stream_topn" -> (runTopnToCompletion _),
     "stream_sessionize" -> (runSessionizeToCompletion _))
@@ -1896,6 +1953,8 @@ object StreamImport {
         |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_hll" -> graft.operators.ApproxOps.sketchHllSql,
     "stream_cms" -> graft.operators.ApproxOps.sketchCmsSql,
+    // the streaming delta answers the batch incremental detector's oracle
+    "stream_substring_inc" -> graft.operators.TextOps.dedupSubstringIncSql,
     "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,
     "stream_topn" -> graft.operators.Analytics.qWindowTopNSql,
     "stream_sessionize" ->

@@ -783,6 +783,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_substring_inc: the streamed delta answers the batch incremental detector row-for-row") {
+    // the production shape (arrivals stream in, corpus is a static
+    // precomputed index) must reproduce the batch plan exactly —
+    // both answer ONE oracle, so any drift in the shared window
+    // derivation or the join/fold semantics fails here first
+    val streamed = StreamImport.runSubstringIncToCompletion(spark, sfDir)
+      .collect()
+    val batch = graft.operators.TextOps.dedupSubstringInc(spark, sfDir)
+      .collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_kmv: bottom-k sketch maintained across adversarial micro-batches equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
