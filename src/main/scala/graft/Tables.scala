@@ -25,8 +25,11 @@ object Tables {
     * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
     * reader only accepts as a raw long via the legacy conf) and plain
     * TIMESTAMP(MICROS). Normalize either to epoch millis (`ts_ms`) —
-    * the same floor the DuckDB oracle's `epoch_ms(ts)` produces for
-    * both shapes (ns → µs → ms, all truncating).
+    * the same FLOOR the DuckDB oracle's `epoch_ms(ts)` and Spark's
+    * `unix_millis` produce, including for pre-epoch timestamps (a
+    * plain `div` truncates toward zero and would diverge there; the
+    * explicit floorDiv below stays exact where `floor(ts/1e6)` on a
+    * double would lose ns-scale long precision past 2^53).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,7 +47,8 @@ object Tables {
   def normalizeEvents(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.expr
     val tsMs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case org.apache.spark.sql.types.LongType =>
+        expr("(ts div 1000000) - (case when ts % 1000000 < 0 then 1 else 0 end)")
       case org.apache.spark.sql.types.TimestampNTZType =>
         expr("unix_millis(cast(ts as timestamp))")
       case _ => expr("unix_millis(ts)")

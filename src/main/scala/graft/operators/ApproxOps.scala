@@ -426,9 +426,13 @@ object ApproxOps {
     */
   private[graft] def cmsCounters(events: DataFrame): DataFrame =
     events
+      // salted strings built by the (interpreted) transform lambda,
+      // hashed in ONE batch-native Hash60All call — per-element
+      // graft_hash60 dispatch inside the lambda is the exact pattern
+      // Hash60All exists to avoid (runs per event row × depth)
       .select(col("event_type"), posexplode(expr(
-        s"transform(sequence(0, ${CmsDepth - 1}), " +
-          "i -> graft_hash60(concat(cast(i as string), ':', cast(user_id as string))))"))
+        s"graft_hash60_all(transform(sequence(0, ${CmsDepth - 1}), " +
+          "i -> concat(cast(i as string), ':', cast(user_id as string))))"))
         .as(Seq("row_i", "h")))
       .select(col("event_type"),
         col("row_i").cast(LongType).as("row_i"),

@@ -575,17 +575,60 @@ object TextOps {
         explode(expr(s"array_distinct(${shinglesOfExpr(SubstringW, "toks")})")).as("s"))
       .select(col("doc_id"), expr(hx("s")).as("h"))
 
-  def dedupSubstringInc(spark: SparkSession, dir: String): DataFrame = {
+  /** Delta-side ceiling (in DOCUMENTS) for the incremental detectors'
+    * forced-broadcast plans. The incremental forms' whole advantage is
+    * that the day's delta rides a broadcast into the corpus scan — but
+    * the broadcast frames scale with INGEST size (distinct window
+    * hashes / banded signatures of the delta), not with a fixed dim,
+    * so a backlogged multi-day delta would turn the hint into a
+    * driver/executor OOM. Same contract-enforcement posture as
+    * [[VectorOps.MaxBruteforceQueries]]: past the ceiling the plan
+    * falls back to hint-free joins (AQE picks the strategy from
+    * runtime sizes — a shuffled hash join once the delta really is
+    * corpus-scale), which is row-identical under the same oracle.
+    * Sizing: ~10^5 docs × ~10^2 distinct windows/doc × 8 B hash ≈
+    * 10^8 B of key material — the edge of a comfortable broadcast on
+    * a large-executor cluster; the banded-signature frame (4 rows/doc)
+    * is far smaller, so one shared ceiling keeps the contract simple.
+    */
+  val MaxDeltaBroadcastDocs = 100000L
+
+  /** Bounded count: short-circuits once `bound + 1` rows exist, so an
+    * over-ceiling delta is detected without a full scan.
+    */
+  private def fitsBound(df: DataFrame, bound: Long): Boolean = {
+    val n =
+      if (bound < Int.MaxValue) df.limit(bound.toInt + 1).count()
+      else df.count()
+    n <= bound
+  }
+
+  def dedupSubstringInc(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringIncWith(spark, dir, MaxDeltaBroadcastDocs)
+
+  /** Explicit-ceiling variant — the guard spec drives the ceiling to 0
+    * to pin the fallback plan row-identical.
+    */
+  def dedupSubstringIncWith(spark: SparkSession, dir: String,
+      maxBroadcastDocs: Long): DataFrame = {
     GraftFunctions.register(spark)
-    val wins = substringWindows(Tables.documents(spark, dir))
+    val docs = Tables.documents(spark, dir)
+    // the guard: count delta DOCS (one pushed-down id-column scan with
+    // a limit short-circuit), not delta windows — the ceiling is a
+    // contract on ingest size, checked before any window explode runs
+    val deltaFits = fitsBound(
+      docs.filter(col("doc_id") % 10 === 7).select("doc_id"), maxBroadcastDocs)
+    def hinted(df: DataFrame): DataFrame = if (deltaFits) broadcast(df) else df
+    val wins = substringWindows(docs)
     val delta = wins.filter(col("doc_id") % 10 === 7)
     val corpus = wins.filter(col("doc_id") % 10 =!= 7)
     // windows present in BOTH: corpus rows hash-probe the broadcast
     // delta window set; the groupBy's map-side partials bound the
-    // shuffle at distinct matched hashes per partition
-    val hits = corpus.join(broadcast(delta.select("h").distinct()), "h")
+    // shuffle at distinct matched hashes per partition. Past the
+    // ceiling both hints drop and AQE plans from runtime sizes.
+    val hits = corpus.join(hinted(delta.select("h").distinct()), "h")
       .groupBy("h").agg(count(lit(1)).as("_c")).select(col("h"), lit(1L).as("hit"))
-    delta.join(broadcast(hits), Seq("h"), "left_outer")
+    delta.join(hinted(hits), Seq("h"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_windows"),
         coalesce(sum("hit"), lit(0L)).cast(LongType).as("n_dup_windows"),
@@ -593,6 +636,32 @@ object TextOps {
       .select("doc_id", "n_windows", "n_dup_windows", "is_dup")
       .orderBy("doc_id")
   }
+
+  /** The corpus window-hash index — one row per DISTINCT window hash,
+    * `hit = 1` so probes can left-join and sum. This is the static
+    * artifact the streaming incremental detector
+    * (stream_substring_inc) probes: in production it is yesterday's
+    * precomputed parquet, partitioned on `h` so the probe join reuses
+    * its layout.
+    */
+  def windowIndexOf(docs: DataFrame): DataFrame =
+    substringWindows(docs).select("h").distinct().withColumn("hit", lit(1L))
+
+  /** Daily index maintenance — APPEND an accepted delta's windows into
+    * the existing index without recomputing the corpus: the index's
+    * hash set unions with the delta's window hashes and one
+    * `distinct()` over the union IS the compaction (one shuffle on
+    * `h`, linear in index + delta; the corpus documents are never
+    * re-read). Closes the incremental loop: after day N's ingest the
+    * appended index is day N+1's static probe side. Merge ≡ recompute
+    * — appendWindowIndex(windowIndexOf(corpus), delta) is row-for-row
+    * [[windowIndexOf]](corpus ∪ delta) — is spec-pinned, the same bar
+    * imp_entity_incremental meets.
+    */
+  def appendWindowIndex(index: DataFrame, newDocs: DataFrame): DataFrame =
+    index.select("h")
+      .union(substringWindows(newDocs).select("h"))
+      .distinct().withColumn("hit", lit(1L))
 
   def dedupSubstringIncSql: String =
     s"""WITH w0 AS (
@@ -800,13 +869,21 @@ object TextOps {
 
   /** Unsealed variant — keeps the join plan inspectable (sealing
     * checkpoints it away); returns (pairs, scratch frame to release).
+    * The delta's banded-signature frame is forced-broadcast only under
+    * [[MaxDeltaBroadcastDocs]] (counted on the raw documents table,
+    * before any signature work); past the ceiling the hint drops and
+    * AQE plans the join from runtime sizes — row-identical, spec'd.
     */
   private[graft] def dedupIncrementalUnsealed(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      spark: SparkSession, dir: String,
+      maxBroadcastDocs: Long = MaxDeltaBroadcastDocs): (DataFrame, DataFrame) = {
+    val deltaFits = fitsBound(Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 7).select("doc_id"), maxBroadcastDocs)
     val exploded = graft.Scratch.cp(bandedFrame(spark, dir, MinhashK, 2))
     val delta = exploded.filter(col("doc_id") % 10 === 7)
     val base = exploded.filter(col("doc_id") % 10 =!= 7)
-    val pairs = base.as("o").join(broadcast(delta.as("n")),
+    val deltaSide = if (deltaFits) broadcast(delta.as("n")) else delta.as("n")
+    val pairs = base.as("o").join(deltaSide,
         col("o.band_idx") === col("n.band_idx") &&
           col("o.band_key") === col("n.band_key"))
       .groupBy(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))

@@ -1340,12 +1340,11 @@ object StreamImport {
     */
   def runSubstringIncToCompletion(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val work = java.nio.file.Files.createTempDirectory("graft_ssi_").toString
-    val sinkDir = s"$work/sink"
-    val corpusIdx = graft.Scratch.cp(
-      graft.operators.TextOps.substringWindows(
-        Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7))
-        .select("h").distinct().withColumn("hit", lit(1L)))
+    // the static probe side — in production yesterday's precomputed
+    // index artifact, APPENDED after each accepted ingest via
+    // TextOps.appendWindowIndex (merge ≡ recompute is spec-pinned)
+    val corpusIdx = graft.Scratch.cp(graft.operators.TextOps.windowIndexOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7)))
     val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -1358,26 +1357,8 @@ object StreamImport {
         coalesce(max("hit"), lit(0L)).cast("long").as("is_dup"))
       .withColumn("dkey", col("doc_id").cast("string"))
       .withColumn("tenant", concat(lit("t"), col("doc_id") % 10))
-    val metrics = new StateMetricsListener
-    spark.streams.addListener(metrics)
-    val q = agg.writeStream.outputMode("update")
-      .option("checkpointLocation", s"$work/chk")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TenantUpsertSink.upsert(sinkDir, batch, "dkey")
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally spark.streams.removeListener(metrics)
-    metrics.log(q, s"stream_substring_inc@$dir")
-    val result = graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
-      .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(work))
-    result.select("doc_id", "n_windows", "n_dup_windows", "is_dup")
+    runStreamToSink(spark, s"stream_substring_inc@$dir", agg, "dkey")
+      .select("doc_id", "n_windows", "n_dup_windows", "is_dup")
       .orderBy("doc_id")
   }
 
@@ -1704,6 +1685,44 @@ object StreamImport {
       } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  private def rmTree(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
+  }
+
+  /** Shared sink-run-readback-cleanup plumbing for the AvailableNow
+    * runners: run `frame` (an already-composed streaming frame) into
+    * the tenant-routed upsert sink under a fresh temp work dir, read
+    * the sink back (Scratch-materialized, so the result detaches from
+    * the temp files — a lazy plan over deleted parquet would fail at
+    * consume time), and reclaim the work dir in a `finally` so a
+    * failed query can't leak it.
+    */
+  private def runStreamToSink(spark: SparkSession, label: String,
+      frame: DataFrame, key: String, mode: String = "update",
+      merge: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    try {
+      val sinkDir = s"$work/sink"
+      val metrics = new StateMetricsListener
+      spark.streams.addListener(metrics)
+      val q = frame
+        .writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", s"$work/chk")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          TenantUpsertSink.upsert(sinkDir, batch, key, merge)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally spark.streams.removeListener(metrics)
+      metrics.log(q, label)
+      graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
+        .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
+    } finally rmTree(new java.io.File(work))
+  }
+
   /** Shared end-to-end runner: stream the sf dir's events file through
     * `transform` with an AvailableNow trigger into the tenant-routed
     * upsert sink, then read the sink back.
@@ -1713,8 +1732,6 @@ object StreamImport {
       mode: String = "update",
       merge: Option[(DataFrame, DataFrame) => DataFrame] = None,
       label: String = "stream"): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_").toString
-    val sinkDir = s"$work/sink"
     // Raw file schema (ts arrives as TIMESTAMP(NANOS)-as-long under
     // the legacy conf OR as a native timestamp, depending on corpus
     // generation); normalization then comes from the SAME
@@ -1727,31 +1744,7 @@ object StreamImport {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir))
-    val metrics = new StateMetricsListener
-    spark.streams.addListener(metrics)
-    val q = transform(stream)
-      .writeStream
-      .outputMode(mode)
-      .option("checkpointLocation", s"$work/chk")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        TenantUpsertSink.upsert(sinkDir, batch, key, merge)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally spark.streams.removeListener(metrics)
-    metrics.log(q, s"$label@$dir")
-    // detach from the temp files so the work dir can be reclaimed (a
-    // lazy plan over deleted parquet would fail at consume time);
-    // tracked in Scratch so the session can sweep it after consumption
-    val result = graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
-      .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(work))
-    result
+    runStreamToSink(spark, s"$label@$dir", transform(stream), key, mode, merge)
   }
 
   /** Default watermark delay of [[importLoop]]'s entity fold: must
@@ -1864,32 +1857,29 @@ object StreamImport {
       .collect()
     graft.sources.QueueHub.publish(subject, msgs.toIndexedSeq)
     val work = java.nio.file.Files.createTempDirectory("graft_loop_gate_").toString
-    val sinkDir = s"$work/sink"
-    val merge = foldMerge(transferFold)
-    val metrics = new StateMetricsListener
-    spark.streams.addListener(metrics)
-    val stream = spark.readStream.format("graft-queue")
-      .option("subject", subject).load()
-    val q = importLoop(stream)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$work/chk")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
+    val result = try {
+      val sinkDir = s"$work/sink"
+      val merge = foldMerge(transferFold)
+      val metrics = new StateMetricsListener
+      spark.streams.addListener(metrics)
+      val stream = spark.readStream.format("graft-queue")
+        .option("subject", subject).load()
+      val q = importLoop(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/chk")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
+        }
+        .start()
+      try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
+      finally {
+        spark.streams.removeListener(metrics)
+        graft.sources.QueueHub.clear(subject)
       }
-      .start()
-    try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
-    finally {
-      spark.streams.removeListener(metrics)
-      graft.sources.QueueHub.clear(subject)
-    }
-    metrics.log(q, s"import_loop@$dir")
-    val result = graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
-      .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(work))
+      metrics.log(q, s"import_loop@$dir")
+      graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
+        .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
+    } finally rmTree(new java.io.File(work))
     result
       .select(explode(col("rows")).as("r")).select("r.*")
       .select("transfer_key", "tenant", "started_ms", "completed_ms",

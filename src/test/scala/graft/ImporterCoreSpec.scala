@@ -13,6 +13,18 @@ class ImporterCoreSpec extends SparkSpec {
     assert(df.count() == total)
   }
 
+  test("normalizeEvents: the long (nanos) branch FLOORS like unix_millis, incl. pre-epoch") {
+    import spark.implicits._
+    // straddle the epoch and both remainder signs; unix_millis (and
+    // the DuckDB oracle's epoch_ms) floor, so the long branch must too
+    val ns = Seq(-1500001L, -1000000L, -999999L, -1L, 0L, 1L, 999999L,
+      1000000L, 1500001L, 1723600000123456789L)
+    val got = Tables.normalizeEvents(ns.toDF("ts"))
+      .orderBy("ts_ms").collect().map(_.getAs[Long]("ts_ms")).toSeq
+    val want = ns.map(v => Math.floorDiv(v, 1000000L)).sorted
+    assert(got == want, s"long-branch ts_ms diverged from floor semantics: $got vs $want")
+  }
+
   test("imp_var_dedup replays the reference append guard (strictly increasing ts)") {
     val df = ImporterCore.impVarDedup(spark, sfDir)
     // per (user, name): survivors' timestamps strictly increase in

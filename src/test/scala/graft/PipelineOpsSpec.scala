@@ -388,11 +388,12 @@ class PipelineOpsSpec extends SparkSpec {
     // semantics cross-check vs the full detector's window table: a
     // delta doc is dup iff it shares ANY window hash with a corpus doc
     import org.apache.spark.sql.functions._
+    val w = TextOps.SubstringW
     val wins = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, greatest(size(toks) - 8, 0)), " +
-          "i -> concat_ws(' ', slice(toks, i + 1, 8))))")).as("s"))
+        s"array_distinct(transform(sequence(0, greatest(size(toks) - $w, 0)), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $w))))")).as("s"))
       .select(col("doc_id"), expr("graft_hash60(s)").as("h")).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val corpusH = wins.collect { case (d, h) if d % 10 != 7 => h }.toSet
@@ -409,6 +410,66 @@ class PipelineOpsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"expected two broadcast probes (delta set, hit set):\n$plan")
+  }
+
+  test("window-index append ≡ recompute, and the appended index answers day-2 probes") {
+    import graft.operators.TextOps
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+    // merge ≡ recompute: appending the accepted delta's windows into
+    // yesterday's index is row-for-row the index rebuilt from scratch
+    val appended = TextOps.appendWindowIndex(TextOps.windowIndexOf(corpus), delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recomputed = TextOps.windowIndexOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(appended == recomputed,
+      s"append diverged from recompute: ${appended.size} vs ${recomputed.size}")
+    assert(appended.nonEmpty, "empty index at spec scale — vacuous")
+    // the loop actually closes: day N+1's verbatim copy of a day-N
+    // DELTA doc probes the APPENDED index as a full dup (it would miss
+    // against the stale day-N index)
+    val idx = TextOps.appendWindowIndex(TextOps.windowIndexOf(corpus), delta)
+    val day2 = delta.limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val probe = TextOps.substringWindows(day2)
+      .join(idx, Seq("h"), "left_outer")
+    assert(probe.filter(col("hit").isNull).count() == 0,
+      "a verbatim day-N delta copy still has unseen windows after the append")
+  }
+
+  test("delta-broadcast guard: oversized delta drops the hints, fallback row-identical") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    graft.functions.GraftFunctions.register(spark)
+    def forcedHints(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
+      }
+    // substring detector: default ceiling keeps the forced broadcasts…
+    val small = TextOps.dedupSubstringInc(spark, sfDir)
+    assert(forcedHints(small).nonEmpty,
+      "small-delta plan lost its broadcast hints — the fast path regressed")
+    // …a ceiling of 0 (every delta oversized) must drop EVERY forced
+    // hint (AQE then plans from runtime sizes) and answer identically
+    val guarded = TextOps.dedupSubstringIncWith(spark, sfDir, 0L)
+    assert(forcedHints(guarded).isEmpty,
+      "guard did not fire: a delta-scaled frame is still forced-broadcast")
+    assert(guarded.collect().toSeq == small.collect().toSeq,
+      "hint-free fallback diverged from the broadcast plan")
+    // minhash incremental detector: same contract
+    val (pSmall, s1) = TextOps.dedupIncrementalUnsealed(spark, sfDir)
+    assert(forcedHints(pSmall).nonEmpty)
+    val (pGuard, s2) = TextOps.dedupIncrementalUnsealed(spark, sfDir, maxBroadcastDocs = 0L)
+    assert(forcedHints(pGuard).isEmpty,
+      "guard did not fire on the banded-signature broadcast")
+    val a = pSmall.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = pGuard.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Scratch.seal(pSmall.limit(1), s1).collect()
+    graft.Scratch.seal(pGuard.limit(1), s2).collect()
+    assert(a == b, s"fallback pairs diverged: broadcast=${a.size} fallback=${b.size}")
+    assert(a.nonEmpty, "no cross-slice pairs at spec scale — vacuous")
   }
 
   test("dedup_substring plan: three hash shuffles, no join ever enumerates doc pairs") {
