@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, ApproxOps, Components, ImporterCore, Multimodal, Specs, TemporalJoins, TextOps, TrainOps, VectorOps}
-import graft.sources.RawIngest
-import graft.streaming.StreamImport
+import graft.sources.{BucketedTable, RawIngest}
+import graft.streaming.{JdbcUpsert, StreamImport}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,7 +16,8 @@ object SparkEntry {
     Analytics.queries ++ ImporterCore.queries ++ Specs.queries ++
       TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
       StreamImport.queries ++ RawIngest.queries ++ Components.queries ++
-      TemporalJoins.queries ++ TrainOps.queries ++ ApproxOps.queries
+      TemporalJoins.queries ++ TrainOps.queries ++ ApproxOps.queries ++
+      JdbcUpsert.queries ++ BucketedTable.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     Analytics.oracles ++ ImporterCore.oracles ++ Specs.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ Multimodal.oracles ++
       StreamImport.oracles ++ RawIngest.oracles ++ Components.oracles ++
-      TemporalJoins.oracles ++ TrainOps.oracles ++ ApproxOps.oracles
+      TemporalJoins.oracles ++ TrainOps.oracles ++ ApproxOps.oracles ++
+      JdbcUpsert.oracles ++ BucketedTable.oracles
 }

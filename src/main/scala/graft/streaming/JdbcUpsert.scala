@@ -245,6 +245,51 @@ object JdbcUpsert {
     runId
   }
 
+  /** Gate entry — the reference's STORE side end-to-end
+    * (RoutingDataSource + the JPA repositories' per-tenant upsert,
+    * ph-ee importer's save path): the batch transfers entity MERGEd
+    * into embedded Derby in TWO waves — the pre-pivot slice's rendered
+    * entity first, then the full corpus — so the MERGE's
+    * MATCHED/UPDATE arm provably executes (wave-1 keys are re-written
+    * with full-corpus values), then every per-tenant table read back
+    * through Spark's JDBC source. Latest-wins idempotence by key means
+    * the final tables hold exactly the full entity, so this answers
+    * the SAME oracle as imp_entity_transfers.
+    *
+    * The in-memory database is per-invocation (UUID name) and dropped
+    * after the read materializes — bench reps and the verify sweep
+    * never see each other's tables.
+    */
+  def runGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ImporterCore
+    val db = "graftgate" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val base = "TRANSFERS"
+    val ev = graft.Tables.events(spark, dir)
+    val wave1 = ImporterCore.renderTransferState(ImporterCore.transferStateOf(
+      ev.filter(col("ts_ms") < ImporterCore.IncrementalPivotMs)))
+    upsert(url, base, wave1, "transfer_key")
+    upsert(url, base, ImporterCore.transfers(spark, dir), "transfer_key")
+    val out = graft.Scratch.cp(readCurrent(spark, url, base, tenantsOf(url, base)))
+    // Derby signals a successful in-memory drop WITH an exception
+    // (SQLState 08006) — swallow exactly that shape
+    try { DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true"); () }
+    catch { case _: java.sql.SQLException => () }
+    out.select("transfer_key", "tenant", "started_ms", "completed_ms",
+        "amount", "last_click_value", "status", "n_events")
+      .orderBy("transfer_key")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("sink_jdbc" -> (runGate _))
+
+  /** The JDBC sink materializes the same transfers entity — the store
+    * side answers the batch entity oracle.
+    */
+  def oracles: Map[String, String] =
+    Map("sink_jdbc" -> graft.operators.ImporterCore.impEntityTransfersSql)
+
   /** Tenants that already have a routed table in the database —
     * recovered from table-name metadata (the hex encoding of
     * [[tableFor]] is injective, so the decode is exact). Lets a
