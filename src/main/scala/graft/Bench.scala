@@ -106,14 +106,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    // compact summary FIRST, full per-query line LAST: the driver keeps
-    // only a short TAIL of this output, which in r7 cut the per-query
-    // line's head — last position puts the long line fully inside any
-    // tail window, and the compact total stays recoverable from it.
-    // Distinct metric name so a consumer aggregating by metric never
-    // double-counts the total (round-6 advice).
-    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The driver's BENCH_rN artifact keeps only a ~2000-char TAIL of
+    // this output (r8: the 2.5 KB per-query line lost its head, 28
+    // numbers unrecoverable). At 119 queries the full line can NEVER
+    // fit that window, so the complete JSON goes to a repo FILE —
+    // committed with the round artifacts, diffable round-over-round —
+    // and stdout ends with a SHORT summary line that always parses
+    // inside the tail: total + the slowest queries (the ones a plan
+    // audit wants) + the file pointer. The full line still prints
+    // second-to-last so the tail window picks up as many of its
+    // trailing entries as fit.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: BENCH_full.json not written: ${e.getMessage}") }
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(fullLine)
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n_queries":${results.length},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir","full_queries_in":"BENCH_full.json"}""")
     spark.stop()
   }
 }

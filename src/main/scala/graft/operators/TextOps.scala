@@ -816,6 +816,42 @@ object TextOps {
     graft.Scratch.seal(cand, exploded)
   }
 
+  /** Salt-split of oversized LSH band buckets — the "full fix" for a
+    * pathological corpus where one dominant template collapses into a
+    * single hot band bucket (AQE's OptimizeSkewedJoin splits the
+    * skewed PARTITION at runtime — spec'd in SaltingSpec — but a
+    * single join KEY can also be split ahead of time, bounding the
+    * per-reducer work deterministically). The self-join on
+    * (band_idx, band_key) becomes a join on (band_idx, band_key,
+    * salt): the left side's salt is a pure function of its doc_id
+    * (hash % S, so a hot bucket's rows spread across S sub-buckets),
+    * the right side replicates each row to ALL S salts — every
+    * candidate pair (a < b) still meets on exactly ONE salt (the one
+    * a's doc_id hashes to), so the candidate set is IDENTICAL to the
+    * unsalted join (spec-pinned row-for-row, plus a one-template
+    * stress corpus asserting no sub-bucket exceeds 4× the median).
+    * Cost: the replicated side shuffles S×, the standard salted-join
+    * trade — a knob to turn ON for template-heavy corpora, not the
+    * default (md5-uniform hashes don't need it).
+    */
+  def minhashCandidatesSaltSplit(spark: SparkSession, dir: String,
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1, s"graft-minhash: saltFactor $saltFactor must be >= 1")
+    val exploded = graft.Scratch.cp(bandedFrame(spark, dir, MinhashK, 2))
+    val salted = exploded
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(saltFactor)))
+    val replicated = exploded
+      .withColumn("salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
+    val cand = salted.as("a").join(replicated.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.salt") === col("b.salt") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bands"))
+    graft.Scratch.seal(cand, exploded)
+  }
+
   /** The banded signature frame (doc_id, band_idx, band_key) every
     * minhash consumer joins on — the full-corpus self-join
     * ([[minhashCandidatesFullWith]]) and the incremental

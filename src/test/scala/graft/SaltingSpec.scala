@@ -61,6 +61,41 @@ class SaltingSpec extends SparkSpec {
       s"AQE did not split the skewed partition:\n$plan")
   }
 
+  test("LSH band-bucket salt-split: candidates identical; one-template hot bucket spreads <= 4x median") {
+    import graft.operators.TextOps
+    graft.functions.GraftFunctions.register(spark)
+    // row-identity on the normal spec corpus (salting must be invisible)
+    val salted0 = TextOps.minhashCandidatesSaltSplit(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain0 = TextOps.minhashCandidates(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted0 == plain0,
+      s"salt-split changed the candidate set: ${salted0.size} vs ${plain0.size}")
+    assert(plain0.nonEmpty, "no candidates at spec scale — vacuous")
+    // STRESS: one dominant template — every doc lands in ONE band
+    // bucket per band, the pathological shape PLANS.md tracked
+    val n = 160L; val saltS = 8
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tmpl_").toString
+    spark.range(n).select(col("id").as("doc_id"),
+        lit("the very same boilerplate template text stamped onto every single document of this stress corpus again and again").as("text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.minhashCandidatesSaltSplit(spark, tmp, saltS).collect()
+    // complete candidate set: every pair, at full band agreement
+    assert(got.length == (n * (n - 1) / 2).toInt,
+      s"expected all pairs, got ${got.length}")
+    assert(got.forall(_.getLong(2) == 4L), "a pair lost band agreement under salting")
+    // straggler bound: the hot bucket's rows now split by
+    // hash(doc_id) % S — no sub-bucket (= reducer share of the former
+    // single hot key) may exceed 4x the median sub-bucket
+    val sizes = spark.range(n)
+      .select(pmod(hash(col("id")), lit(saltS)).as("salt"))
+      .groupBy("salt").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.length == saltS, s"some salt never populated: ${sizes.length} of $saltS")
+    val median = sizes(sizes.length / 2)
+    assert(sizes.last <= 4 * median,
+      s"straggler sub-bucket ${sizes.last} > 4x median $median: ${sizes.mkString(",")}")
+  }
+
   test("saltedAgg two-phase aggregation matches direct aggregation") {
     import spark.implicits._
     val df = spark.range(5000)
