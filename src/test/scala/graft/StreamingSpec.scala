@@ -225,6 +225,128 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("import_loop recovers from its checkpoint across a MID-BACKLOG kill (two state operators + merging sink)") {
+    // The COMPOSED consumer's crash-restart contract end-to-end: run 1
+    // is stopped right after its first micro-batch commits, with the
+    // rest of the backlog still unread; run 2 is a NEW query on the
+    // SAME checkpoint that must recover BOTH state stores (association
+    // buffer — including an orphan buffered BEFORE the crash whose
+    // signup only arrives after it — and the bounded fold), skip the
+    // committed file, drain the remainder plus a file that arrives
+    // after the crash, and land everything through the idempotent
+    // merging sink. Final rows == the direct per-user fold of every
+    // routed record, bit-for-bit (the reference's at-least-once +
+    // idempotent-upsert posture).
+    //
+    // Arrival is a synthetic NATS-like stream: globally ts-ordered
+    // with bounded local disorder — the composition's documented
+    // contract (the real corpus's ~72 h pre-signup gaps only fit a
+    // single-batch backlog; chunked arrival beyond the buffer/fold
+    // horizons dead-letters BY DESIGN, which is the bounded-state
+    // trade, not a crash bug).
+    import spark.implicits._
+    val loopSession = spark.newSession()
+    loopSession.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val t0 = 1704067200000L
+    def r(id: Long, ts: Long, u: Long, typ: String, v: Double = 1.0,
+        k: Long = 0): StreamImport.Rec = StreamImport.Rec(id, ts, u, typ, v, k)
+    // 40 users, each: signup then 28 records over ~4 h (every horizon
+    // respected: assoc idle gaps << 24 h, disorder << the 2 h
+    // composed watermark)
+    val regular = (0L until 40L).flatMap { u =>
+      val base = t0 + u * 60000L
+      r(u * 100, base, u, "signup") +:
+        (2 until 30).map { i =>
+          val typ = if (i % 7 == 0) "purchase" else if (i % 11 == 0) "view" else "click"
+          r(u * 100 + i, base + i * 8L * 60000L, u, typ,
+            (i % 13) + 0.5, if (i % 17 == 0) 95L else 0L)
+        }
+    }
+    // arrival = ts order for the regular users
+    val arrival0 = regular.sortBy(x => (x.ts_ms, x.event_id)).toIndexedSeq
+    val quarter = arrival0.length / 4
+    val sliceEndTs = arrival0(quarter - 1).ts_ms
+    // the straddler: pre-signup activity arrives in slice 1 (buffered
+    // orphan state at the crash), the signup + tail only in slice 2 —
+    // the flush must happen through the RESTARTED buffer state
+    val straddler = 99L
+    val sPre = Seq(
+      r(9901, sliceEndTs + 10 * 60000L, straddler, "click", 7.5),
+      r(9902, sliceEndTs + 12 * 60000L, straddler, "purchase", 20.0))
+    val sRest = Seq(
+      r(9900, sliceEndTs + 15 * 60000L, straddler, "signup"),
+      r(9903, sliceEndTs + 40 * 60000L, straddler, "view"))
+    val slices: Seq[Seq[StreamImport.Rec]] = Seq(
+      arrival0.slice(0, quarter) ++ sPre,
+      sRest ++ arrival0.slice(quarter, 2 * quarter),
+      arrival0.slice(2 * quarter, 3 * quarter),
+      arrival0.slice(3 * quarter, arrival0.length))
+    val work = java.nio.file.Files.createTempDirectory("graft_looprestart_").toString
+    val inDir = s"$work/in"; val chkDir = s"$work/chk"; val sinkDir = s"$work/sink"
+    new java.io.File(inDir).mkdirs()
+    val baseMtime = System.currentTimeMillis()
+    def js(x: StreamImport.Rec): String =
+      s"""{"event_id":${x.event_id},"ts_ms":${x.ts_ms},"user_id":${x.user_id},""" +
+        s""""event_type":"${x.event_type}","value":${x.value},"k":${x.k}}"""
+    def writeSlice(i: Int): Unit = {
+      val stage = s"$work/stage$i"
+      slices(i - 1).map(js).toDF("value").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && f.getName.startsWith("part-")).get
+      val dst = new java.io.File(inDir, f"slice$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // deterministic arrival order for the file source's mtime sort
+      dst.setLastModified(baseMtime + i * 60000L)
+    }
+    (1 to 3).foreach(writeSlice) // the pre-crash backlog
+    val merge = StreamImport.foldMerge(StreamImport.transferFold)
+    val valueSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    def start(maxFilesPerTrigger: Option[Int],
+        trigger: org.apache.spark.sql.streaming.Trigger) = {
+      var reader = loopSession.readStream.schema(valueSchema)
+      maxFilesPerTrigger.foreach(n =>
+        reader = reader.option("maxFilesPerTrigger", n.toString))
+      StreamImport.importLoop(reader.parquet(inDir))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chkDir)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
+        }
+        .trigger(trigger)
+        .start()
+    }
+    // run 1: one file per micro-batch, 60 s between triggers — the
+    // stop lands after batch 1 commits and before batch 2 can start
+    val q1 = start(Some(1),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("60 seconds"))
+    val deadline = System.currentTimeMillis() + 120000L
+    while (q1.recentProgress.map(_.numInputRows).sum == 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(q1.recentProgress.map(_.numInputRows).sum > 0,
+      "run 1 never committed a micro-batch")
+    q1.stop(); q1.awaitTermination() // the mid-backlog kill
+    writeSlice(4) // arrives only after the crash
+    // run 2: fresh query, same checkpoint — drains everything left
+    val q2 = start(None, org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination()
+    val got = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select(explode(col("rows")).as("r")).select("r.*").collect()
+      .map(w => w.getAs[Long]("transfer_key") -> w.toSeq).toMap
+    val fold = StreamImport.transferFold
+    val byUser = (regular ++ sPre ++ sRest).groupBy(_.user_id)
+    assert(got.keySet == byUser.keySet,
+      s"restarted loop lost/invented keys: got=${got.keySet.size} want=${byUser.keySet.size}")
+    byUser.foreach { case (u, rs) =>
+      val want = fold.render(u,
+        rs.foldLeft(fold.empty)(fold.step)).head.productIterator.toSeq
+      assert(got(u) == want, s"user $u: restarted-loop=${got(u)} direct=$want")
+    }
+  }
+
   test("stream_join: cross-batch matches surface from buffered state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
