@@ -460,15 +460,321 @@ object VectorOps {
        |  FROM cands) t
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // ----------------------------------------------------------------
+  // ann_pq — IVF-PQ: the memory-bound scale path. The IVF cells bound
+  // the CANDIDATE count (as ann_ivf); product quantization bounds the
+  // INDEX size — each corpus vector is stored as PqSub code ids
+  // (bytes at production K) instead of Dim quantized components, and
+  // candidate scoring is PqSub table lookups (ADC) instead of a
+  // Dim-wide dot product. The per-subspace codebooks are trained by
+  // the same deterministic integer-space Lloyd step ann_ivf uses
+  // (seed rows → assign by exact integer L2² → floor-of-mean), so the
+  // WHOLE index — training included — stays oracle-expressible.
+  //
+  // Scale posture: the codebook is M×K rows BY CONSTRUCTION
+  // (constants, independent of corpus size) — the one frame collected
+  // to the driver, same bounded-dim contract as the tenant registry.
+  // Training and encoding are one linear pass each (row-local argmin
+  // against literal codebooks; the Lloyd mean shuffles rows×M keyed by
+  // (m, code, pos) — linear, one pass). The candidate join shuffles
+  // (cell, codes[M], rn2) on the corpus side — never the vectors.
+  // The ADC trade is explicit: the query side carries an M×K lookup
+  // table per probe row (classic ADC — amortized when corpus ≫
+  // queries, which is the ANN contract at 100 TB).
+  // ----------------------------------------------------------------
+
+  private[graft] val PqSub = 8 // M subquantizers
+  private[graft] val PqSubDim = Dim / PqSub
+  private[graft] val PqCodes = 16 // K codes per subquantizer
+
+  /** Driver-held codebook: m -> (code -> codeword), codes ascending.
+    * ≤ M×K entries by construction — a bounded dim, never data-scaled.
+    */
+  private[graft] type PqCodebook = Map[Int, Seq[(Long, Seq[Long])]]
+
+  private def pqSeedsOf(base: DataFrame, subDim: Int, nSub: Int, nCodes: Int): PqCodebook = {
+    val rows = base.filter(col("vec_id") < nCodes)
+      .select("vec_id", "q").collect()
+    (0 until nSub).map { m =>
+      m -> rows.map { r =>
+        val q = r.getSeq[Long](1)
+        (r.getLong(0), q.slice(m * subDim, (m + 1) * subDim))
+      }.sortBy(_._1).toSeq
+    }.toMap
+  }
+
+  /** Row-local argmin over the literal codebook for subspace `m`,
+    * applied to the subvector expression `sv`: minimizes the exact
+    * integer L2² — the ‖sv‖² term is constant across codes, so the
+    * comparison key is (cn2 - 2·dot), which orders (and ties)
+    * identically to the oracle's full `ORDER BY dist, code`;
+    * first-minimum position = lowest code id.
+    */
+  private def pqArgminExpr(cb: PqCodebook, m: Int, sv: String): String = {
+    val entries = cb(m)
+    val dists = entries.map { case (_, cq) =>
+      val lit = cq.map(_ + "L").mkString("array(", ", ", ")")
+      val cn2 = cq.map(x => x * x).sum
+      s"(${cn2}L - 2 * ${dotExpr(sv, lit)})"
+    }.mkString("array(", ", ", ")")
+    val ids = entries.map(_._1 + "L").mkString("array(", ", ", ")")
+    s"element_at($ids, CAST(array_position($dists, array_min($dists)) AS INT))"
+  }
+
+  /** codes[M] for a corpus row — one row-local expression, no join. */
+  private def pqCodesExpr(cb: PqCodebook, nSub: Int, subDim: Int): String =
+    (0 until nSub)
+      .map(m => pqArgminExpr(cb, m, s"slice(q, ${m * subDim + 1}, $subDim)"))
+      .mkString("array(", ", ", ")")
+
+  /** One distributed Lloyd step: assign every subvector row-locally
+    * against the literal codebook, then per-(m, code, pos)
+    * floor-of-mean — the identical integer-space refinement the IVF
+    * centroids use. Only the refined ≤ M×K codebook returns to the
+    * driver. Codes that lose every member drop out (as the oracle's
+    * mean-group does).
+    */
+  private def pqLloydStep(base: DataFrame, cb: PqCodebook,
+      nSub: Int, subDim: Int): PqCodebook = {
+    val assignCase = (0 until nSub)
+      .map(m => s"WHEN $m THEN ${pqArgminExpr(cb, m, "sq")}")
+      .mkString("CASE m ", " ", " END")
+    val rows = base
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${nSub - 1}, 1), m -> slice(q, m * $subDim + 1, $subDim))"))
+        .as(Seq("m", "sq")))
+      .withColumn("code", expr(assignCase))
+      .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("pos", "x")))
+      .groupBy("m", "code", "pos")
+      .agg(expr("CAST(FLOOR(SUM(x) / COUNT(*)) AS BIGINT)").as("cm"))
+      .groupBy("m", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), s -> s.cm)").as("cq"))
+      .collect()
+    rows.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3.toSeq)).sortBy(_._1).toSeq)
+      .toMap
+  }
+
+  /** Flat M×K literal of per-(m, code) values; holes (dropped codes)
+    * fill with 0 and are never dereferenced — encode only ever picks
+    * surviving codes.
+    */
+  private def pqFlatLit(cb: PqCodebook, nSub: Int, nCodes: Int)(
+      f: Seq[Long] => Long): String =
+    (0 until nSub).flatMap { m =>
+      val byCode = cb(m).toMap
+      (0 until nCodes).map(k => byCode.get(k.toLong).map(f).getOrElse(0L))
+    }.map(_ + "L").mkString("array(", ", ", ")")
+
+  /** The query side's ADC table: adc[m*K + k] = dot(q_m, codeword). */
+  private def pqAdcExpr(cb: PqCodebook, nSub: Int, subDim: Int, nCodes: Int): String =
+    (0 until nSub).flatMap { m =>
+      val byCode = cb(m).toMap
+      val sq = s"slice(q, ${m * subDim + 1}, $subDim)"
+      (0 until nCodes).map { k =>
+        byCode.get(k.toLong) match {
+          case Some(cq) =>
+            dotExpr(sq, cq.map(_ + "L").mkString("array(", ", ", ")"))
+          case None => "CAST(0 AS BIGINT)"
+        }
+      }
+    }.mkString("array(", ", ", ")")
+
+  /** ADC dot: Σ_m adc[m*K + codes[m]] — exactly dot(q, reconstructed)
+    * because the subspaces partition the dimensions (integer sums,
+    * no rounding anywhere), which is what the oracle computes via
+    * explicit reconstruction.
+    */
+  private def pqAdcDot(adc: String, codes: String, nSub: Int, nCodes: Int): String =
+    s"aggregate(sequence(0, ${nSub - 1}, 1), CAST(0 AS BIGINT), (acc, m) -> " +
+      s"acc + element_at($adc, m * $nCodes + CAST(element_at($codes, m + 1) AS INT) + 1))"
+
+  /** ADC shortlist size per query before the exact re-rank — the
+    * recall/IO knob: the store is read back for R candidate ids per
+    * query, never for the corpus.
+    */
+  private[graft] val PqRerank = 10
+
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqOf(quantized(spark, dir), IvfCells, IvfProbes, 3, 1, 1)
+
+  /** IVF-PQ over a caller-supplied quantized frame — the recall spec's
+    * entry point (synthetic clustered corpora). Consumes `v`.
+    */
+  def annPqOf(v: DataFrame, cells: Int, probes: Int, k: Int,
+      lloydIters: Int, pqIters: Int,
+      nSub: Int = PqSub, nCodes: Int = PqCodes): DataFrame = {
+    val (topk, assigned, _) = annPqPlan(v, cells, probes, k, lloydIters, pqIters, nSub, nCodes)
+    graft.Scratch.seal(topk, assigned).orderBy("q_id", "rnk")
+  }
+
+  /** The un-sealed IVF-PQ plan, its materialized input, and the PQ
+    * index frame — the spec asserts the index's codes-only schema
+    * (the corpus side of the candidate join must never carry vectors).
+    */
+  private[graft] def annPqPlan(v: DataFrame, cells: Int, probes: Int, k: Int,
+      lloydIters: Int, pqIters: Int,
+      nSub: Int, nCodes: Int): (DataFrame, DataFrame, DataFrame) = {
+    val subDim = Dim / nSub
+    val assigned = cellAssignmentsOf(v, cells, probes, lloydIters)
+    val base = assigned.filter(col("crnk") === 1)
+    var cb = pqSeedsOf(base, subDim, nSub, nCodes)
+    for (_ <- 0 until pqIters) cb = pqLloydStep(base, cb, nSub, subDim)
+    val cn2Lit = pqFlatLit(cb, nSub, nCodes)(cq => cq.map(x => x * x).sum)
+    val corpus = pqIndexOf(base, cb, nSub, subDim, nCodes, cn2Lit)
+    val queriesSide = assigned.select(
+      col("vec_id").as("q_id"), col("cent_id").as("cell"),
+      expr(pqAdcExpr(cb, nSub, subDim, nCodes)).as("adc"), col("n2").as("qn2"))
+    val cands = queriesSide.join(corpus, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        expr(scoreE6(pqAdcDot("adc", "codes", nSub, nCodes), "qn2", "rn2")).as("adc_e6"))
+      .distinct()
+    // exact re-rank of the ADC top-R shortlist (the production IVF-PQ
+    // shape): true vectors are fetched for R ids per query only — the
+    // output scores are EXACT cosine; PQ is purely the pruner.
+    val ws = Window.partitionBy("q_id").orderBy(col("adc_e6").desc, col("n_id"))
+    val shortlist = cands.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= PqRerank)
+      .select("q_id", "n_id")
+    val exactQ = base.select(col("vec_id"), col("q"), col("n2"))
+    val rescored = shortlist
+      .join(exactQ.select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2")), "q_id")
+      .join(exactQ.select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        expr(scoreE6(dotExpr("qq", "nq"), "qn2", "nn2")).as("score_e6"))
+    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
+    val topk = rescored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
+    (topk, assigned, corpus)
+  }
+
+  /** The PQ index frame: (cell, n_id, codes[M], rn2) — the ONLY corpus
+    * columns the candidate join shuffles. rn2 = Σ_m ‖codeword_m‖² =
+    * ‖reconstruction‖² exactly (subspaces partition the dims).
+    */
+  private[graft] def pqIndexOf(base: DataFrame, cb: PqCodebook,
+      nSub: Int, subDim: Int, nCodes: Int, cn2Lit: String): DataFrame =
+    base.select(col("vec_id").as("n_id"), col("cent_id").as("cell"),
+        expr(pqCodesExpr(cb, nSub, subDim)).as("codes"))
+      .withColumn("rn2", expr(
+        s"aggregate(sequence(0, ${nSub - 1}, 1), CAST(0 AS BIGINT), (acc, m) -> " +
+          s"acc + element_at($cn2Lit, m * $nCodes + CAST(element_at(codes, m + 1) AS INT) + 1))"))
+      .filter(col("rn2") > 0)
+
+  /** The oracle re-derives EVERYTHING — IVF cells, PQ codebook
+    * training, encoding, shortlist, re-rank — from the parquet. The
+    * shortlist scores candidates as cosine(query, reconstructed
+    * neighbor), which equals the Spark side's ADC sum exactly
+    * (integer arithmetic throughout; the only IEEE ops are the same
+    * sqrt/mul/div/floor every scoreE6 consumer already pins); the
+    * final scores are exact cosine over the re-ranked shortlist.
+    */
+  def annPqSql: String =
+    s"""WITH $quantizedDuckCte,
+       |seeds AS (
+       |  SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM qv WHERE vec_id < $IvfCells),
+       |sassign AS (
+       |  SELECT vec_id, q, cent_id FROM (
+       |    SELECT v.vec_id, v.q, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |    FROM qv v CROSS JOIN seeds c) t
+       |  WHERE crnk = 1),
+       |rm AS (
+       |  SELECT cent_id, p.pos AS pos,
+       |    CAST(FLOOR(SUM(q[p.pos + 1]) / COUNT(*)) AS BIGINT) AS m
+       |  FROM sassign, range(0, $Dim) p(pos)
+       |  GROUP BY cent_id, p.pos),
+       |cents0 AS (
+       |  SELECT cent_id, list(m ORDER BY pos) AS cq FROM rm GROUP BY cent_id),
+       |cents AS (
+       |  SELECT * FROM (
+       |    SELECT cent_id, cq, ${dotDuck("cq", "cq")} AS cn2 FROM cents0) t
+       |  WHERE cn2 > 0),
+       |assign AS (
+       |  SELECT v.vec_id, v.q, v.n2, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |  FROM qv v CROSS JOIN cents c),
+       |base AS (
+       |  SELECT vec_id, q, n2, cent_id FROM assign WHERE crnk = 1),
+       |sv AS (
+       |  SELECT vec_id, t.m AS m,
+       |    q[(t.m * $PqSubDim + 1):((t.m + 1) * $PqSubDim)] AS sq
+       |  FROM base, range(0, $PqSub) t(m)),
+       |sv2 AS (
+       |  SELECT vec_id, m, sq, ${dotDuck("sq", "sq")} AS sn2 FROM sv),
+       |pseeds AS (
+       |  SELECT m, vec_id AS code, sq AS cq, sn2 AS cn2 FROM sv2 WHERE vec_id < $PqCodes),
+       |passign AS (
+       |  SELECT m, code, sq FROM (
+       |    SELECT s.m, s.vec_id, s.sq, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY s.sn2 - 2 * ${dotDuck("s.sq", "c.cq")} + c.cn2, c.code) AS prnk
+       |    FROM sv2 s JOIN pseeds c USING (m)) t
+       |  WHERE prnk = 1),
+       |pmean AS (
+       |  SELECT m, code, p.pos AS pos,
+       |    CAST(FLOOR(SUM(sq[p.pos + 1]) / COUNT(*)) AS BIGINT) AS cm
+       |  FROM passign, range(0, $PqSubDim) p(pos)
+       |  GROUP BY m, code, p.pos),
+       |pcb0 AS (
+       |  SELECT m, code, list(cm ORDER BY pos) AS cq FROM pmean GROUP BY m, code),
+       |pcb AS (
+       |  SELECT m, code, cq, ${dotDuck("cq", "cq")} AS cn2 FROM pcb0),
+       |enc AS (
+       |  SELECT vec_id, m, cq, cn2 FROM (
+       |    SELECT s.vec_id, s.m, c.cq, c.cn2,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY s.sn2 - 2 * ${dotDuck("s.sq", "c.cq")} + c.cn2, c.code) AS prnk
+       |    FROM sv2 s JOIN pcb c USING (m)) t
+       |  WHERE prnk = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cq ORDER BY m)) AS rq, SUM(cn2) AS rn2
+       |  FROM enc GROUP BY vec_id HAVING SUM(cn2) > 0),
+       |corpus AS (
+       |  SELECT b.vec_id AS n_id, b.cent_id AS cell, r.rq, r.rn2
+       |  FROM base b JOIN recon r ON b.vec_id = r.vec_id),
+       |pqueries AS (
+       |  SELECT vec_id AS q_id, q AS qq, n2 AS qn2, cent_id AS cell
+       |  FROM assign WHERE crnk <= $IvfProbes),
+       |cands AS (
+       |  SELECT DISTINCT q_id, n_id,
+       |    ${scoreE6(dotDuck("qq", "rq"), "qn2", "rn2")} AS adc_e6
+       |  FROM pqueries JOIN corpus USING (cell)
+       |  WHERE q_id <> n_id),
+       |shortlist AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_e6 DESC, n_id) AS srnk
+       |    FROM cands) t
+       |  WHERE srnk <= $PqRerank),
+       |rescored AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} AS score_e6
+       |  FROM shortlist s
+       |  JOIN base a ON s.q_id = a.vec_id
+       |  JOIN base b ON s.n_id = b.vec_id)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, score_e6 FROM (
+       |  SELECT q_id, n_id, score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, n_id) AS rnk
+       |  FROM rescored) t
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "dedup_embed" -> (dedupEmbed _))
 
   def oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_pq" -> annPqSql,
     "dedup_embed" -> dedupEmbedSql)
 }

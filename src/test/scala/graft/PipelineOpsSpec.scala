@@ -710,6 +710,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.90, s"ann_lsh recall@3 fell below the floor: $recall")
   }
 
+  test("ann_pq recall@3 vs brute force clears a numeric floor; index shuffles codes, not vectors") {
+    // same harness as the LSH/IVF recall guards: 64-dim, 4 clusters +
+    // noise. Two contracts pinned at once: (a) IVF-PQ quality — a
+    // silent codebook-training/encoding change cannot degrade recall
+    // without failing here; (b) the SIZE contract — the corpus side of
+    // the candidate join carries (n_id, cell, codes[M], rn2) ONLY: no
+    // quantized vector, no ADC table. Codes stay in [0, K).
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    val clusters = 4
+    val n = 160
+    def emb(id: Long): Array[Double] = {
+      val c = (id % clusters).toInt
+      Array.tabulate(dim) { d =>
+        val base = if (d / (dim / clusters) == c) 1.0 else 0.0
+        val noise = (((id * 1103515245L + d * 12345L) % 1000L) - 500L) / 500.0 * 0.3
+        base + noise
+      }
+    }
+    def quantFrame() = {
+      val df = (0L until n.toLong).map(i => (i, emb(i))).toDF("vec_id", "embedding")
+      df.withColumn("q", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+        .withColumn("n2", expr("long_dot(q, q)"))
+        .filter(col("n2") > 0)
+        .select("vec_id", "q", "n2")
+    }
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(VectorOps.annBruteforceFor(quantFrame(), quantFrame(), 3))
+    val (topk, assigned, index) = VectorOps.annPqPlan(
+      graft.Scratch.cp(quantFrame()), clusters, 1, 3,
+      lloydIters = 1, pqIters = 3, nSub = VectorOps.PqSub, nCodes = VectorOps.PqCodes)
+    assert(index.columns.toSeq == Seq("n_id", "cell", "codes", "rn2"),
+      s"PQ index must shuffle codes only, got ${index.columns.mkString(",")}")
+    val codeRows = index.select("codes").collect()
+    assert(codeRows.nonEmpty)
+    codeRows.foreach { r =>
+      val cs = r.getSeq[Long](0)
+      assert(cs.length == VectorOps.PqSub)
+      assert(cs.forall(c => c >= 0 && c < VectorOps.PqCodes), s"code out of range: $cs")
+    }
+    val pq = topSets(topk)
+    graft.Scratch.free(assigned)
+    val recall = exact.map { case (q, ex) =>
+      pq.get(q).map(_.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }.sum / exact.size
+    assert(recall >= 0.95, s"ann_pq recall@3 fell below the floor: $recall")
+  }
+
   test("ann_bruteforce gate shape: bounded probes x corpus == full self-join restricted to the probes") {
     // the gate runs the enforced bounded contract shape (a fixed probe
     // set against the streaming corpus side); this pins that it loses
