@@ -461,6 +461,69 @@ object TextOps {
       |  10000 * CAST(SUM(hit) AS BIGINT) // COUNT(*) AS fluency_e4
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Salient terms per doc. */
+  private[graft] val TfidfK = 5
+
+  /** TF-IDF salient-term extraction — the "what is this doc about"
+    * signal for topic-aware mixing/quota and near-dup triage: each
+    * doc's top-[[TfidfK]] terms by tf × rarity. The rarity weight is
+    * the LOG-FREE Robertson–Sparck-Jones odds (N - df + ½)/(df + ½) —
+    * monotone in the usual idf, and with both halves doubled it is a
+    * pure integer ratio, so the whole score is exact int64 arithmetic
+    * on BOTH engines (floor-div; no ln/doubles cross the oracle —
+    * ln is the one libm op with no cross-engine rounding guarantee).
+    *
+    * Scale posture: tf is one (doc, term) groupBy; df reuses that
+    * frame with a term groupBy (never re-reads the corpus); scoring
+    * is a linear shuffle join on term (the df table is
+    * vocabulary-sized — NOT broadcast); the per-doc top-k plans a
+    * WindowGroupLimit below the exchange (spec-pinned), so a mega-doc
+    * ships k×partitions rows, not its vocabulary.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val (topk, tf) = textTfidfUnsealed(spark, dir)
+    graft.Scratch.seal(topk, tf).orderBy("doc_id", "rnk")
+  }
+
+  /** The tfidf plan BEFORE Scratch seals it (sealing checkpoints the
+    * result, erasing the plan) — the spec asserts the WindowGroupLimit
+    * shape on this frame. Callers own the returned scratch frame.
+    */
+  private[graft] def textTfidfUnsealed(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val tf = graft.Scratch.cp(docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).cast(LongType).as("tf")))
+    val nDocs = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).cast(LongType).as("df"))
+      .crossJoin(broadcast(nDocs)) // one row
+    val scored = tf.join(dfT, "t")
+      .withColumn("score_e6",
+        expr("(tf * 1000000 * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("t"))
+    val topk = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfK)
+      .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),
+        col("t").as("term"), col("tf"), col("df"), col("score_e6"))
+    (topk, tf)
+  }
+
+  def textTfidfSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+       |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.t, tf.tf, dfq.df,
+       |    (tf.tf * 1000000 * (2 * n.n_docs - 2 * dfq.df + 1)) // (2 * dfq.df + 1) AS score_e6
+       |  FROM tf JOIN dfq USING (t) CROSS JOIN n)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, t AS term, tf, df, score_e6 FROM (
+       |  SELECT doc_id, t, tf, df, score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, t) AS rnk
+       |  FROM scored) x
+       |WHERE rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin
+
   // --------------------------------------------------------------- dedup
 
   /** Exact dedup: hash-groupBy on the full text, keep the minimum
@@ -1035,6 +1098,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _),
     "text_oov" -> (textOov _),
     "text_bigram" -> (textBigram _),
+    "text_tfidf" -> (textTfidf _),
     "dedup_exact" -> (dedupExact _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_inc" -> (dedupSubstringInc _),
@@ -1054,6 +1118,7 @@ object TextOps {
     "text_repetition" -> textRepetitionSql,
     "text_oov" -> textOovSql,
     "text_bigram" -> textBigramSql,
+    "text_tfidf" -> textTfidfSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_inc" -> dedupSubstringIncSql,

@@ -144,7 +144,18 @@ object JdbcUpsert {
       finally conn.close()
       val keyIdx = idx(key)
       val fields = schema.fields
-      batch.foreachPartition { rows: Iterator[Row] =>
+      // SINGLE WRITER PER TABLE: all of a tenant's rows land in one
+      // partition, so no two connections ever MERGE into the same
+      // table concurrently. Embedded Derby's MERGE races under
+      // concurrent writers on one container (internal NPE in
+      // makeRecordHandle — observed ~1/3 of gate runs at 32 tasks);
+      // and against any row-locking RDBMS, fan-in upserts to one
+      // table from N writers thrash locks rather than parallelize —
+      // per-table single-writer with JDBC batching is the production
+      // contention shape. Parallelism stays across tenants (tables).
+      val routed = batch.repartition(
+        org.apache.spark.sql.functions.col(schema.fieldNames(tenantIdx)))
+      routed.foreachPartition { rows: Iterator[Row] =>
         if (rows.hasNext) {
           val conn = DriverManager.getConnection(url)
           conn.setAutoCommit(false)

@@ -137,6 +137,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids.forall(i => i >= 0 && i <= TrainOps.TokenizeVocab))
   }
 
+  test("text_tfidf matches a full Scala recomputation; top-k plans a WindowGroupLimit") {
+    import graft.operators.TextOps
+    val df = TextOps.textTfidf(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // reference recomputation: tf, df, and the doubled-RSJ integer
+    // score in plain Scala (Long math, floorDiv == DIV for positives)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val n = docs.size.toLong
+    val dfMap = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val want = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, occ) =>
+        val tfv = occ.size.toLong; val dfv = dfMap(t)
+        (id, t, tfv, dfv, tfv * 1000000L * (2 * n - 2 * dfv + 1) / (2 * dfv + 1))
+      }.toSeq.sortBy { case (_, t, _, _, s) => (-s, t) }
+        .take(TextOps.TfidfK).zipWithIndex
+        .map { case ((i, t, tfv, dfv, s), r) => (i, r + 1L, t, tfv, dfv, s) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"tfidf mismatch; sample diff: ${(got -- want).take(2)} vs ${(want -- got).take(2)}")
+    // the rnk<=k filter must plan a WindowGroupLimit under the
+    // exchange — a mega-doc then ships k×partitions rows, not its
+    // whole vocabulary (asserted on the UNSEALED plan; sealing
+    // checkpoints and erases it)
+    val (topkPlan, tfFrame) = TextOps.textTfidfUnsealed(spark, sfDir)
+    val plan = topkPlan.queryExecution.executedPlan.toString
+    graft.Scratch.free(tfFrame)
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("text_ttr matches a per-doc Scala recomputation and is bounded by 1") {
     val rows = TextOps.textTtr(spark, sfDir).collect()
     assert(rows.nonEmpty)
