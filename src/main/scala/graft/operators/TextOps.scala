@@ -524,6 +524,51 @@ object TextOps {
        |  FROM scored) x
        |WHERE rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin
 
+  /** Coverage-curve length. */
+  private[graft] val VocabTopK = 100
+
+  /** Vocabulary coverage curve — the tokenizer-sizing question "what
+    * vocab size covers X% of the corpus tokens": the top-[[VocabTopK]]
+    * terms by frequency with each rank's CUMULATIVE share of ALL
+    * corpus tokens (fixed-point e4). [[textOov]] scores docs against a
+    * FIXED top-V vocabulary; this measures what V you'd need. Ranking
+    * ties break by term (the same (count desc, token) order
+    * pipe_tokenize's vocab uses).
+    *
+    * Scale posture: one token groupBy (linear); the top-K cut is a
+    * TakeOrdered (per-partition heads + merge — no global sort); the
+    * cumulative window then runs over a ≤ K-row frame — bounded BY
+    * CONSTRUCTION, so the single-partition window is constant work,
+    * and the corpus-total join is a one-row broadcast.
+    */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Scratch.cp(Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).cast(LongType).as("cnt")))
+    val total = counts.agg(sum("cnt").cast(LongType).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("t")).limit(VocabTopK)
+    val curve = top.crossJoin(broadcast(total)) // one row
+      .withColumn("rnk", expr(
+        "CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS BIGINT)"))
+      .withColumn("cum_e4", expr(
+        "10000 * SUM(cnt) OVER (ORDER BY cnt DESC, t ASC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) DIV total"))
+      .select(col("rnk"), col("t").as("term"), col("cnt"), col("cum_e4"))
+    graft.Scratch.seal(curve, counts).orderBy("rnk")
+  }
+
+  def textVocabSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text,' ')) AS t FROM documents),
+       |counts AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+       |total AS (SELECT SUM(cnt) AS total FROM counts),
+       |top AS (SELECT t, cnt FROM counts ORDER BY cnt DESC, t LIMIT $VocabTopK)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS BIGINT) AS rnk,
+       |  t AS term, cnt,
+       |  CAST(10000 * SUM(cnt) OVER (ORDER BY cnt DESC, t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // total.total AS BIGINT) AS cum_e4
+       |FROM top CROSS JOIN total
+       |ORDER BY rnk""".stripMargin
+
   // --------------------------------------------------------------- dedup
 
   /** Exact dedup: hash-groupBy on the full text, keep the minimum
@@ -1099,6 +1144,7 @@ object TextOps {
     "text_oov" -> (textOov _),
     "text_bigram" -> (textBigram _),
     "text_tfidf" -> (textTfidf _),
+    "text_vocab" -> (textVocab _),
     "dedup_exact" -> (dedupExact _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_inc" -> (dedupSubstringInc _),
@@ -1119,6 +1165,7 @@ object TextOps {
     "text_oov" -> textOovSql,
     "text_bigram" -> textBigramSql,
     "text_tfidf" -> textTfidfSql,
+    "text_vocab" -> textVocabSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_inc" -> dedupSubstringIncSql,

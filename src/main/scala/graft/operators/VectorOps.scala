@@ -764,11 +764,78 @@ object VectorOps {
        |  FROM rescored) t
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** Per-label embedding-space QA — the labeled-training-data quality
+    * check: class size, centroid norm², and mean cosine-to-centroid
+    * (class TIGHTNESS, e6 — a collapsing/mislabeled class shows up as
+    * a low mean). Centroids are the same deterministic integer
+    * floor-of-mean the IVF/PQ training uses, so the whole metric is
+    * oracle-expressible; zero-norm centroids drop on both engines.
+    *
+    * Scale posture: quantization is row-local; the centroid build is
+    * ONE linear (label, dim)-keyed aggregation; the label set is a
+    * bounded dim (class cardinality, not corpus-scaled), so the
+    * centroid table rides a broadcast; the scoring pass is one more
+    * linear scan + a label-keyed rollup. The mean divides as
+    * FLOOR(double) — exact for sums < 2^53 and portable, where an
+    * integer DIV would diverge between engines on a negative sum
+    * (truncation vs floor).
+    */
+  def embedStats(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = graft.Scratch.cp(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(quantExpr).as("q"))
+      .withColumn("n2", expr(dotExpr("q", "q")))
+      .filter(col("n2") > 0))
+    val cents = e
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(expr("CAST(FLOOR(SUM(x) / COUNT(*)) AS BIGINT)").as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cq"))
+      .withColumn("cn2", expr(dotExpr("cq", "cq")))
+      .filter(col("cn2") > 0)
+    val stats = e.join(broadcast(cents), "label") // bounded: one row per label
+      .withColumn("cos_e6", expr(scoreE6(dotExpr("q", "cq"), "n2", "cn2")))
+      .groupBy("label")
+      .agg(count(lit(1)).cast(LongType).as("n_vecs"),
+        min("cn2").as("cent_n2"),
+        expr("CAST(FLOOR(CAST(SUM(cos_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)")
+          .as("mean_cos_e6"))
+    graft.Scratch.seal(stats, e).orderBy("label")
+  }
+
+  def embedStatsSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, label, $quantDuck AS q FROM embeddings),
+       |e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, label, q, ${dotDuck("q", "q")} AS n2 FROM e0) t
+       |  WHERE n2 > 0),
+       |cm AS (
+       |  SELECT label, p.pos AS pos,
+       |    CAST(FLOOR(SUM(q[p.pos + 1]) / COUNT(*)) AS BIGINT) AS m
+       |  FROM e, range(0, $Dim) p(pos)
+       |  GROUP BY label, p.pos),
+       |cents0 AS (
+       |  SELECT label, list(m ORDER BY pos) AS cq FROM cm GROUP BY label),
+       |cents AS (
+       |  SELECT * FROM (
+       |    SELECT label, cq, ${dotDuck("cq", "cq")} AS cn2 FROM cents0) t
+       |  WHERE cn2 > 0),
+       |j AS (
+       |  SELECT e.label, c.cn2,
+       |    ${scoreE6(dotDuck("e.q", "c.cq"), "e.n2", "c.cn2")} AS cos_e6
+       |  FROM e JOIN cents c USING (label))
+       |SELECT label, COUNT(*) AS n_vecs, MIN(cn2) AS cent_n2,
+       |  CAST(FLOOR(CAST(SUM(cos_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_cos_e6
+       |FROM j GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "embed_stats" -> (embedStats _),
     "dedup_embed" -> (dedupEmbed _))
 
   def oracles: Map[String, String] = Map(
@@ -776,5 +843,6 @@ object VectorOps {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
+    "embed_stats" -> embedStatsSql,
     "dedup_embed" -> dedupEmbedSql)
 }

@@ -171,6 +171,68 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("text_vocab: coverage curve matches a Scala recomputation and ends at 100% coverage") {
+    import graft.operators.TextOps
+    val rows = TextOps.textVocab(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.VocabTopK)
+    val toks = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val total = toks.length.toLong
+    val want = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(TextOps.VocabTopK)
+    var cum = 0L
+    want.zipWithIndex.zip(rows).foreach { case (((t, c), i), r) =>
+      cum += c
+      assert(r.getLong(0) == i + 1L && r.getString(1) == t &&
+        r.getLong(2) == c && r.getLong(3) == 10000L * cum / total,
+        s"rank ${i + 1}: got ${r.toSeq} want ($t, $c, ${10000L * cum / total})")
+    }
+    // the curve is monotone, and when the whole vocabulary fits in
+    // top-K the final rank covers everything
+    assert(rows.map(_.getLong(3)).toSeq == rows.map(_.getLong(3)).sorted.toSeq)
+    if (want.length < TextOps.VocabTopK) assert(rows.last.getLong(3) == 10000L)
+    // the top-K cut must be a TakeOrdered (per-partition heads +
+    // merge), never a global sort of the vocabulary
+    val plan = TextOps.textVocab(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort [cnt"), s"global vocabulary sort in:\n$plan")
+  }
+
+  test("embed_stats: per-label tightness matches an exact Scala recomputation") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.embedStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .collect()
+      .map(r => (r.getInt(1), r.getSeq[Double](2).map(x => math.floor(x * 10000 + 0.5).toLong)))
+    def dot(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (x, y) => x * y }.sum
+    val byLabel = raw.filter(v => dot(v._2, v._2) > 0).groupBy(_._1)
+    val want = byLabel.flatMap { case (label, vs) =>
+      val dim = vs.head._2.length
+      val cq2 = (0 until dim).map { d =>
+        val s = vs.map(_._2(d)).sum
+        val m = math.floor(s.toDouble / vs.length).toLong
+        // FLOOR(sum/count) on doubles == floorDiv for |sum| < 2^53
+        assert(m == math.floorDiv(s, vs.length.toLong))
+        m
+      }
+      val cn2 = dot(cq2, cq2)
+      if (cn2 <= 0) None else {
+        val scores = vs.map { case (_, q) =>
+          math.floor(dot(q, cq2) / (math.sqrt(dot(q, q).toDouble) * math.sqrt(cn2.toDouble)) * 1000000 + 0.5).toLong
+        }
+        Some(label -> (vs.length.toLong, cn2,
+          math.floor(scores.sum.toDouble / scores.length).toLong))
+      }
+    }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, cn2, mean) = want(r.getInt(0))
+      assert(r.getLong(1) == n && r.getLong(2) == cn2 && r.getLong(3) == mean,
+        s"label ${r.getInt(0)}: got ${r.toSeq} want ($n, $cn2, $mean)")
+    }
+  }
+
   test("text_ttr matches a per-doc Scala recomputation and is bounded by 1") {
     val rows = TextOps.textTtr(spark, sfDir).collect()
     assert(rows.nonEmpty)
