@@ -79,15 +79,9 @@ object VectorOps {
     * for them, and NaN semantics differ between engines (Spark CAST
     * maps NaN to 0; DuckDB errors). The oracle applies the same guard.
     */
-  private def quantized(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
     // materialized once: every consumer is a self-join or multi-read
-    graft.Scratch.cp(Tables.embeddings(spark, dir)
-      .withColumn("q", expr(quantExpr))
-      .withColumn("n2", expr(dotExpr("q", "q")))
-      .filter(col("n2") > 0)
-      .select("vec_id", "q", "n2"))
-  }
+    graft.Scratch.cp(quantizePlan(Tables.embeddings(spark, dir)))
 
   private val quantizedDuckCte =
     s"""q0 AS (
@@ -120,7 +114,19 @@ object VectorOps {
     bucketedFrom(graft.Scratch.cp(qIn), bands, bitsPerBand)
 
   private def bucketedFrom(q: DataFrame,
-      bands: Int, bitsPerBand: Int): DataFrame = {
+      bands: Int, bitsPerBand: Int): DataFrame =
+    // materialized once: quantization + the hyperplane dots feed both
+    // self-join sides of ann_lsh / dedup_embed; the quantized frame is
+    // subsumed by this one and released immediately
+    graft.Scratch.seal(bucketKeysPlan(q, bands, bitsPerBand), q)
+
+  /** The pure (vec_id, q, n2, band_idx, bucket) plan — every step
+    * row-local, so it runs unchanged on a STREAMING frame (the
+    * stream_ann probe side); the batch path seals it, a stream must
+    * not.
+    */
+  private[graft] def bucketKeysPlan(q: DataFrame,
+      bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame = {
     val nPlanes = bands * bitsPerBand
     val withBits = (0 until nPlanes).foldLeft(q) { (d, j) =>
       d.withColumn(s"bit$j",
@@ -131,16 +137,52 @@ object VectorOps {
         .map(k => s"shiftleft(bit${b * bitsPerBand + k}, $k)").mkString(" + ")
       d.withColumn(s"bucket$b", expr(bits))
     }
-    // materialized once: quantization + the hyperplane dots feed both
-    // self-join sides of ann_lsh / dedup_embed; the quantized frame is
-    // subsumed by this one and released immediately
-    graft.Scratch.seal(
-      withBuckets.select(col("vec_id"), col("q"), col("n2"),
-        explode(expr(s"map_from_arrays(sequence(0, ${bands - 1}), " +
-          s"array(${(0 until bands).map(b => s"bucket$b").mkString(",")}))")))
-        .toDF("vec_id", "q", "n2", "band_idx", "bucket"),
-      q)
+    withBuckets.select(col("vec_id"), col("q"), col("n2"),
+      explode(expr(s"map_from_arrays(sequence(0, ${bands - 1}), " +
+        s"array(${(0 until bands).map(b => s"bucket$b").mkString(",")}))")))
+      .toDF("vec_id", "q", "n2", "band_idx", "bucket")
   }
+
+  /** Row-local quantization of a raw embeddings frame — shared by the
+    * batch [[quantized]] path and the streaming probe side (which
+    * cannot checkpoint). Zero-norm guard identical to the oracle's.
+    */
+  private[graft] def quantizePlan(raw: DataFrame): DataFrame = {
+    GraftFunctions.register(raw.sparkSession)
+    raw.withColumn("q", expr(quantExpr))
+      .withColumn("n2", expr(dotExpr("q", "q")))
+      .filter(col("n2") > 0)
+      .select("vec_id", "q", "n2")
+  }
+
+  /** The streaming-ANN score expression (probe q vs indexed nq) —
+    * one definition shared by stream and any batch cross-check.
+    */
+  private[graft] def streamAnnScore: String =
+    scoreE6(dotExpr("q", "nq"), "n2", "nn2")
+
+  /** stream_ann contract: probes = the vec_id % 10 == 7 arrivals, the
+    * searched index = everything else (yesterday's index — the
+    * arrivals are NOT in it yet, the same delta split
+    * dedup_substring_inc streams). Top-[[StreamAnnK]] per probe by
+    * (score desc, n_id).
+    */
+  private[graft] val StreamAnnK = 3
+
+  def streamAnnSql: String =
+    s"""WITH $quantizedDuckCte,
+       |$bucketedDuckCte,
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id,
+       |    ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} AS score_e6
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       |  WHERE a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, score_e6 FROM (
+       |  SELECT q_id, n_id, score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, n_id) AS rnk
+       |  FROM cands) t
+       |WHERE rnk <= $StreamAnnK ORDER BY q_id, rnk""".stripMargin
 
   private val bucketedDuckCte: String = {
     val bitCols = (0 until Planes).map(j =>

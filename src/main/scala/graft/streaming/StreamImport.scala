@@ -1432,6 +1432,88 @@ object StreamImport {
       .select("event_type", "rnk", "h")
       .orderBy("event_type", "rnk")
 
+  // ------------------------------------------------- Streaming ANN
+
+  /** Bounded per-probe state: the current top-k as (score_e6, n_id)
+    * pairs — ≤ [[graft.operators.VectorOps.StreamAnnK]] entries per
+    * probe, forever.
+    */
+  case class AnnSt(top: Seq[(Long, Long)])
+
+  /** Streaming similarity search — the retrieval-ingest production
+    * shape: probe vectors STREAM in and search a STATIC LSH bucket
+    * index of the existing corpus (the same delta split
+    * stream_substring_inc uses, vectors instead of passages).
+    * Quantization + bucket keys are row-local ON THE STREAM
+    * ([[graft.operators.VectorOps.bucketKeysPlan]] — the identical
+    * expressions the batch index build runs); candidates come from a
+    * STATELESS stream-static join against the index; the per-probe
+    * top-k folds as bounded update-mode state. Top-k over distinct
+    * (score, n_id) pairs is a monoid (merge = union, cut to k): a
+    * pair displaced from the top can never re-enter (scores are
+    * pair-determined and fixed), band-duplicate candidates are
+    * idempotent re-inserts, so micro-batch splits and arrival order
+    * are invisible. Each batch re-emits the probe's full top list
+    * under stable (q_id, rnk) keys — a displaced neighbor's rank is
+    * simply overwritten at the sink, [[topnStream]]'s contract.
+    *
+    * At 100 TB: the index is yesterday's artifact (here it
+    * materializes once via Scratch); per micro-batch cost is
+    * probes × bucket-mates, state is k pairs per probe seen — the
+    * corpus never enters the state.
+    */
+  def annStream(probes: DataFrame, corpusIdx: DataFrame): DataFrame = {
+    import probes.sparkSession.implicits._
+    val k = graft.operators.VectorOps.StreamAnnK
+    val cands = graft.operators.VectorOps.bucketKeysPlan(probes)
+      .join(corpusIdx, Seq("band_idx", "bucket"))
+      .select(col("vec_id").as("q_id"), col("n_id"),
+        expr(graft.operators.VectorOps.streamAnnScore).as("score_e6"))
+    cands.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (q: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[AnnSt]) =>
+          // ordered by (score desc, n_id asc) via the (-score, n_id)
+          // key; TreeMap keys are the distinct-pair set, so band
+          // duplicates collapse
+          val m = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+          state.getOption.foreach(_.top.foreach { case (s, n) => m.add((-s, n)) })
+          rows.foreach { case (_, n, s) => m.add((-s, n)) }
+          while (m.size > k) m.remove(m.max)
+          val top = m.toSeq.map { case (ns, n) => (-ns, n) }
+          state.update(AnnSt(top))
+          top.iterator.zipWithIndex.map { case ((s, n), i) =>
+            (q, (i + 1).toLong, n, s)
+          }
+      }.toDF("q_id", "rnk", "n_id", "score_e6")
+  }
+
+  /** Driver-checked streaming search — oracle = the LSH SQL
+    * restricted to (probe, corpus): [[graft.operators.VectorOps
+    * .streamAnnSql]].
+    */
+  def runAnnToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val corpusIdx = graft.Scratch.cp(
+      VectorOps.bucketKeysPlan(VectorOps.quantizePlan(
+          Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 7)))
+        .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
+          col("band_idx"), col("bucket")))
+    val rawSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val probes = VectorOps.quantizePlan(stream.filter(col("vec_id") % 10 === 7))
+    val out = annStream(probes, corpusIdx)
+      .withColumn("akey", concat_ws("_", col("q_id"), col("rnk")))
+      // tenant MUST be a stable function of the upsert key (q_id is;
+      // n_id would migrate a displaced rank across tenant tables)
+      .withColumn("tenant", concat(lit("t"), col("q_id") % 10))
+    runStreamToSink(spark, s"stream_ann@$dir", out, "akey")
+      .select("q_id", "rnk", "n_id", "score_e6")
+      .orderBy("q_id", "rnk")
+  }
+
   // ------------------------------------------------- Session windows
 
   /** Native `session_window` sessionization — the streaming
@@ -1901,6 +1983,7 @@ object StreamImport {
     "stream_cms" -> (runCmsToCompletion _),
     "stream_substring_inc" -> (runSubstringIncToCompletion _),
     "stream_kmv" -> (runKmvToCompletion _),
+    "stream_ann" -> (runAnnToCompletion _),
     "stream_topn" -> (runTopnToCompletion _),
     "stream_sessionize" -> (runSessionizeToCompletion _))
 
@@ -1946,6 +2029,9 @@ object StreamImport {
     // the streaming delta answers the batch incremental detector's oracle
     "stream_substring_inc" -> graft.operators.TextOps.dedupSubstringIncSql,
     "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,
+    // streamed probes against the static bucket index answer the LSH
+    // oracle restricted to (probe, corpus)
+    "stream_ann" -> graft.operators.VectorOps.streamAnnSql,
     "stream_topn" -> graft.operators.Analytics.qWindowTopNSql,
     "stream_sessionize" ->
       """WITH g AS (

@@ -829,6 +829,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_ann: probes across adversarial micro-batches equal the batch LSH search") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpusIdx = graft.Scratch.cp(
+      VectorOps.bucketKeysPlan(VectorOps.quantizePlan(emb.filter(col("vec_id") % 10 =!= 7)))
+        .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
+          col("band_idx"), col("bucket")))
+    val probeRows = emb.filter(col("vec_id") % 10 === 7)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // adversarial order: a later chunk's probe must not disturb earlier
+    // probes' folded top lists, and a probe split ACROSS chunks must
+    // still converge to its full top-k (idempotent distinct-pair merge)
+    val shuffled = new scala.util.Random(17).shuffle(probeRows.toVector)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_ann_").toString + "/t"
+    val probes = VectorOps.quantizePlan(stream.toDF().toDF("vec_id", "embedding"))
+    val q = StreamImport.annStream(probes, corpusIdx)
+      .withColumn("akey", concat_ws("_", col("q_id"), col("rnk")))
+      .withColumn("tenant", concat(lit("t"), col("q_id") % 10))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_annchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "akey")
+      }
+      .start()
+    shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("q_id", "rnk", "n_id", "score_e6").orderBy("q_id", "rnk").collect()
+    // batch reference: same probes, same static index, distinct
+    // candidates, exact top-k — what the gate's DuckDB oracle renders
+    val probesB = VectorOps.bucketKeysPlan(
+      VectorOps.quantizePlan(emb.filter(col("vec_id") % 10 === 7)))
+    val candsB = probesB.join(corpusIdx, Seq("band_idx", "bucket"))
+      .select(col("vec_id").as("q_id"), col("n_id"),
+        expr(VectorOps.streamAnnScore).as("score_e6")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("score_e6").desc, col("n_id"))
+    val batch = candsB.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= VectorOps.StreamAnnK)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("score_e6"))
+      .orderBy("q_id", "rnk").collect()
+    graft.Scratch.free(corpusIdx)
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_hll: registers maintained across micro-batches equal the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
