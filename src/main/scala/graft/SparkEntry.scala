@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, ApproxOps, Components, ImporterCore, Multimodal, Specs, TemporalJoins, TextOps, TrainOps, VectorOps}
+import graft.operators.{Analytics, ApproxOps, BloomOps, Components, ImporterCore, Multimodal, Specs, TemporalJoins, TextOps, TrainOps, VectorOps}
 import graft.sources.{BucketedTable, RawIngest}
 import graft.streaming.{JdbcUpsert, StreamImport}
 
@@ -17,7 +17,7 @@ object SparkEntry {
       TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
       StreamImport.queries ++ RawIngest.queries ++ Components.queries ++
       TemporalJoins.queries ++ TrainOps.queries ++ ApproxOps.queries ++
-      JdbcUpsert.queries ++ BucketedTable.queries
+      JdbcUpsert.queries ++ BucketedTable.queries ++ BloomOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +26,5 @@ object SparkEntry {
       TextOps.oracles ++ VectorOps.oracles ++ Multimodal.oracles ++
       StreamImport.oracles ++ RawIngest.oracles ++ Components.oracles ++
       TemporalJoins.oracles ++ TrainOps.oracles ++ ApproxOps.oracles ++
-      JdbcUpsert.oracles ++ BucketedTable.oracles
+      JdbcUpsert.oracles ++ BucketedTable.oracles ++ BloomOps.oracles
 }

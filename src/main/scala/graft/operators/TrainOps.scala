@@ -498,7 +498,54 @@ object TrainOps {
        |ORDER BY train_id, eval_id""".stripMargin
   }
 
+  /** Sliding-window chunking — the context-window segmentation step
+    * that turns variable-length documents into fixed-size training
+    * windows with overlap (chunk i covers tokens
+    * [i·[[ChunkStride]], i·[[ChunkStride]] + [[ChunkW]])): every
+    * token lands in ≥1 chunk, consecutive chunks share
+    * [[ChunkW]] − [[ChunkStride]] tokens so no training example ever
+    * splits a span across an unseen boundary. Start positions are a
+    * pure function of the token count, so chunking is reproducible
+    * and subset-stable.
+    *
+    * Scale posture: split + sequence + explode are all row-local —
+    * ZERO shuffles before the presentation sort; output volume is
+    * ≈ (W/stride)× the corpus (the overlap's own cost, 1.33× at the
+    * default geometry), and a mega-document fans out to its own
+    * chunks without ever assembling them on one row.
+    */
+  val ChunkW = 32
+  val ChunkStride = 24
+
+  def pipeChunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast((n - 1) div $ChunkStride as int)), " +
+          s"i -> slice(toks, i * $ChunkStride + 1, $ChunkW))"))
+        .as(Seq("chunk_idx", "chunk_toks")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        size(col("chunk_toks")).cast(LongType).as("chunk_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+
+  def pipeChunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, unnest([{'ci': i, 'ch': toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkW]}
+       |    for i in generate_series(0, (n - 1) // $ChunkStride)]) AS u
+       |  FROM t)
+       |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+       |  CAST(len(u.ch) AS BIGINT) AS chunk_tokens,
+       |  array_to_string(u.ch, ' ') AS chunk
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_chunk" -> (pipeChunk _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_decontam_asym" -> (pipeDecontaminateAsym _),
     "pipe_sample" -> (pipeSample _),
@@ -511,6 +558,7 @@ object TrainOps {
     "pipe_split" -> (pipeSplit _))
 
   def oracles: Map[String, String] = Map(
+    "pipe_chunk" -> pipeChunkSql,
     "pipe_decontaminate" -> pipeDecontaminateSql,
     // the asym plan answers the SAME oracle as the symmetric detector
     // — identical rows, different (broadcast) dataflow

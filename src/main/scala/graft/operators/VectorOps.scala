@@ -872,8 +872,58 @@ object VectorOps {
        |  CAST(FLOOR(CAST(SUM(cos_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_cos_e6
        |FROM j GROUP BY label ORDER BY label""".stripMargin
 
+  /** Metadata-filtered exact search ("search within my own
+    * category"): each bounded probe's neighbor set is restricted to
+    * corpus rows sharing its `label`. The filter is NOT a post-filter
+    * over a global top-k (which under-fills k whenever true neighbors
+    * are cross-label); it is pushed INTO the join as an equi-key, so
+    * the plan hash-partitions both sides by label — per-partition work
+    * is |probes_l| × |corpus_l|, not |probes| × |corpus|, and a
+    * label-selective predicate would reach the parquet scan. The
+    * probe side stays the bounded [[ProbeCutoff]] contract; label skew
+    * is AQE's skew-join case like any other hot equi-key.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val v = graft.Scratch.cp(
+      Tables.embeddings(spark, dir)
+        .withColumn("q", expr(quantExpr))
+        .withColumn("n2", expr(dotExpr("q", "q")))
+        .filter(col("n2") > 0)
+        .select("vec_id", "label", "q", "n2"))
+    val joined = v.as("a").filter(col("a.vec_id") < ProbeCutoff)
+      .join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("a.label").as("label"),
+        col("b.vec_id").as("n_id"),
+        expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
+    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
+    val topk = joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("label"), col("rnk").cast(LongType).as("rnk"),
+        col("n_id"), col("score_e6"))
+    graft.Scratch.seal(topk, v).orderBy("q_id", "rnk")
+  }
+
+  def annFilteredSql: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id, label, $quantDuck AS q FROM embeddings),
+       |qv AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, label, q, ${dotDuck("q", "q")} AS n2 FROM q0) t
+       |  WHERE n2 > 0)
+       |SELECT q_id, label, CAST(rnk AS BIGINT) AS rnk, n_id, score_e6 FROM (
+       |  SELECT a.vec_id AS q_id, a.label AS label, b.vec_id AS n_id,
+       |    ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} AS score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${scoreE6(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} DESC, b.vec_id) AS rnk
+       |  FROM (SELECT * FROM qv WHERE vec_id < $ProbeCutoff) a
+       |  JOIN qv b ON a.label = b.label AND a.vec_id <> b.vec_id) t
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
+    "ann_filtered" -> (annFiltered _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
@@ -882,6 +932,7 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_filtered" -> annFilteredSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,

@@ -1325,6 +1325,32 @@ object StreamImport {
       .select("event_type", "row_i", "col_i", "cnt")
       .orderBy("event_type", "row_i", "col_i")
 
+  /** Streaming Bloom maintainer — the bitmap words of
+    * [[graft.operators.BloomOps.bloomWords]] as an update-mode
+    * streaming aggregate: word-wise `bit_or` is a commutative
+    * idempotent monoid, so arrival order and micro-batch splits are
+    * invisible and the state is CONSTANT (≤ groups × BloomWords rows,
+    * forever) — the third member of the constant-state streaming
+    * sketch family (max → HLL, sum → CMS, or → Bloom). The live
+    * bitmap answers membership at any instant — the streaming side of
+    * opt_bloom_join's runtime filter (ship today's live bitmap to
+    * prune tomorrow's fact scan). Answers the batch sketch_bloom's
+    * SAME oracle.
+    */
+  def bloomStream(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    graft.operators.BloomOps.bloomWords(events)
+  }
+
+  def runBloomToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events =>
+      bloomStream(events)
+        .withColumn("bkey", concat_ws("_", col("event_type"), col("word_idx")))
+        .withColumn("tenant", col("event_type")),
+      "bkey", label = "stream_bloom")
+      .select("event_type", "word_idx", "bits")
+      .orderBy("event_type", "word_idx")
+
   /** Streaming incremental passage dedup — the PRODUCTION shape of
     * [[graft.operators.TextOps.dedupSubstringInc]]: the day's document
     * arrivals STREAM in while the existing corpus's window-hash index
@@ -1981,6 +2007,7 @@ object StreamImport {
     "stream_join_outer" -> (runJoinOuterToCompletion _),
     "stream_hll" -> (runHllToCompletion _),
     "stream_cms" -> (runCmsToCompletion _),
+    "stream_bloom" -> (runBloomToCompletion _),
     "stream_substring_inc" -> (runSubstringIncToCompletion _),
     "stream_kmv" -> (runKmvToCompletion _),
     "stream_ann" -> (runAnnToCompletion _),
@@ -2026,6 +2053,7 @@ object StreamImport {
         |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_hll" -> graft.operators.ApproxOps.sketchHllSql,
     "stream_cms" -> graft.operators.ApproxOps.sketchCmsSql,
+    "stream_bloom" -> graft.operators.BloomOps.sketchBloomSql,
     // the streaming delta answers the batch incremental detector's oracle
     "stream_substring_inc" -> graft.operators.TextOps.dedupSubstringIncSql,
     "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,
