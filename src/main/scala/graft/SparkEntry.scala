@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, ApproxOps, BloomOps, Components, ImporterCore, Multimodal, Specs, TemporalJoins, TextOps, TrainOps, VectorOps}
-import graft.sources.{BucketedTable, RawIngest}
+import graft.sources.{BucketedTable, FileFormats, RawIngest}
 import graft.streaming.{JdbcUpsert, StreamImport}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,7 +17,8 @@ object SparkEntry {
       TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
       StreamImport.queries ++ RawIngest.queries ++ Components.queries ++
       TemporalJoins.queries ++ TrainOps.queries ++ ApproxOps.queries ++
-      JdbcUpsert.queries ++ BucketedTable.queries ++ BloomOps.queries
+      JdbcUpsert.queries ++ BucketedTable.queries ++ BloomOps.queries ++
+      FileFormats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       TextOps.oracles ++ VectorOps.oracles ++ Multimodal.oracles ++
       StreamImport.oracles ++ RawIngest.oracles ++ Components.oracles ++
       TemporalJoins.oracles ++ TrainOps.oracles ++ ApproxOps.oracles ++
-      JdbcUpsert.oracles ++ BucketedTable.oracles ++ BloomOps.oracles
+      JdbcUpsert.oracles ++ BucketedTable.oracles ++ BloomOps.oracles ++
+      FileFormats.oracles
 }

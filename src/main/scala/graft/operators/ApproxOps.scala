@@ -374,11 +374,28 @@ object ApproxOps {
     * with a coarser bin becomes the classic ε-approximate histogram
     * quantile (ε = bin width), same shapes.
     */
-  def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Portable.{dec2, moneyStr}
-    val hist = Tables.events(spark, dir)
+  def sketchQuantile(spark: SparkSession, dir: String): DataFrame =
+    quantileFromHist(quantileHist(Tables.events(spark, dir)))
+
+  /** The histogram STATE of the quantile sketch — one count per
+    * distinct (group, e2-binned value). This is the part a STREAMING
+    * maintainer keeps (counter increments are commutative sums, like
+    * the CMS table): stream_quantile maintains exactly this frame in
+    * update mode and derives the percentiles from the read-back.
+    */
+  private[graft] def quantileHist(events: DataFrame): DataFrame = {
+    import graft.functions.Portable.dec2
+    events
       .groupBy(col("event_type"), dec2(col("value")).as("v"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The READ path: bins → percentiles (cumulative pass over bins,
+    * never rows). Shared by the batch sketch and the streaming
+    * maintainer's read-back so the two can never drift.
+    */
+  private[graft] def quantileFromHist(hist: DataFrame): DataFrame = {
+    import graft.functions.Portable.moneyStr
     val byV = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("v")
     val all = org.apache.spark.sql.expressions.Window

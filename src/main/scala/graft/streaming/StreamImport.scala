@@ -1325,6 +1325,31 @@ object StreamImport {
       .select("event_type", "row_i", "col_i", "cnt")
       .orderBy("event_type", "row_i", "col_i")
 
+  /** Streaming quantile-histogram maintainer — the value-bin counter
+    * table of [[graft.operators.ApproxOps.quantileHist]] as an
+    * update-mode streaming SUM aggregate: state is one counter per
+    * distinct (group, e2 value bin) — bounded by the VALUE DOMAIN,
+    * not the stream length (for truly continuous data the same plan
+    * with a coarser bin is the classic ε-histogram quantile), and
+    * after any prefix of the stream every percentile is answerable
+    * from the bins alone. Counter increments are commutative sums, so
+    * micro-batch splits are invisible (the CMS argument). The READ
+    * path (bins → percentiles) is the batch sketch's own
+    * `quantileFromHist`, applied to the sink read-back — stream and
+    * batch share one derivation and answer the SAME oracle
+    * (q_percentiles' positional form, which the e2 binning reproduces
+    * exactly on 2-decimal data).
+    */
+  def runQuantileToCompletion(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ApproxOps.quantileFromHist(
+      runPipeline(spark, dir, events =>
+        graft.operators.ApproxOps.quantileHist(events)
+          .withColumn("qkey",
+            concat_ws("_", col("event_type"), col("v").cast("string")))
+          .withColumn("tenant", col("event_type")),
+        "qkey", label = "stream_quantile")
+        .select("event_type", "v", "cnt"))
+
   /** Streaming Bloom maintainer — the bitmap words of
     * [[graft.operators.BloomOps.bloomWords]] as an update-mode
     * streaming aggregate: word-wise `bit_or` is a commutative
@@ -2008,6 +2033,7 @@ object StreamImport {
     "stream_hll" -> (runHllToCompletion _),
     "stream_cms" -> (runCmsToCompletion _),
     "stream_bloom" -> (runBloomToCompletion _),
+    "stream_quantile" -> (runQuantileToCompletion _),
     "stream_substring_inc" -> (runSubstringIncToCompletion _),
     "stream_kmv" -> (runKmvToCompletion _),
     "stream_ann" -> (runAnnToCompletion _),
@@ -2054,6 +2080,7 @@ object StreamImport {
     "stream_hll" -> graft.operators.ApproxOps.sketchHllSql,
     "stream_cms" -> graft.operators.ApproxOps.sketchCmsSql,
     "stream_bloom" -> graft.operators.BloomOps.sketchBloomSql,
+    "stream_quantile" -> graft.operators.Analytics.qPercentilesSql,
     // the streaming delta answers the batch incremental detector's oracle
     "stream_substring_inc" -> graft.operators.TextOps.dedupSubstringIncSql,
     "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,
