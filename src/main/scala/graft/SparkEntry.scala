@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, ApproxOps, BloomOps, Components, ImporterCore, Multimodal, Specs, TemporalJoins, TextOps, TrainOps, VectorOps}
+import graft.operators.{Analytics, ApproxOps, BloomOps, Components, ImporterCore, LayoutOps, Multimodal, Specs, TemporalJoins, TextOps, TrainOps, VectorOps}
 import graft.sources.{BucketedTable, FileFormats, RawIngest}
 import graft.streaming.{JdbcUpsert, StreamImport}
 
@@ -18,7 +18,7 @@ object SparkEntry {
       StreamImport.queries ++ RawIngest.queries ++ Components.queries ++
       TemporalJoins.queries ++ TrainOps.queries ++ ApproxOps.queries ++
       JdbcUpsert.queries ++ BucketedTable.queries ++ BloomOps.queries ++
-      FileFormats.queries
+      FileFormats.queries ++ LayoutOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
       StreamImport.oracles ++ RawIngest.oracles ++ Components.oracles ++
       TemporalJoins.oracles ++ TrainOps.oracles ++ ApproxOps.oracles ++
       JdbcUpsert.oracles ++ BucketedTable.oracles ++ BloomOps.oracles ++
-      FileFormats.oracles
+      FileFormats.oracles ++ LayoutOps.oracles
 }

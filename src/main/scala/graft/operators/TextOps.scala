@@ -652,6 +652,156 @@ object TextOps {
        |FROM w1 JOIN fs USING (h)
        |GROUP BY w1.doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ winnowing
+
+  /** Winnowing geometry: k-gram width × hash-window width. The
+    * guarantee bar t = K + W − 1 = 8 tokens matches [[SubstringW]] —
+    * the winnowed index catches the SAME ≥8-token verbatim runs
+    * dedup_substring catches with ALL windows.
+    */
+  private[graft] val WinnowK = 5
+  private[graft] val WinnowW = 4
+
+  /** Winnowing fingerprint selection over a bound hash-array column:
+    * min per sliding [[WinnowW]]-window, deduped. `hs` MUST be a
+    * column name, not a sub-expression (the [[shinglesOfExpr]]
+    * per-element re-evaluation trap).
+    */
+  private def winnowSelectExpr(hs: String): String =
+    s"array_distinct(transform(sequence(0, greatest(size($hs) - $WinnowW, 0)), " +
+      s"i -> array_min(slice($hs, i + 1, $WinnowW))))"
+
+  /** Per-doc winnowed fingerprint frame (doc_id, fp) — shared by the
+    * gate entry and [[dedupWinnow]].
+    */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs",
+        expr(s"graft_hash60_all(${shinglesOfExpr(WinnowK, "toks")})"))
+      .select(col("doc_id"), explode(expr(winnowSelectExpr("hs"))).as("fp"))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS selection rule): hash every
+    * [[WinnowK]]-gram, then per sliding window of [[WinnowW]]
+    * consecutive hashes keep the window MINIMUM. Two properties make
+    * this THE sub-linear passage index: (1) correctness — any verbatim
+    * run of ≥ K+W−1 tokens shared by two documents selects at least
+    * one common fingerprint (every length-W hash window inside the
+    * run is identical in both, and some window's minimum is selected
+    * in both); (2) density — expected 2/(W+1) of positions are
+    * selected, so the index stores ~40% of the window hashes
+    * dedup_substring stores, with the same detection bar. Selection
+    * is row-local (one Hash60All batch per doc, then arithmetic over
+    * the bound array); only the deduped fingerprints leave the row.
+    */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    winnowFps(Tables.documents(spark, dir)).orderBy("doc_id", "fp")
+  }
+
+  private def winnowDuckCte: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |    list_transform(${shinglesDuck(WinnowK, "toks")}, x -> ${hxDuck("x")}) AS hs
+       |  FROM t),
+       |f AS (SELECT doc_id,
+       |    unnest(list_distinct([list_min(hs[i : i + ${WinnowW - 1}])
+       |      for i in generate_series(1, greatest(len(hs) - ${WinnowW - 1}, 1))])) AS fp
+       |  FROM s)""".stripMargin
+
+  def textWinnowSql: String =
+    s"""WITH $winnowDuckCte
+       |SELECT doc_id, fp FROM f ORDER BY doc_id, fp""".stripMargin
+
+  /** Passage dedup over the winnowed index — [[dedupSubstring]]'s
+    * min-owner aggregation run on ~40% of the rows: each fingerprint
+    * collapses to its earliest owner, no pair is ever enumerated, and
+    * the ≥ K+W−1-token detection bar is winnowing's guarantee rather
+    * than the all-windows construction. The scale trade vs
+    * dedup_substring is index size for verdict granularity: is_dup
+    * still means "shares a qualifying verbatim run", but
+    * n_dup_fps counts selected fingerprints, not all duplicated
+    * windows.
+    */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val fps = winnowFps(Tables.documents(spark, dir))
+    val firstSeen = fps.groupBy("fp").agg(min("doc_id").as("first_doc"))
+    fps.join(firstSeen, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_fps"),
+        sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as("n_dup_fps"),
+        max(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as("is_dup"))
+      .select("doc_id", "n_fps", "n_dup_fps", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  def dedupWinnowSql: String =
+    s"""WITH $winnowDuckCte,
+       |fs AS (SELECT fp, MIN(doc_id) AS first_doc FROM f GROUP BY fp)
+       |SELECT f.doc_id, COUNT(*) AS n_fps,
+       |  CAST(SUM(CASE WHEN f.doc_id > fs.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_fps,
+       |  CAST(MAX(CASE WHEN f.doc_id > fs.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS is_dup
+       |FROM f JOIN fs USING (fp)
+       |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin
+
+  /** INCREMENTAL winnowed passage dedup — [[dedupWinnow]]'s
+    * daily-append shape: the day's arrivals probe the EXISTING
+    * corpus's winnowed fingerprint index (in production yesterday's
+    * precomputed artifact — 40% the rows of the all-windows index,
+    * same ≥ K+W−1-token detection bar; the guarantee is pairwise, so
+    * "delta doc shares a qualifying run with ANY corpus doc" ⇒ a
+    * common selected fingerprint exists). Plan shape and
+    * delta-broadcast guard are [[dedupSubstringIncWith]]'s: corpus
+    * scanned once, never shuffles raw fingerprint rows, delta rides a
+    * size-guarded broadcast, hint-free AQE fallback past the ceiling.
+    */
+  def dedupWinnowInc(spark: SparkSession, dir: String): DataFrame =
+    dedupWinnowIncWith(spark, dir, MaxDeltaBroadcastDocs)
+
+  /** Explicit-ceiling variant — the guard spec drives the ceiling to 0
+    * to pin the fallback plan row-identical.
+    */
+  def dedupWinnowIncWith(spark: SparkSession, dir: String,
+      maxBroadcastDocs: Long): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val deltaFits = fitsBound(
+      docs.filter(col("doc_id") % 10 === 7).select("doc_id"), maxBroadcastDocs)
+    def hinted(df: DataFrame): DataFrame = if (deltaFits) broadcast(df) else df
+    val fps = winnowFps(docs)
+    val delta = fps.filter(col("doc_id") % 10 === 7)
+    val corpus = fps.filter(col("doc_id") % 10 =!= 7)
+    val hits = corpus.join(hinted(delta.select("fp").distinct()), "fp")
+      .groupBy("fp").agg(count(lit(1)).as("_c"))
+      .select(col("fp"), lit(1L).as("hit"))
+    delta.join(hinted(hits), Seq("fp"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_fps"),
+        coalesce(sum("hit"), lit(0L)).cast(LongType).as("n_dup_fps"),
+        coalesce(max("hit"), lit(0L)).cast(LongType).as("is_dup"))
+      .select("doc_id", "n_fps", "n_dup_fps", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  def dedupWinnowIncSql: String =
+    s"""WITH $winnowDuckCte,
+       |delta AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 7),
+       |corpus AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 <> 7),
+       |hits AS (
+       |  SELECT DISTINCT corpus.fp FROM corpus
+       |  JOIN (SELECT DISTINCT fp FROM delta) d ON corpus.fp = d.fp)
+       |SELECT delta.doc_id, COUNT(*) AS n_fps,
+       |  CAST(SUM(CASE WHEN hits.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_fps,
+       |  CAST(MAX(CASE WHEN hits.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS is_dup
+       |FROM delta LEFT JOIN hits ON delta.fp = hits.fp
+       |GROUP BY delta.doc_id ORDER BY doc_id""".stripMargin
+
   /** INCREMENTAL passage-level dedup — flag a NEW batch's documents
     * that share a verbatim ≥[[SubstringW]]-token run with the EXISTING
     * corpus, without recomputing the corpus-wide first-seen table:
@@ -1145,7 +1295,10 @@ object TextOps {
     "text_bigram" -> (textBigram _),
     "text_tfidf" -> (textTfidf _),
     "text_vocab" -> (textVocab _),
+    "text_winnow" -> (textWinnow _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_winnow" -> (dedupWinnow _),
+    "dedup_winnow_inc" -> (dedupWinnowInc _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_inc" -> (dedupSubstringInc _),
     "dedup_ngram" -> (dedupNgram _),
@@ -1166,7 +1319,10 @@ object TextOps {
     "text_bigram" -> textBigramSql,
     "text_tfidf" -> textTfidfSql,
     "text_vocab" -> textVocabSql,
+    "text_winnow" -> textWinnowSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_winnow" -> dedupWinnowSql,
+    "dedup_winnow_inc" -> dedupWinnowIncSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_inc" -> dedupSubstringIncSql,
     "dedup_ngram" -> dedupNgramSql,

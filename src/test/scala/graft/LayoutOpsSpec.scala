@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.LayoutOps
+import org.apache.spark.sql.functions._
+
+/** Measures the point of the Morton key with the metric data skipping
+  * actually uses: for a single-dimension predicate, how many
+  * partitions' min/max boxes must be read? A u-sorted layout answers
+  * u-predicates with ~1 partition but h-predicates with ALL of them
+  * (h unbounded per partition), and vice versa; the z layout bounds
+  * BOTH, so over a mixed workload it reads strictly fewer. (Total
+  * bounding-box AREA is the wrong metric — any contiguous-range
+  * layout tiles the plane, so areas come out ~equal; the first cut of
+  * this spec measured exactly that.)
+  */
+class LayoutOpsSpec extends SparkSpec {
+
+  private val P = 16
+
+  private def boxes(layoutCol: String): Array[(Long, Long, Long, Long)] =
+    LayoutOps.layoutBy(Tables.events(spark, sfDir), layoutCol, P)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("u").as("ulo"), max("u").as("uhi"),
+        min("h").as("hlo"), max("h").as("hhi"))
+      .collect()
+      .map(r => (r.getAs[Long]("ulo"), r.getAs[Long]("uhi"),
+        r.getAs[Long]("hlo"), r.getAs[Long]("hhi")))
+
+  /** Mean partitions whose stats-box intersects `col = value`, over
+    * every distinct value of each dimension, averaged across the two
+    * single-dimension workloads.
+    */
+  private def meanTouched(layoutCol: String,
+      us: Seq[Long], hs: Seq[Long]): Double = {
+    val bs = boxes(layoutCol)
+    val tu = us.map(x => bs.count { case (ulo, uhi, _, _) => ulo <= x && x <= uhi }).sum
+    val th = hs.map(x => bs.count { case (_, _, hlo, hhi) => hlo <= x && x <= hhi }).sum
+    tu.toDouble / us.size / 2 + th.toDouble / hs.size / 2
+  }
+
+  test("z-order layout reads fewer partitions than either single-column layout on a mixed single-dim predicate workload") {
+    val base = LayoutOps.zKeyed(Tables.events(spark, sfDir))
+    val us = base.select("u").distinct().collect().map(_.getAs[Long]("u")).toSeq
+    val hs = base.select("h").distinct().collect().map(_.getAs[Long]("h")).toSeq
+    val z = meanTouched("z", us, hs)
+    val u = meanTouched("u", us, hs)
+    val h = meanTouched("h", us, hs)
+    assert(z < u, s"z layout ($z) not better than user-only layout ($u)")
+    assert(z < h, s"z layout ($z) not better than hour-only layout ($h)")
+  }
+
+  test("the Morton key is a bijective interleave of the normalized dimensions") {
+    // decode the key back to (a, b) and compare against the keyed
+    // frame's own columns — a bit dropped or doubled anywhere breaks it
+    def deinterleave(odd: Int): String =
+      (0 until LayoutOps.ZBits).map(j =>
+        s"shiftleft(shiftright(z, ${2 * j + odd}) & 1, $j)").mkString("(", " + ", ")")
+    val bad = LayoutOps.zKeyed(Tables.events(spark, sfDir))
+      .withColumn("da", expr(deinterleave(0)))
+      .withColumn("db", expr(deinterleave(1)))
+      .filter(col("da") =!= col("a") || col("db") =!= col("b"))
+      .count()
+    assert(bad == 0)
+  }
+}
