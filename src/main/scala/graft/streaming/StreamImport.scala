@@ -1413,6 +1413,41 @@ object StreamImport {
       .orderBy("doc_id")
   }
 
+  /** Streaming incremental WINNOWED passage dedup — the production
+    * shape of [[graft.operators.TextOps.dedupWinnowInc]], exactly as
+    * stream_substring_inc is to dedup_substring_inc but probing the
+    * winnowed fingerprint index (~40% the rows of the all-windows
+    * index, same ≥ K+W−1-token pairwise bar). Arrivals STREAM in;
+    * winnow selection is pure row-local arithmetic so it runs
+    * unchanged on the streaming frame; the corpus's selected
+    * fingerprints are a STATIC materialized index probed by a
+    * stream-static left join; per-doc counts fold as update-mode
+    * state (one row per DELTA doc — ingest-bounded, corpus size never
+    * enters state). Answers the batch dedup_winnow_inc's SAME oracle.
+    */
+  def runWinnowIncToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val corpusIdx = graft.Scratch.cp(
+      graft.operators.TextOps.winnowFps(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7))
+        .select("fp").distinct().withColumn("hit", lit(1L)))
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val agg = graft.operators.TextOps.winnowFps(
+        stream.filter(col("doc_id") % 10 === 7))
+      .join(corpusIdx, Seq("fp"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_fps"),
+        coalesce(sum("hit"), lit(0L)).cast("long").as("n_dup_fps"),
+        coalesce(max("hit"), lit(0L)).cast("long").as("is_dup"))
+      .withColumn("dkey", col("doc_id").cast("string"))
+      .withColumn("tenant", concat(lit("t"), col("doc_id") % 10))
+    runStreamToSink(spark, s"stream_winnow_inc@$dir", agg, "dkey")
+      .select("doc_id", "n_fps", "n_dup_fps", "is_dup")
+      .orderBy("doc_id")
+  }
+
   /** Streaming KMV (bottom-k) distinct sketch in CONSTANT state — the
     * theta-sketch companion to [[hllStream]]: per group the state is
     * exactly the k smallest distinct hashes (≤ k longs, forever), so
@@ -2035,6 +2070,7 @@ object StreamImport {
     "stream_bloom" -> (runBloomToCompletion _),
     "stream_quantile" -> (runQuantileToCompletion _),
     "stream_substring_inc" -> (runSubstringIncToCompletion _),
+    "stream_winnow_inc" -> (runWinnowIncToCompletion _),
     "stream_kmv" -> (runKmvToCompletion _),
     "stream_ann" -> (runAnnToCompletion _),
     "stream_topn" -> (runTopnToCompletion _),
@@ -2083,6 +2119,7 @@ object StreamImport {
     "stream_quantile" -> graft.operators.Analytics.qPercentilesSql,
     // the streaming delta answers the batch incremental detector's oracle
     "stream_substring_inc" -> graft.operators.TextOps.dedupSubstringIncSql,
+    "stream_winnow_inc" -> graft.operators.TextOps.dedupWinnowIncSql,
     "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,
     // streamed probes against the static bucket index answer the LSH
     // oracle restricted to (probe, corpus)

@@ -42,6 +42,14 @@ class WinnowSpec extends SparkSpec {
     assert(guarded == fallback)
   }
 
+  test("stream_winnow_inc matches the batch incremental row-for-row") {
+    val streamed = streaming.StreamImport.runWinnowIncToCompletion(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = TextOps.dedupWinnowInc(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("density: the winnowed index holds well under the all-windows index, and every fp is a real k-gram hash") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sfDir)
