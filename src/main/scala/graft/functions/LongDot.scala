@@ -118,6 +118,22 @@ object GraftFunctions {
     MinHashK(children.head, a, b, MinhashP)
   }
 
+  /** Builder for `graft_winnow(arr, w)` — w must be an integer
+    * literal (window width is plan-time geometry, like minhash k).
+    */
+  private[functions] def winnowBuilder(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(children.length == 2, "graft_winnow(arr, w) takes exactly 2 arguments")
+    val w = children(1) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_winnow(arr, w): w must be an integer literal, got $other")
+    }
+    require(w >= 1, s"graft_winnow: w=$w must be >= 1")
+    WinnowMins(children.head, w)
+  }
+
   /** THE canonical function table — one list drives BOTH registration
     * paths (the programmatic [[register]] and the
     * `spark.sql.extensions` hook in [[GraftExtensions]]), so the two
@@ -132,7 +148,8 @@ object GraftFunctions {
     ("graft_minhash", classOf[MinHashK], minhashBuilder _),
     ("graft_hash60_all", classOf[Hash60All], c => Hash60All(c.head)),
     ("graft_xorfold", classOf[XorFold], c => XorFold(c.head)),
-    ("graft_maxrun", classOf[MaxRun], c => MaxRun(c.head)))
+    ("graft_maxrun", classOf[MaxRun], c => MaxRun(c.head)),
+    ("graft_winnow", classOf[WinnowMins], winnowBuilder _))
 
   /** Idempotent for OUR functions: a name already registered with
     * graft's expression class (an earlier register() call, or the

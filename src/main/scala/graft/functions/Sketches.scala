@@ -288,3 +288,60 @@ case class XorFold(child: Expression) extends HashArrayExpression {
 
   override def prettyName: String = "graft_xorfold"
 }
+
+/** Winnowing selection over an array<bigint> of k-gram hashes:
+  * per sliding window of `w` consecutive hashes keep the window
+  * MINIMUM, then dedupe preserving first occurrence — numerically
+  * identical to
+  * `array_distinct(transform(sequence(0, greatest(size(hs)-w, 0)),
+  * i -> array_min(slice(hs, i+1, w))))` (spec-pinned), but O(n) via a
+  * monotonic deque instead of O(n·w) with a per-window slice
+  * allocation inside an interpreted lambda — the text_winnow /
+  * dedup_winnow hot loop. A shorter-than-w array yields the min of
+  * the whole array (the partial-window rule shared with the oracle);
+  * an empty array yields an empty selection.
+  */
+case class WinnowMins(child: Expression, w: Int) extends HashArrayExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowMins.select(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr => s"graft.functions.WinnowMins.select($arr, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winnow"
+}
+
+object WinnowMins {
+  def select(arr: ArrayData, w: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val win = math.min(w, n)
+    // monotonic deque of indices: values increase head -> tail, so the
+    // head is always the current window's minimum
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) {
+        val mv = java.lang.Long.valueOf(arr.getLong(deque(head)))
+        if (seen.add(mv)) out.add(mv)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -663,11 +663,19 @@ object TextOps {
   private[graft] val WinnowW = 4
 
   /** Winnowing fingerprint selection over a bound hash-array column:
-    * min per sliding [[WinnowW]]-window, deduped. `hs` MUST be a
-    * column name, not a sub-expression (the [[shinglesOfExpr]]
-    * per-element re-evaluation trap).
+    * min per sliding [[WinnowW]]-window, deduped — the native codegen
+    * [[graft.functions.WinnowMins]] (O(n) monotonic deque; the
+    * declarative `array_distinct(transform(..., array_min(slice(...))))`
+    * form it replaces is O(n·w) with a per-window slice allocation
+    * inside an interpreted lambda, and is spec-pinned identical).
     */
   private def winnowSelectExpr(hs: String): String =
+    s"graft_winnow($hs, $WinnowW)"
+
+  /** The declarative formulation — kept as the spec's cross-check
+    * against the native expression (both must select identical sets).
+    */
+  private[graft] def winnowSelectDeclarative(hs: String): String =
     s"array_distinct(transform(sequence(0, greatest(size($hs) - $WinnowW, 0)), " +
       s"i -> array_min(slice($hs, i + 1, $WinnowW))))"
 

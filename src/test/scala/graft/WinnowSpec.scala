@@ -50,6 +50,19 @@ class WinnowSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("graft_winnow (native O(n) deque) selects exactly the declarative formulation's set") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", expr(
+        s"graft_hash60_all(${TextOps.shinglesOfExpr(TextOps.WinnowK, "toks")})"))
+    val diff = base.select(col("doc_id"),
+        expr(s"sort_array(graft_winnow(hs, ${TextOps.WinnowW}))").as("a"),
+        expr(s"sort_array(${TextOps.winnowSelectDeclarative("hs")})").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("density: the winnowed index holds well under the all-windows index, and every fp is a real k-gram hash") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sfDir)
