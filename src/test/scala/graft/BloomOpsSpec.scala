@@ -76,6 +76,13 @@ class BloomOpsSpec extends SparkSpec {
     assert(withBloom == plain)
   }
 
+  test("opt_bloom_join: an EMPTY dimension prunes every fact row (no crash, no false positives)") {
+    val emptyDim = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "NO_SUCH_SEGMENT").select("c_custkey")
+    assert(BloomOps.prunedOrders(spark, sfDir, emptyDim).count() == 0,
+      "an all-zero bloom must reject every key")
+  }
+
   test("the broadcast bloom frame is ONE row of at most BloomWords entries") {
     val cust = Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
