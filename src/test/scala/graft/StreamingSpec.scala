@@ -962,6 +962,87 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_bloom: bitmap maintained across adversarial micro-batches equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    // adversarial order: word-wise OR must be arrival-insensitive AND
+    // idempotent (replayed rows change nothing)
+    val shuffled = new scala.util.Random(19).shuffle(recs.toVector)
+    val stream = MemoryStream[StreamImport.Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_bloom_").toString + "/t"
+    val q = StreamImport.bloomStream(stream.toDF())
+      .withColumn("bkey", concat_ws("_", col("event_type"), col("word_idx")))
+      .withColumn("tenant", col("event_type"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_bloomchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "bkey")
+      }
+      .start()
+    shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    // CONSTANT state: bounded by groups × bitmap words, never by
+    // input or key cardinality
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(q.lastProgress.stateOperators(0).numRowsTotal <=
+      types * graft.operators.BloomOps.BloomWords,
+      "bloom state must stay within the fixed bitmap geometry")
+    q.stop()
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("event_type", "word_idx", "bits")
+      .orderBy("event_type", "word_idx").collect()
+    val batch = graft.operators.BloomOps.sketchBloom(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
+  test("stream_quantile: bin table maintained across adversarial micro-batches derives the batch percentiles") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val recs = StreamImport.toRecs(Tables.events(spark, sfDir)).collect()
+    val shuffled = new scala.util.Random(23).shuffle(recs.toVector)
+    val stream = MemoryStream[StreamImport.Rec]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_quant_").toString + "/t"
+    val q = graft.operators.ApproxOps.quantileHist(stream.toDF())
+      .withColumn("qkey", concat_ws("_", col("event_type"), col("v").cast("string")))
+      .withColumn("tenant", col("event_type"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_quantchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "qkey")
+      }
+      .start()
+    shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    // state bounded by the VALUE DOMAIN (distinct (group, e2 bin)),
+    // not the stream length. The progress metric reports exactly 2×
+    // the live keys for this update-mode aggregation (observed
+    // 2 × 991 bins — the aggregation's restore/save store pair), so
+    // the domain bound is metric-scaled by 2.
+    val bins = graft.operators.ApproxOps.quantileHist(
+      Tables.events(spark, sfDir)).count()
+    assert(q.lastProgress.stateOperators(0).numRowsTotal <= 2 * bins,
+      "quantile state must stay within the bin domain")
+    q.stop()
+    val streamed = graft.operators.ApproxOps.quantileFromHist(
+      TenantUpsertSink.readCurrent(spark, sinkDir).get
+        .select("event_type", "v", "cnt")).collect()
+    val batch = graft.operators.ApproxOps.sketchQuantile(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_substring_inc: the streamed delta answers the batch incremental detector row-for-row") {
     // the production shape (arrivals stream in, corpus is a static
     // precomputed index) must reproduce the batch plan exactly —
