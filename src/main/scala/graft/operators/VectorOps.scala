@@ -872,6 +872,43 @@ object VectorOps {
        |  CAST(FLOOR(CAST(SUM(cos_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_cos_e6
        |FROM j GROUP BY label ORDER BY label""".stripMargin
 
+  /** Daily LSH-index maintenance — APPEND an accepted delta's bucket
+    * keys into the existing index without recomputing the corpus:
+    * closes the loop for [[graft.streaming.StreamImport]]'s stream_ann
+    * (which searches yesterday's static index) exactly as
+    * `TextOps.appendWindowIndex` closes the substring index's. Bucket
+    * keys are a pure per-row function of the vector (no corpus-wide
+    * state — the md5-derived planes are constants), so the append is
+    * a bare UNION: no dedup pass, no shuffle, linear in the delta,
+    * and merge ≡ recompute (append(index(corpus), delta) row-identical
+    * to index(corpus ∪ delta)) is spec-pinned — the bar
+    * imp_entity_incremental set.
+    */
+  def appendBucketIndex(index: DataFrame, newVecs: DataFrame): DataFrame =
+    index.unionByName(bucketKeysPlan(quantizePlan(newVecs)))
+
+  /** Gate entry: the post-append index (corpus = vec_id % 10 ≠ 7,
+    * delta = the % 10 = 7 arrivals — stream_ann's split) — answered
+    * by the oracle RECOMPUTING the whole index from scratch, so the
+    * gate itself proves merge ≡ recompute.
+    */
+  def annIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, dir)
+    val corpusIdx = bucketedOf(
+      quantizePlan(all.filter(col("vec_id") % 10 =!= 7)), Bands, BitsPerBand)
+    appendBucketIndex(corpusIdx, all.filter(col("vec_id") % 10 === 7))
+      .select(col("vec_id"),
+        col("band_idx").cast(LongType).as("band_idx"), col("bucket"))
+      .orderBy("vec_id", "band_idx")
+  }
+
+  def annIndexAppendSql: String =
+    s"""WITH $quantizedDuckCte,
+       |$bucketedDuckCte
+       |SELECT vec_id, CAST(band_idx AS BIGINT) AS band_idx, bucket
+       |FROM buckets ORDER BY vec_id, band_idx""".stripMargin
+
   /** Metadata-filtered exact search ("search within my own
     * category"): each bounded probe's neighbor set is restricted to
     * corpus rows sharing its `label`. The filter is NOT a post-filter
@@ -924,6 +961,7 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_filtered" -> (annFiltered _),
+    "ann_index_append" -> (annIndexAppend _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
@@ -933,6 +971,7 @@ object VectorOps {
   def oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_filtered" -> annFilteredSql,
+    "ann_index_append" -> annIndexAppendSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,

@@ -907,4 +907,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d.filter(col("score_e6") < 400000).count() == 0)
     assert(d.filter(col("a_id") >= col("b_id")).count() == 0)
   }
+
+  test("ann_index_append: merge equals recompute at FULL index shape (vectors and norms included)") {
+    // the gate proves the 3-column key projection; this pins the whole
+    // searchable index row (q, n2 included) so an appended index is
+    // interchangeable with a from-scratch build for stream_ann
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("vec_id"), col("band_idx").cast("long"), col("bucket"),
+          col("n2"), expr("cast(q as array<bigint>)").cast("string"))
+        .collect().map(_.toSeq.mkString("|")).toSet
+    val appended = VectorOps.appendBucketIndex(
+      VectorOps.bucketedOf(VectorOps.quantizePlan(
+        all.filter(col("vec_id") % 10 =!= 7)), 4, 4),
+      all.filter(col("vec_id") % 10 === 7))
+    val scratch = VectorOps.bucketedOf(VectorOps.quantizePlan(all), 4, 4)
+    assert(rows(appended) == rows(scratch))
+    assert(rows(appended).nonEmpty)
+  }
 }
