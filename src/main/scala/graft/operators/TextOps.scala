@@ -1037,7 +1037,7 @@ object TextOps {
     * is the candidate set with its band-agreement count, the exact
     * shape a downstream verify stage consumes.
     */
-  private val MinhashK = 8
+  private[graft] val MinhashK = 8
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashCandidates(spark, dir).orderBy("a_id", "b_id")
@@ -1125,15 +1125,25 @@ object TextOps {
     */
   private def bandedFrame(spark: SparkSession, dir: String,
       k: Int, bandRows: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    bandedOf(Tables.documents(spark, dir), k, bandRows)
+  }
+
+  /** Frame-parametric banded-signature derivation — every step is
+    * row-local, so it runs unchanged on a STREAMING documents frame
+    * (the stream_minhash_inc delta side); the batch path wraps it
+    * with the corpus loader. Caller registers GraftFunctions.
+    */
+  private[graft] def bandedOf(docs: DataFrame,
+      k: Int, bandRows: Int): DataFrame = {
     require(k % bandRows == 0,
       s"graft-minhash: bandRows=$bandRows must divide the signature length $k")
     val nBands = k / bandRows
-    GraftFunctions.register(spark)
     // Shingles are md5-hashed ONCE; the k minhash variants are the
     // affine pseudo-permutations (A_i*h + B_i) mod 2^31-1 computed by
     // the native graft_minhash expression (exact in both engines —
     // the oracle renders the same maps in SQL).
-    val withSigs = Tables.documents(spark, dir)
+    val withSigs = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("mhs", expr(
         s"graft_minhash(${hxAll(s"array_distinct(${shinglesOfExpr(5, "toks")})")}, $k)"))

@@ -1448,6 +1448,41 @@ object StreamImport {
       .orderBy("doc_id")
   }
 
+  /** Streaming incremental MINHASH near-dup — the production shape of
+    * [[graft.operators.TextOps.dedupIncremental]], completing the
+    * streaming arm for the third incremental detector family
+    * (substring ✓, winnow ✓, minhash): the day's arrivals stream in,
+    * banded minhash signatures derive row-locally ON the stream
+    * (native graft_minhash codegen), and candidates come from a
+    * stateless stream-static equi-join against the corpus's
+    * materialized banded-signature index — the corpus never shuffles
+    * raw rows. The (new, old) pair's band count folds as update-mode
+    * state: one row per emitted candidate pair (candidate-bounded,
+    * corpus size never enters state). Answers the batch
+    * dedup_incremental's SAME oracle.
+    */
+  def runMinhashIncToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val k = graft.operators.TextOps.MinhashK
+    val corpusIdx = graft.Scratch.cp(
+      graft.operators.TextOps.bandedOf(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 7), k, 2)
+        .withColumnRenamed("doc_id", "old_id"))
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val agg = graft.operators.TextOps.bandedOf(
+        stream.filter(col("doc_id") % 10 === 7), k, 2)
+      .join(corpusIdx, Seq("band_idx", "band_key"))
+      .groupBy(col("doc_id").as("new_id"), col("old_id"))
+      .agg(count(lit(1)).cast("long").as("n_bands"))
+      .withColumn("pkey", concat_ws("_", col("new_id"), col("old_id")))
+      .withColumn("tenant", concat(lit("t"), col("old_id") % 10))
+    runStreamToSink(spark, s"stream_minhash_inc@$dir", agg, "pkey")
+      .select("new_id", "old_id", "n_bands")
+      .orderBy("new_id", "old_id")
+  }
+
   /** Streaming KMV (bottom-k) distinct sketch in CONSTANT state — the
     * theta-sketch companion to [[hllStream]]: per group the state is
     * exactly the k smallest distinct hashes (≤ k longs, forever), so
@@ -2071,6 +2106,7 @@ object StreamImport {
     "stream_quantile" -> (runQuantileToCompletion _),
     "stream_substring_inc" -> (runSubstringIncToCompletion _),
     "stream_winnow_inc" -> (runWinnowIncToCompletion _),
+    "stream_minhash_inc" -> (runMinhashIncToCompletion _),
     "stream_kmv" -> (runKmvToCompletion _),
     "stream_ann" -> (runAnnToCompletion _),
     "stream_topn" -> (runTopnToCompletion _),
@@ -2120,6 +2156,7 @@ object StreamImport {
     // the streaming delta answers the batch incremental detector's oracle
     "stream_substring_inc" -> graft.operators.TextOps.dedupSubstringIncSql,
     "stream_winnow_inc" -> graft.operators.TextOps.dedupWinnowIncSql,
+    "stream_minhash_inc" -> graft.operators.TextOps.dedupIncrementalSql,
     "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,
     // streamed probes against the static bucket index answer the LSH
     // oracle restricted to (probe, corpus)

@@ -1043,6 +1043,15 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_minhash_inc: the streamed delta answers the batch incremental detector row-for-row") {
+    val streamed = StreamImport.runMinhashIncToCompletion(spark, sfDir).collect()
+    val batch = graft.operators.TextOps.dedupIncremental(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_substring_inc: the streamed delta answers the batch incremental detector row-for-row") {
     // the production shape (arrivals stream in, corpus is a static
     // precomputed index) must reproduce the batch plan exactly —
