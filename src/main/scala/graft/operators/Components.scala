@@ -166,11 +166,96 @@ object Components {
        |  AND 10000 * q.n_stop // q.n_tokens BETWEEN 100 AND 3000
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Cluster-representative selection by QUALITY, not by id: within
+    * each duplicate cluster keep the member that ranks highest on
+    * (quality-gate pass, token length, then min doc_id as the
+    * deterministic tie-break) — the "keep the best copy" rule real
+    * corpus-prep pipelines apply (the min-id rule of
+    * [[dedupComponents]] deletes a clean original whenever a
+    * truncated mirror happens to carry a smaller id). The ordering
+    * triple is strict-total (doc_id is unique), so the pick is
+    * engine-portable.
+    *
+    * Scale posture: the quality features are row-local; the pick is
+    * ONE `max_by(doc_id, struct(...))` groupBy on the component key —
+    * commutative, so map-side partials shrink it to one candidate
+    * row per (partition, component) before the shuffle; the
+    * decoration join back to members is AQE-decided (the rep table
+    * is one row per CLUSTER, far smaller than the corpus — broadcast
+    * at any skewless scale). No window over the corpus, no sort.
+    */
+  def dedupClusterRep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val pairs = TextOps.minhashCandidates(spark, dir)
+    val labels = connectedComponents(docs, pairs)
+    graft.Scratch.free(pairs)
+    val quality = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("n_stop",
+        size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens").between(30, 400) &&
+            expr("10000 * n_stop DIV n_tokens").between(100, 3000), 1L)
+          .otherwise(0L).as("q_rank"))
+    selectReps(labels.join(quality, "doc_id")).orderBy("doc_id")
+  }
+
+  /** The quality-argmax pick over labeled members — split out so the
+    * ordering rule is testable on constructed clusters (in particular
+    * the case the min-id rule gets wrong: the lowest id is the WORST
+    * copy). Input: (doc_id, component, q_rank, n_tokens).
+    */
+  private[graft] def selectReps(member: DataFrame): DataFrame = {
+    val reps = member.groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("q_rank"), col("n_tokens"), (-col("doc_id")).as("neg_id")))
+        .as("rep_id"))
+    member.join(reps, "component")
+      .select(col("doc_id"), col("component"), col("q_rank"), col("n_tokens"),
+        col("rep_id"), (col("doc_id") === col("rep_id")).as("keep"))
+  }
+
+  def dedupClusterRepSql: String =
+    s"""WITH RECURSIVE ${TextOps.minhashCandidatesSqlCtes},
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM cand
+       |  UNION
+       |  SELECT b_id, a_id FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |comp AS (
+       |  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |m AS (
+       |  SELECT c.doc_id, c.component, q.n_tokens,
+       |    CAST(CASE WHEN q.n_tokens BETWEEN 30 AND 400
+       |               AND 10000 * q.n_stop // q.n_tokens BETWEEN 100 AND 3000
+       |         THEN 1 ELSE 0 END AS BIGINT) AS q_rank
+       |  FROM comp c JOIN q ON q.doc_id = c.doc_id),
+       |r AS (
+       |  SELECT component, doc_id AS rep_id,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY q_rank DESC, n_tokens DESC, doc_id ASC) AS rn
+       |  FROM m)
+       |SELECT m.doc_id, m.component, m.q_rank, m.n_tokens,
+       |  r.rep_id, m.doc_id = r.rep_id AS keep
+       |FROM m JOIN r ON m.component = r.component AND r.rn = 1
+       |ORDER BY m.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
+    "dedup_cluster_rep" -> (dedupClusterRep _),
     "pipe_keeplist" -> (pipeKeeplist _))
 
   def oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
+    "dedup_cluster_rep" -> dedupClusterRepSql,
     "pipe_keeplist" -> pipeKeeplistSql)
 }

@@ -113,9 +113,82 @@ object LayoutOps {
       .repartitionByRange(partitions, col(layoutCol))
       .sortWithinPartitions(layoutCol)
 
+  /** One-pass-per-column EXACT table statistics — the ANALYZE-style
+    * stats pass a cost-based layer feeds on (row count, null count,
+    * NDV, min/max per column). The load-bearing plan decision is how
+    * NDV is computed: asking for several `COUNT(DISTINCT c)` in ONE
+    * aggregate makes Catalyst plan an Expand that replays every input
+    * row once PER DISTINCT AGGREGATE (k columns → k× the scan's rows
+    * through the first shuffle — a scale-killer on a fact table).
+    * Instead each column gets its own branch: `groupBy(c).count()`
+    * collapses to DISTINCT VALUES at the map side (partial agg), so
+    * the shuffle carries only the value domain, and the second
+    * aggregate over that tiny frame reads off ndv/min/max/null-count
+    * together. Each branch's parquet scan is column-pruned to exactly
+    * its one column (spec-pinned), so the union of k branches reads
+    * each column once — the same total I/O as one k-column scan, with
+    * no Expand anywhere. Approximate one-scan NDV for when even the
+    * domain shuffle is too much lives in sketch_hll; this operator is
+    * the exact arm.
+    */
+  def optTableStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // (name, value-expression rendered as bigint?, is-numeric)
+    def branch(name: String, asNum: Boolean): DataFrame = {
+      val v = if (asNum) col(name).cast(LongType) else col(name)
+      val g = li.select(v.as("v")).groupBy("v")
+        .agg(count(lit(1)).cast(LongType).as("cnt"))
+      val nulls = when(col("v").isNotNull, col("cnt"))
+      g.agg(
+        coalesce(sum(col("cnt")), lit(0L)).cast(LongType).as("n_rows"),
+        coalesce(sum(nulls), lit(0L)).cast(LongType).as("n_nonnull"),
+        count(when(col("v").isNotNull, lit(1))).cast(LongType).as("ndv"),
+        (if (asNum) min(col("v")).cast(LongType)
+         else lit(null).cast(LongType)).as("min_num"),
+        (if (asNum) max(col("v")).cast(LongType)
+         else lit(null).cast(LongType)).as("max_num"),
+        (if (asNum) lit(null).cast("string")
+         else min(col("v")).cast("string")).as("min_str"),
+        (if (asNum) lit(null).cast("string")
+         else max(col("v")).cast("string")).as("max_str"))
+        .select(lit(name).as("column_name"), col("n_rows"), col("n_nonnull"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"), col("ndv"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    }
+    branch("l_orderkey", asNum = true)
+      .unionAll(branch("l_partkey", asNum = true))
+      .unionAll(branch("l_quantity", asNum = true))
+      .unionAll(branch("l_returnflag", asNum = false))
+      .orderBy("column_name")
+  }
+
+  def optTableStatsSql: String = {
+    def num(name: String) =
+      s"""SELECT '$name' AS column_name,
+         |  COUNT(*) AS n_rows, COUNT($name) AS n_nonnull,
+         |  COUNT(*) - COUNT($name) AS n_null,
+         |  COUNT(DISTINCT CAST($name AS BIGINT)) AS ndv,
+         |  CAST(MIN($name) AS BIGINT) AS min_num,
+         |  CAST(MAX($name) AS BIGINT) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    def str(name: String) =
+      s"""SELECT '$name' AS column_name,
+         |  COUNT(*) AS n_rows, COUNT($name) AS n_nonnull,
+         |  COUNT(*) - COUNT($name) AS n_null,
+         |  COUNT(DISTINCT $name) AS ndv,
+         |  CAST(NULL AS BIGINT) AS min_num, CAST(NULL AS BIGINT) AS max_num,
+         |  MIN($name) AS min_str, MAX($name) AS max_str
+         |FROM lineitem""".stripMargin
+    Seq(num("l_orderkey"), num("l_partkey"), num("l_quantity"),
+      str("l_returnflag")).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "opt_zorder" -> (optZorder _))
+    "opt_zorder" -> (optZorder _),
+    "opt_table_stats" -> (optTableStats _))
 
   def oracles: Map[String, String] = Map(
-    "opt_zorder" -> optZorderSql)
+    "opt_zorder" -> optZorderSql,
+    "opt_table_stats" -> optTableStatsSql)
 }

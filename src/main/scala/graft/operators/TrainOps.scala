@@ -88,13 +88,22 @@ object TrainOps {
   val PackBudget = 512L
   val PackShards = 8L
 
+  /** The packer's row-local input derivation (token count + shard
+    * assignment) — ONE definition shared by the batch window plan
+    * below and the streaming packer's stateful fold
+    * (graft.streaming.StreamImport.packStream), so the two can never
+    * disagree on shard geometry. Caller must have GraftFunctions
+    * registered on the frame's session.
+    */
+  def packInput(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("tok"))
+      .withColumn("shard", expr(s"${saltedHash("pack|")} % $PackShards"))
+
   def pipePack(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val w = Window.partitionBy("shard").orderBy("doc_id")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("tok"))
-      .withColumn("shard", expr(s"${saltedHash("pack|")} % $PackShards"))
+    packInput(Tables.documents(spark, dir))
       .withColumn("cum", sum(col("tok")).over(w))
       .select(col("doc_id"), col("shard"), col("tok"),
         (col("cum") - col("tok")).as("tok_before"),

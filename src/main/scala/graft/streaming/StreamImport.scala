@@ -1448,6 +1448,74 @@ object StreamImport {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ Streaming packer
+
+  /** Packer input row (shard geometry from TrainOps.packInput). */
+  case class PackIn(doc_id: Long, tok: Long, shard: Long)
+  /** Per-shard carry: tokens packed so far — ONE long per shard,
+    * forever (state constant at PackShards rows regardless of corpus
+    * size).
+    */
+  case class PackCum(cum: Long)
+  /** One packed doc: its bin and offset, same columns as pipe_pack. */
+  case class PackOut(doc_id: Long, shard: Long, tok: Long,
+    tok_before: Long, bin: Long)
+
+  /** Streaming sequence packing — [[graft.operators.TrainOps.pipePack]]
+    * as the arrival-time fold it documents ("the streaming packer's
+    * split rule"): docs stream in, the row-local shard/token
+    * derivation is the SHARED [[graft.operators.TrainOps.packInput]],
+    * and each shard's running token count is the only state (a single
+    * long per shard — constant forever; the batch plan's
+    * window-cumsum becomes a stateful carry). Each doc is emitted
+    * exactly once with its (tok_before, bin) at the moment it packs.
+    *
+    * Ordering contract: packing is inherently order-DEPENDENT (it is
+    * a prefix sum), so parity with the batch plan's doc_id-ordered
+    * window requires arrivals in doc_id order per shard — the
+    * contract a daily ingest of id-sorted shards meets; an
+    * out-of-order feed needs the OutOfOrder-style buffer upstream.
+    * Within a micro-batch the fold sorts its group (batch-bounded);
+    * across batches the carry state preserves order by construction.
+    * The chunked spec pins cross-batch carry == batch window exactly.
+    */
+  def packStream(docs: DataFrame): Dataset[PackOut] = {
+    val s = docs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    graft.operators.TrainOps.packInput(docs)
+      .select("doc_id", "tok", "shard").as[PackIn]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[PackIn], state: GroupState[PackCum]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toArray.sortBy(_.doc_id).map { r =>
+            val before = cum
+            cum += r.tok
+            PackOut(r.doc_id, shard, r.tok, before,
+              before / graft.operators.TrainOps.PackBudget)
+          }
+          state.update(PackCum(cum))
+          out.iterator
+      }
+  }
+
+  /** Gate: stream the documents file through the packer; answers the
+    * batch pipe_pack's SAME oracle (bin-for-bin).
+    */
+  def runPackToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val out = packStream(stream).toDF()
+      .withColumn("dkey", col("doc_id").cast("string"))
+      .withColumn("tenant", concat(lit("t"), col("shard")))
+    runStreamToSink(spark, s"stream_pack@$dir", out, "dkey", mode = "append")
+      .select("doc_id", "shard", "tok", "tok_before", "bin")
+      .orderBy("doc_id")
+  }
+
   /** Streaming incremental MINHASH near-dup — the production shape of
     * [[graft.operators.TextOps.dedupIncremental]], completing the
     * streaming arm for the third incremental detector family
@@ -2108,6 +2176,7 @@ object StreamImport {
     "stream_winnow_inc" -> (runWinnowIncToCompletion _),
     "stream_minhash_inc" -> (runMinhashIncToCompletion _),
     "stream_kmv" -> (runKmvToCompletion _),
+    "stream_pack" -> (runPackToCompletion _),
     "stream_ann" -> (runAnnToCompletion _),
     "stream_topn" -> (runTopnToCompletion _),
     "stream_sessionize" -> (runSessionizeToCompletion _))
@@ -2158,6 +2227,8 @@ object StreamImport {
     "stream_winnow_inc" -> graft.operators.TextOps.dedupWinnowIncSql,
     "stream_minhash_inc" -> graft.operators.TextOps.dedupIncrementalSql,
     "stream_kmv" -> graft.operators.ApproxOps.sketchKmvSql,
+    // the streaming packer answers the batch pipe_pack's oracle
+    "stream_pack" -> graft.operators.TrainOps.pipePackSql,
     // streamed probes against the static bucket index answer the LSH
     // oracle restricted to (probe, corpus)
     "stream_ann" -> graft.operators.VectorOps.streamAnnSql,

@@ -47,4 +47,41 @@ class ComponentsPropertySpec extends SparkSpec {
       assert(got == unionFind(n, edges), s"trial $trial: n=$n edges=$edges")
     }
   }
+
+  test("selectReps keeps the BEST copy, not the lowest id (the min-id rule's failure case)") {
+    import spark.implicits._
+    // cluster 0: lowest id is a LOW-quality truncation, the good copy
+    // has a higher id — the quality argmax must pick 2, where the
+    // min-id rule would keep 0. cluster 10: quality tie → longer doc
+    // wins; cluster 20: full tie → min id as the deterministic break.
+    val member = Seq(
+      (0L, 0L, 0L, 12L), (1L, 0L, 0L, 9L), (2L, 0L, 1L, 80L),
+      (10L, 10L, 1L, 50L), (11L, 10L, 1L, 70L),
+      (20L, 20L, 1L, 60L), (21L, 20L, 1L, 60L),
+      (30L, 30L, 0L, 5L)) // singleton keeps itself even below the gate
+      .toDF("doc_id", "component", "q_rank", "n_tokens")
+    val got = Components.selectReps(member).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(0L) == (2L, false) && got(1L) == (2L, false) && got(2L) == (2L, true))
+    assert(got(10L) == (11L, false) && got(11L) == (11L, true))
+    assert(got(20L) == (20L, true) && got(21L) == (20L, false))
+    assert(got(30L) == (30L, true))
+  }
+
+  test("dedup_cluster_rep: exactly one keeper per cluster, and it dominates the ordering") {
+    val rows = Components.dedupClusterRep(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (c, ms) =>
+      val keepers = ms.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"component $c has ${keepers.length} keepers")
+      val rep = keepers.head
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("q_rank"), r.getAs[Long]("n_tokens"), -r.getAs[Long]("doc_id"))
+      assert(ms.forall(m => Ordering[(Long, Long, Long)].lteq(key(m), key(rep))),
+        s"component $c: keeper ${rep.getAs[Long]("doc_id")} is not the argmax")
+      assert(ms.forall(_.getAs[Long]("rep_id") == rep.getAs[Long]("doc_id")))
+    }
+  }
 }

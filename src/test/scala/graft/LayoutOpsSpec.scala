@@ -63,4 +63,30 @@ class LayoutOpsSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("opt_table_stats: exact values, and the plan has NO Expand and one-column pruned scans") {
+    val df = LayoutOps.optTableStats(spark, sfDir)
+    val got = df.collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    // exact ndv recomputed the naive way (fine at spec scale)
+    def ndv(c: String) = li.select(c).distinct().count()
+    assert(got("l_orderkey").getAs[Long]("n_rows") == n)
+    assert(got("l_orderkey").getAs[Long]("ndv") == ndv("l_orderkey"))
+    assert(got("l_partkey").getAs[Long]("ndv") == ndv("l_partkey"))
+    assert(got("l_quantity").getAs[Long]("min_num") == 1L &&
+      got("l_quantity").getAs[Long]("max_num") == 50L)
+    assert(got("l_returnflag").getAs[String]("min_str") != null &&
+      got("l_returnflag").getAs[Long]("n_null") == 0L)
+    // the plan contract: per-column groupBy branches, NEVER the
+    // multi-count-distinct Expand (which replays the scan k×), and
+    // each branch's parquet scan pruned to exactly its own column
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!plan.contains("Expand"), "stats plan must not use Expand")
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(reads.size == 4, s"expected 4 column-pruned scans, got $reads")
+    assert(reads.forall(s => s.count(_ == ':') == 1),
+      s"every stats scan must read exactly one column: $reads")
+  }
 }

@@ -1067,6 +1067,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_pack: per-shard carry across ordered micro-batches equals the batch packer bin-for-bin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // packing is a prefix sum — order-DEPENDENT by nature, so the
+    // contract is id-ordered arrival per shard; feed the corpus in
+    // five id-ordered chunks and the carry state must reproduce the
+    // batch window's cumsum exactly across every chunk boundary
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_pack_").toString + "/t"
+    val q = StreamImport.packStream(
+        stream.toDF().toDF("doc_id", "text")).toDF()
+      .withColumn("dkey", col("doc_id").cast("string"))
+      .withColumn("tenant", concat(lit("t"), col("shard")))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_packchk_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TenantUpsertSink.upsert(sinkDir, b, "dkey")
+      }
+      .start()
+    docs.grouped(math.max(docs.length / 5, 1)).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    // CONSTANT state: one carry long per shard, forever
+    assert(q.lastProgress.stateOperators(0).numRowsTotal <=
+      graft.operators.TrainOps.PackShards,
+      "pack state must be one carry row per shard")
+    q.stop()
+    val streamed = TenantUpsertSink.readCurrent(spark, sinkDir).get
+      .select("doc_id", "shard", "tok", "tok_before", "bin")
+      .orderBy("doc_id").collect()
+    val batch = graft.operators.TrainOps.pipePack(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.toSeq == b.toSeq, s"streaming=${s.toSeq} batch=${b.toSeq}")
+    }
+  }
+
   test("stream_kmv: bottom-k sketch maintained across adversarial micro-batches equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
