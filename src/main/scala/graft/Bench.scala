@@ -118,14 +118,20 @@ object Bench {
     // audit wants) + the file pointer. The full line still prints
     // second-to-last so the tail window picks up as many of its
     // trailing entries as fit.
+    // route by corpus so the sf1 scale sweep can't clobber the sf0.1
+    // artifact (it did once: both sweeps run back-to-back in the
+    // end-of-round chain and the second write won)
+    val artifact =
+      if (new java.io.File(sfDir).getName == "sf1") "BENCH_sf1.json"
+      else "BENCH_full.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full.json"), fullLine + "\n")
+      java.nio.file.Paths.get(artifact), fullLine + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] WARNING: BENCH_full.json not written: ${e.getMessage}") }
+      System.err.println(s"[bench] WARNING: $artifact not written: ${e.getMessage}") }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(fullLine)
-    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n_queries":${results.length},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir","full_queries_in":"BENCH_full.json"}""")
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","n_queries":${results.length},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir","full_queries_in":"$artifact"}""")
     spark.stop()
   }
 }
