@@ -549,8 +549,79 @@ object ApproxOps {
       sketch.getOrElse((i.toLong, h % CmsWidth), 0L)
     }.min
 
+  /** Trailing window of the sliding-window cardinality sketch, in
+    * HOURS (window = this hour and the two before it).
+    */
+  val HllWindowHours = 3L
+
+  /** Sliding-window distinct counting — "unique users over the last
+    * N hours, per type, at every hour" — the dashboard read that is
+    * IMPOSSIBLE to keep exactly at 100 TB (exact would re-scan N
+    * hours of raw history per tick) and trivial with a mergeable
+    * sketch: keep ONE register table per (type, hour) — the same
+    * shuffle-bounded build as sketch_hll, ≤ types × hours × 256 rows
+    * after map-side partial max — then the trailing-window union is
+    * register-wise MAX over a RANGE frame on the hour axis, computed
+    * entirely ON THE SKETCH TABLE (the window operator never sees a
+    * raw event; gaps in the hour axis are handled by the range frame,
+    * which spans hour VALUES, not rows). This is the mergeability
+    * argument of [[merge]] made into a queryable operator: per-bucket
+    * max over any hour set IS the union sketch of those hours.
+    *
+    * The expansion step is load-bearing: each hourly register row is
+    * EMITTED INTO every window it participates in (explode to the W
+    * window-end hours, then a second register-wise max) — a range
+    * window frame over the register table is the tempting wrong plan,
+    * because it only produces rows at (hour, bucket) pairs the end
+    * hour itself touched, silently DROPPING buckets whose users
+    * appeared earlier in the window (caught by the accuracy spec:
+    * a 4-user window estimated as 1). The explode multiplies the
+    * SKETCH table by W, never the raw events; both groupBys carry
+    * ≤ types × hours × 256 (× W) rows after map-side partial max.
+    * Output: the merged register table per (type, window-end hour) —
+    * window-ends past quiet hours still answer (the dashboard's
+    * "last N h as of tick T" even when nothing happened at T).
+    * Estimates derive via [[estimate]] (driver-side float, spec-bound
+    * against exact trailing-window counts; never oracle-compared).
+    */
+  def sketchHllWindow(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_ms div 3600000").as("hour"),
+        expr("graft_hash60(cast(user_id as string))").as("h"))
+      .select(col("event_type"), col("hour"),
+        expr(s"h % $HllBuckets").as("bucket"),
+        expr(s"CASE WHEN h div $HllBuckets = 0 THEN $RhoMax " +
+          s"ELSE $RhoMax - length(bin(h div $HllBuckets)) END").as("rho"))
+      .groupBy("event_type", "hour", "bucket")
+      .agg(max("rho").cast(LongType).as("max_rho"))
+      .select(col("event_type"), col("bucket"), col("max_rho"),
+        explode(expr(s"sequence(hour, hour + ${HllWindowHours - 1})")).as("hour"))
+      .groupBy("event_type", "hour", "bucket")
+      .agg(max("max_rho").cast(LongType).as("win_rho"))
+      .orderBy("event_type", "hour", "bucket")
+  }
+
+  def sketchHllWindowSql: String = {
+    val h = graft.functions.Portable.hash60Duck("CAST(user_id AS VARCHAR)")
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour, $h AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, hour, h % $HllBuckets AS bucket,
+       |    CAST(MAX(CASE WHEN h // $HllBuckets = 0 THEN $RhoMax
+       |             ELSE $RhoMax - length(bin(h // $HllBuckets)) END) AS BIGINT) AS max_rho
+       |  FROM h GROUP BY 1, 2, 3)
+       |SELECT event_type, hour + o.k AS hour, bucket,
+       |  CAST(MAX(max_rho) AS BIGINT) AS win_rho
+       |FROM r, range(0, $HllWindowHours) o(k)
+       |GROUP BY event_type, hour + o.k, bucket
+       |ORDER BY event_type, hour, bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (sketchHll _),
+    "sketch_hll_window" -> (sketchHllWindow _),
     "sketch_kmv" -> (sketchKmv _),
     "sketch_set_ops" -> (sketchSetOps _),
     "sketch_topk" -> (sketchTopk _),
@@ -560,6 +631,7 @@ object ApproxOps {
 
   def oracles: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
+    "sketch_hll_window" -> sketchHllWindowSql,
     "sketch_kmv" -> sketchKmvSql,
     "sketch_set_ops" -> sketchSetOpsSql,
     "sketch_topk" -> sketchTopkSql,

@@ -958,8 +958,49 @@ object VectorOps {
        |  JOIN qv b ON a.label = b.label AND a.vec_id <> b.vec_id) t
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** Int8 scalar quantization (the SQ8 compression ANN serving
+    * stacks pair with coarse indexes): each dimension affine-maps to
+    * a 0..255 code from its corpus-wide [lo, hi] — 4 bytes/dim float
+    * down to 1 byte/dim, the difference between an index that fits
+    * executor memory and one that doesn't. Two passes, like the
+    * z-order layout's normalization: (1) a per-DIMENSION min/max
+    * aggregate — map-side partials collapse each partition to Dim
+    * rows, the stats frame is Dim rows total and rides a broadcast
+    * (fixed-size by construction); (2) the encode itself, row-local
+    * integer arithmetic on the shared e4-quantized domain
+    * ([[quantExpr]]) — exact, engine-portable, no float division
+    * (the affine map is `(x - lo) * 255 DIV max(hi - lo, 1)`, all
+    * nonneg integer ops, so truncation == floor on both engines).
+    * Output exploded to (vec_id, pos, code) — list-valued gate
+    * columns don't stringify portably. The reconstruction-error
+    * bound (≤ one quantization step per dim) is spec-pinned.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val x = graft.Scratch.cp(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(expr(quantExpr)).as(Seq("pos", "x"))))
+    val stats = x.groupBy("pos")
+      .agg(min("x").as("lo"), max("x").as("hi")) // Dim rows, total
+    val out = x.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        expr("CAST((x - lo) * 255 DIV greatest(hi - lo, 1) AS BIGINT)").as("code"))
+      .orderBy("vec_id", "pos")
+    graft.Scratch.seal(out, x)
+  }
+
+  def embedQuantizeSql: String =
+    s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, p.pos AS pos, q[p.pos + 1] AS x
+       |  FROM e, range(0, $Dim) p(pos)),
+       |s AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM x GROUP BY pos)
+       |SELECT x.vec_id, CAST(x.pos AS BIGINT) AS pos,
+       |  CAST((x.x - s.lo) * 255 // GREATEST(s.hi - s.lo, 1) AS BIGINT) AS code
+       |FROM x JOIN s USING (pos) ORDER BY vec_id, pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
+    "embed_quantize" -> (embedQuantize _),
     "ann_filtered" -> (annFiltered _),
     "ann_index_append" -> (annIndexAppend _),
     "ann_lsh" -> (annLsh _),
@@ -970,6 +1011,7 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
+    "embed_quantize" -> embedQuantizeSql,
     "ann_filtered" -> annFilteredSql,
     "ann_index_append" -> annIndexAppendSql,
     "ann_lsh" -> annLshSql,

@@ -26,6 +26,39 @@ class ApproxOpsSpec extends SparkSpec {
     }
   }
 
+  test("sketch_hll_window: trailing-window estimates track exact trailing distincts") {
+    import org.apache.spark.sql.functions._
+    val win = ApproxOps.sketchHllWindow(spark, sfDir).collect()
+    assert(win.nonEmpty)
+    // fold rows into per-(type, window-end hour) register maps
+    val byWin = win.groupBy(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("hour")))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("win_rho")).toMap
+      }
+    val w = ApproxOps.HllWindowHours
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_ms div 3600000").as("hour"),
+        col("user_id")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hour"), r.getAs[Long]("user_id")))
+    var checked = 0
+    byWin.foreach { case ((et, h), regs) =>
+      val exact = ev.filter(e =>
+        e._1 == et && e._2 >= h - (w - 1) && e._2 <= h).map(_._3).distinct.length
+      if (exact >= 3) {
+        // the 15% bound is asymptotic; tiny windows (the sf0.001
+        // default corpus tops out at ~5 distinct users per window)
+        // sit in the linear-counting regime where one bucket
+        // collision moves the estimate by ~1 — allow that absolutely
+        val est = ApproxOps.estimate(regs)
+        assert(math.abs(est - exact) <= math.max(0.15 * exact, 2.0),
+          s"($et, hour $h): estimate $est vs exact trailing-$w-hour $exact out of tolerance")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "no window large enough to check — corpus too small")
+  }
+
   test("sketch_hll registers MERGE into the union sketch (the incremental-count property)") {
     val sketches = registersByType().values.toSeq
     val merged = ApproxOps.merge(sketches)

@@ -582,6 +582,32 @@ class PipelineOpsSpec extends SparkSpec {
       s"pair enumeration crept into the plan:\n$plan")
   }
 
+  test("embed_quantize: codes span [0,255] and reconstruction stays within one quantization step") {
+    val codes = VectorOps.embedQuantize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos")) -> r.getAs[Long]("code"))
+      .toMap
+    assert(codes.nonEmpty && codes.values.forall(c => c >= 0L && c <= 255L))
+    // per-dim lo/hi and the raw e4 values, recomputed independently
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+        .as(Seq("pos", "x")))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("pos").toLong, r.getAs[Long]("x")))
+    val range = raw.groupBy(_._2).map { case (p, xs) =>
+      p -> (xs.map(_._3).min, xs.map(_._3).max) }
+    // extremes must hit the code endpoints (the affine map is onto)
+    assert(raw.exists { case (v, p, x) => x == range(p)._1 && codes((v, p)) == 0L })
+    assert(raw.exists { case (v, p, x) => x == range(p)._2 && codes((v, p)) == 255L })
+    raw.foreach { case (v, p, x) =>
+      val (lo, hi) = range(p)
+      val step = math.max(hi - lo, 1L) / 255.0
+      val decoded = lo + codes((v, p)) * step
+      assert(math.abs(decoded - x) <= step + 1,
+        s"vec $v dim $p: decoded $decoded vs raw $x exceeds one step ($step)")
+    }
+  }
+
   test("ann_bruteforce: 5 neighbors per vector, self excluded, ranks contiguous") {
     val ann = VectorOps.annBruteforce(spark, sfDir)
     val n = Tables.embeddings(spark, sfDir).count()
