@@ -134,6 +134,24 @@ object GraftFunctions {
     WinnowMins(children.head, w)
   }
 
+  /** Builder for `graft_adc_dot(adc, codes, nCodes)` — nCodes must be
+    * an integer literal (codebook geometry is plan-time, like
+    * graft_winnow's window).
+    */
+  private[functions] def adcDotBuilder(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(children.length == 3,
+      "graft_adc_dot(adc, codes, nCodes) takes exactly 3 arguments")
+    val n = children(2) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_adc_dot(adc, codes, nCodes): nCodes must be an integer literal, got $other")
+    }
+    require(n >= 1, s"graft_adc_dot: nCodes=$n must be >= 1")
+    AdcDot(children.head, children(1), n)
+  }
+
   /** THE canonical function table — one list drives BOTH registration
     * paths (the programmatic [[register]] and the
     * `spark.sql.extensions` hook in [[GraftExtensions]]), so the two
@@ -149,7 +167,8 @@ object GraftFunctions {
     ("graft_hash60_all", classOf[Hash60All], c => Hash60All(c.head)),
     ("graft_xorfold", classOf[XorFold], c => XorFold(c.head)),
     ("graft_maxrun", classOf[MaxRun], c => MaxRun(c.head)),
-    ("graft_winnow", classOf[WinnowMins], winnowBuilder _))
+    ("graft_winnow", classOf[WinnowMins], winnowBuilder _),
+    ("graft_adc_dot", classOf[AdcDot], adcDotBuilder _))
 
   /** Idempotent for OUR functions: a name already registered with
     * graft's expression class (an earlier register() call, or the

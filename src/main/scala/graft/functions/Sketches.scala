@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -343,5 +343,72 @@ object WinnowMins {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+}
+
+/** Asymmetric-distance (ADC) gather-sum for product quantization:
+  * given a query's flattened per-subspace lookup table `adc`
+  * (nSub × nCodes longs) and a corpus vector's code array `codes`
+  * (nSub codes), returns Σ_m adc[m·nCodes + codes[m]] — the PQ
+  * approximation of the dot product. Numerically identical to the
+  * declarative
+  * `aggregate(sequence(0, nSub-1), 0L, (acc, m) ->
+  *   acc + element_at(adc, m*nCodes + CAST(element_at(codes, m+1) AS INT) + 1))`
+  * (spec-pinned), but a primitive gather loop instead of interpreted
+  * lambda dispatch with a sequence allocation PER CANDIDATE PAIR —
+  * this runs once per (query, candidate) row of the IVF-PQ shortlist
+  * join, the single hottest expression in ann_pq. `nCodes` is
+  * plan-time geometry (an integer literal, like graft_winnow's w).
+  * An out-of-range code yields NULL, matching element_at's non-ANSI
+  * behavior through the lambda's null-absorbing accumulator.
+  */
+case class AdcDot(left: Expression, right: Expression, nCodes: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_adc_dot requires two array<bigint> arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, c: Any): Any =
+    AdcDot.gather(a.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], nCodes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, c) => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r = graft.functions.AdcDot.gather($a, $c, $nCodes);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_adc_dot"
+}
+
+object AdcDot {
+  def gather(adc: ArrayData, codes: ArrayData, nCodes: Int): java.lang.Long = {
+    val m = codes.numElements()
+    val bound = adc.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < m) {
+      val idx = i.toLong * nCodes + codes.getLong(i)
+      if (idx < 0L || idx >= bound) return null
+      acc += adc.getLong(idx.toInt)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
   }
 }

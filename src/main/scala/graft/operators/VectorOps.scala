@@ -628,7 +628,16 @@ object VectorOps {
     * no rounding anywhere), which is what the oracle computes via
     * explicit reconstruction.
     */
+  /** Native gather-sum (graft.functions.AdcDot) — runs once per
+    * (query, candidate) shortlist row, the hottest expression in
+    * ann_pq. The declarative form it replaced stays below for the
+    * parity spec.
+    */
   private def pqAdcDot(adc: String, codes: String, nSub: Int, nCodes: Int): String =
+    s"graft_adc_dot($adc, $codes, $nCodes)"
+
+  private[graft] def pqAdcDotDeclarative(adc: String, codes: String,
+      nSub: Int, nCodes: Int): String =
     s"aggregate(sequence(0, ${nSub - 1}, 1), CAST(0 AS BIGINT), (acc, m) -> " +
       s"acc + element_at($adc, m * $nCodes + CAST(element_at($codes, m + 1) AS INT) + 1))"
 
@@ -701,9 +710,7 @@ object VectorOps {
       nSub: Int, subDim: Int, nCodes: Int, cn2Lit: String): DataFrame =
     base.select(col("vec_id").as("n_id"), col("cent_id").as("cell"),
         expr(pqCodesExpr(cb, nSub, subDim)).as("codes"))
-      .withColumn("rn2", expr(
-        s"aggregate(sequence(0, ${nSub - 1}, 1), CAST(0 AS BIGINT), (acc, m) -> " +
-          s"acc + element_at($cn2Lit, m * $nCodes + CAST(element_at(codes, m + 1) AS INT) + 1))"))
+      .withColumn("rn2", expr(s"graft_adc_dot($cn2Lit, codes, $nCodes)"))
       .filter(col("rn2") > 0)
 
   /** The oracle re-derives EVERYTHING — IVF cells, PQ codebook

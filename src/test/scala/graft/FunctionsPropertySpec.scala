@@ -60,4 +60,24 @@ class FunctionsPropertySpec extends SparkSpec {
       assert(m(Seq(a, b, c), k) == sketchOf(a ++ b ++ c))
     }
   }
+
+  test("graft_adc_dot equals the declarative aggregate/element_at gather on random tables") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(97)
+    val nSub = 8; val nCodes = 16
+    val rows = Seq.fill(200)((
+      Seq.fill(nSub * nCodes)(rnd.nextLong() % 100000L),
+      Seq.fill(nSub)(rnd.nextInt(nCodes).toLong)))
+    val df = rows.toDF("adc", "codes")
+    val native = s"graft_adc_dot(adc, codes, $nCodes)"
+    val decl = graft.operators.VectorOps
+      .pqAdcDotDeclarative("adc", "codes", nSub, nCodes)
+    assert(df.selectExpr(s"$native AS a", s"$decl AS b")
+      .filter("NOT (a <=> b)").count() == 0)
+    // out-of-range code -> NULL (element_at's non-ANSI contract)
+    val bad = Seq((Seq.fill(nSub * nCodes)(1L),
+      Seq.fill(nSub)(nCodes.toLong))).toDF("adc", "codes")
+    assert(bad.selectExpr(s"$native AS a").filter("a IS NULL").count() == 1)
+  }
 }
