@@ -359,11 +359,27 @@ object WinnowMins {
   * this runs once per (query, candidate) row of the IVF-PQ shortlist
   * join, the single hottest expression in ann_pq. `nCodes` is
   * plan-time geometry (an integer literal, like graft_winnow's w).
-  * An out-of-range code yields NULL, matching element_at's non-ANSI
-  * behavior through the lambda's null-absorbing accumulator.
+  * Any code outside [0, nCodes) yields NULL. For too-large codes that
+  * matches element_at's non-ANSI contract (through the lambda's
+  * null-absorbing accumulator); for NEGATIVE codes it deliberately
+  * diverges — element_at resolves negative indices from the END of
+  * the array, which for a PQ code is always a cross-subspace read of
+  * the wrong table cell, never a meaningful answer. The declarative
+  * identity is therefore claimed (and spec-pinned) for codes in
+  * [0, nCodes) plus the too-large overflow case; negative codes are
+  * pinned to NULL by their own spec case.
   */
 case class AdcDot(left: Expression, right: Expression, nCodes: Int)
   extends BinaryExpression {
+
+  /** The gather yields NULL on any out-of-range code even when both
+    * input arrays are non-nullable (e.g. the re-rank path where the
+    * ADC table is a literal array) — without this override the
+    * planner would inherit BinaryExpression's input-driven
+    * nullability, let codegen consumers skip the isNull flag, and
+    * misfold IsNull/IsNotNull over this expression.
+    */
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -404,8 +420,15 @@ object AdcDot {
     var acc = 0L
     var i = 0
     while (i < m) {
-      val idx = i.toLong * nCodes + codes.getLong(i)
-      if (idx < 0L || idx >= bound) return null
+      // validate the CODE, not just the flat index: a negative code
+      // would land inside the previous subspace's table row — in
+      // range for the flat bound but semantically garbage (and the
+      // spot where element_at's from-the-end negative indexing would
+      // silently return a wrong cell; see the class doc)
+      val code = codes.getLong(i)
+      if (code < 0L || code >= nCodes) return null
+      val idx = i.toLong * nCodes + code
+      if (idx >= bound) return null
       acc += adc.getLong(idx.toInt)
       i += 1
     }

@@ -52,14 +52,14 @@ object FileFormats {
       .orderBy("event_type")
 
   private def roundTrip(spark: SparkSession, dir: String, fmt: String,
-      opts: Map[String, String]): DataFrame = {
+      writeOpts: Map[String, String], readOpts: Map[String, String]): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory(s"graft_src_$fmt").toFile
     try {
       Tables.events(spark, dir)
         .select("event_id", "user_id", "event_type", "value", "props", "ts_ms")
-        .write.mode("overwrite").options(opts).format(fmt).save(work.toString)
+        .write.mode("overwrite").options(writeOpts).format(fmt).save(work.toString)
       val back = spark.read.schema(EventSchema)
-        .options(opts + ("mode" -> "FAILFAST")).format(fmt).load(work.toString)
+        .options(readOpts + ("mode" -> "FAILFAST")).format(fmt).load(work.toString)
       // materialize the digest before the scratch files vanish
       graft.Scratch.cp(digest(back))
     } finally rm(work)
@@ -74,14 +74,39 @@ object FileFormats {
     * explicit schema (no inference pass).
     */
   def srcJsonl(spark: SparkSession, dir: String): DataFrame =
-    roundTrip(spark, dir, "json", Map.empty)
+    roundTrip(spark, dir, "json", Map.empty, Map.empty)
 
   /** CSV round-trip with header + quoting: `props` carries embedded
     * quotes and commas, so this exercises the quote/escape path, not
     * just comma splitting.
+    *
+    * Every lexical option is pinned EXPLICITLY on both sides. CSV has
+    * no native null — with Spark's defaults both null and empty
+    * string render as the empty field, so the round-trip's
+    * row-exactness would silently hinge on the corpus never
+    * containing either. The pinned contract keeps them distinct: null
+    * renders as the unquoted sentinel `\N`, empty string as the
+    * QUOTED empty field `""` — which is why `emptyValue` differs by
+    * side (on write it's the text an empty value renders AS; on read
+    * it's what an empty field parses BACK to). Quote and escape are
+    * the defaults, pinned so a Spark default change can't silently
+    * re-shape the files between write and read.
     */
   def srcCsv(spark: SparkSession, dir: String): DataFrame =
-    roundTrip(spark, dir, "csv", Map("header" -> "true"))
+    roundTrip(spark, dir, "csv", CsvWriteOpts, CsvReadOpts)
+
+  /** The pinned CSV lexical contract (see [[srcCsv]]) — shared by the
+    * gate entry and the row-parity / null-vs-empty specs.
+    */
+  private[graft] val CsvWriteOpts: Map[String, String] = Map(
+    "header" -> "true",
+    "nullValue" -> "\\N",
+    "emptyValue" -> "\"\"",
+    "quote" -> "\"",
+    "escape" -> "\\")
+
+  private[graft] val CsvReadOpts: Map[String, String] =
+    CsvWriteOpts + ("emptyValue" -> "")
 
   private val digestSql: String =
     """SELECT event_type,

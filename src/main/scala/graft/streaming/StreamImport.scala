@@ -1886,6 +1886,49 @@ object StreamImport {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
 
+  /** Driver-checked out-of-order association routing — the reference's
+    * TempDocumentStore buffer (NatsConsumer.java:56-70) run end-to-end
+    * over the corpus and answered by a batch association join: every
+    * record must exit [[OutOfOrder.routed]] exactly once, carrying the
+    * process association its user's signup record establishes —
+    * records that arrived BEFORE the signup prove the buffer-and-flush
+    * path, records after it prove the direct route, and none may be
+    * lost, duplicated, or dead-lettered.
+    *
+    * Determinism argument (why a streaming buffer with timeouts can
+    * answer a batch oracle): the corpus is ONE parquet file, so the
+    * file source delivers it as a single micro-batch; the watermark
+    * during that batch is still unset, so no record is late and no
+    * idle-horizon timeout can fire mid-data. Every user in the corpus
+    * carries a signup (the same invariant import_loop's gate rests
+    * on, asserted with the per-user buffer bound in StreamingSpec), so
+    * after the data batch no orphan buffer remains — and any
+    * trailing no-data batch can only time out ASSOCIATED keys, which
+    * hold nothing to flush. The oracle's dead-letter branch is
+    * therefore reachable only if the corpus invariant breaks, which
+    * fails the gate loudly rather than silently.
+    */
+  def runOutOfOrderToCompletion(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir, events =>
+      OutOfOrder.routed(events).toDF()
+        .withColumn("tenant", concat(lit("t"), col("user_id") % 10)),
+      "event_id", mode = "append", label = "src_out_of_order")
+      .select(col("event_id"), col("ts_ms"), col("user_id"),
+        col("event_type"),
+        graft.functions.Portable.moneyStr(
+          graft.functions.Portable.dec2(col("value"))).as("value_str"),
+        col("k"), col("process_id"))
+      .orderBy("event_id")
+
+  private[graft] val srcOutOfOrderSql: String =
+    """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
+      |  CAST(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS VARCHAR) AS value_str,
+      |  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
+      |  CASE WHEN user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')
+      |       THEN 'proc-t' || CAST(user_id % 10 AS VARCHAR)
+      |       ELSE '__dead_letter__' END AS process_id
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Driver-checked streaming dedup — oracle = batch SELECT DISTINCT. */
   def runDedupToCompletion(spark: SparkSession, dir: String): DataFrame =
     runPipeline(spark, dir, events =>
@@ -2119,6 +2162,12 @@ object StreamImport {
     val spark = spark0.newSession()
     spark.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // newSession starts from the SparkConf defaults, NOT the caller's
+    // runtime confs — carry the caller's partitioning choice across so
+    // a bench/production harness that sized shuffle+state partitioning
+    // for its corpus keeps that sizing inside the composed loop
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark0.conf.get("spark.sql.shuffle.partitions"))
     val subject = s"zeebe-export-gate-${System.nanoTime()}"
     val msgs = toRecs(Tables.events(spark, dir))
       .orderBy("ts_ms", "event_id")
@@ -2178,6 +2227,7 @@ object StreamImport {
     "stream_kmv" -> (runKmvToCompletion _),
     "stream_pack" -> (runPackToCompletion _),
     "stream_ann" -> (runAnnToCompletion _),
+    "src_out_of_order" -> (runOutOfOrderToCompletion _),
     "stream_topn" -> (runTopnToCompletion _),
     "stream_sessionize" -> (runSessionizeToCompletion _))
 
@@ -2232,6 +2282,9 @@ object StreamImport {
     // streamed probes against the static bucket index answer the LSH
     // oracle restricted to (probe, corpus)
     "stream_ann" -> graft.operators.VectorOps.streamAnnSql,
+    // the routed stream answers the batch association join — the
+    // TempDocumentStore contract as SQL (see runOutOfOrderToCompletion)
+    "src_out_of_order" -> srcOutOfOrderSql,
     "stream_topn" -> graft.operators.Analytics.qWindowTopNSql,
     "stream_sessionize" ->
       """WITH g AS (

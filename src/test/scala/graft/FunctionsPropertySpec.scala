@@ -75,9 +75,19 @@ class FunctionsPropertySpec extends SparkSpec {
       .pqAdcDotDeclarative("adc", "codes", nSub, nCodes)
     assert(df.selectExpr(s"$native AS a", s"$decl AS b")
       .filter("NOT (a <=> b)").count() == 0)
-    // out-of-range code -> NULL (element_at's non-ANSI contract)
+    // too-large code -> NULL (element_at's non-ANSI contract)
     val bad = Seq((Seq.fill(nSub * nCodes)(1L),
       Seq.fill(nSub)(nCodes.toLong))).toDF("adc", "codes")
     assert(bad.selectExpr(s"$native AS a").filter("a IS NULL").count() == 1)
+    // NEGATIVE code -> NULL too: here the native gather deliberately
+    // diverges from the declarative form (element_at would resolve the
+    // negative flat index from the END of the ADC table — an in-bounds
+    // read of the wrong cell), so the pin is on NULL, not on parity
+    val neg = Seq((Seq.fill(nSub * nCodes)(1L),
+      (-1L) +: Seq.fill(nSub - 1)(0L))).toDF("adc", "codes")
+    assert(neg.selectExpr(s"$native AS a").filter("a IS NULL").count() == 1)
+    // and the expression self-reports nullable even over non-nullable
+    // inputs — consumers must keep the isNull check in codegen
+    assert(df.selectExpr(s"$native AS a").schema("a").nullable)
   }
 }

@@ -1512,6 +1512,35 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("src_out_of_order gate: corpus invariant holds and the routed stream answers the batch association join") {
+    // the gate's determinism argument (runOutOfOrderToCompletion
+    // scaladoc) rests on two corpus invariants — assert them HERE so a
+    // generator change fails with the reason, not a hash mismatch:
+    // (1) every user carries a signup (no orphan survives the data
+    // batch), (2) no user's record count approaches the orphan buffer
+    // cap (no mid-batch dead-letter spill)
+    val ev = Tables.events(spark, sfDir)
+    val noSignup = ev.select("user_id").distinct()
+      .join(ev.filter(col("event_type") === "signup").select("user_id").distinct(),
+        Seq("user_id"), "left_anti").count()
+    assert(noSignup == 0, s"$noSignup users without a signup — the gate's oracle precondition broke")
+    val maxPerUser = ev.groupBy("user_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerUser < graft.streaming.OutOfOrder.MaxBuffer,
+      s"a user holds $maxPerUser records — within reach of the orphan buffer cap")
+    // end-to-end: every record exits exactly once with its user's
+    // association; none lost, duplicated, or dead-lettered
+    val routed = StreamImport.runOutOfOrderToCompletion(spark, sfDir)
+      .select("event_id", "process_id").collect()
+    assert(routed.length == ev.count())
+    assert(routed.map(_.getAs[Long]("event_id")).distinct.length == routed.length)
+    val expected = ev.select(col("event_id"),
+      concat(lit("proc-t"), col("user_id") % 10).as("p")).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("p")).toMap
+    routed.foreach(r => assert(
+      r.getAs[String]("process_id") == expected(r.getAs[Long]("event_id"))))
+  }
+
   test("src_out_of_order: associated keys survive multi-hour idle gaps (two-tier horizon)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
