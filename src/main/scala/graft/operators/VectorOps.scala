@@ -446,11 +446,14 @@ object VectorOps {
     val queriesSide = assigned
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"),
         col("cent_id").as("cell"))
+    // no distinct: each n_id lives in exactly one cell (crnk = 1) and
+    // a query probes distinct cells, so (q_id, n_id) pairs are unique
+    // by construction — a distinct would re-shuffle the full
+    // candidate set for nothing (uniqueness spec-pinned with ann_pq's)
     val cands = queriesSide.join(corpus, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         expr(scoreE6(dotExpr("qq", "nq"), "qn2", "nn2")).as("score_e6"))
-      .distinct()
     val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
     val topk = cands.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -656,32 +659,91 @@ object VectorOps {
   def annPqOf(v: DataFrame, cells: Int, probes: Int, k: Int,
       lloydIters: Int, pqIters: Int,
       nSub: Int = PqSub, nCodes: Int = PqCodes): DataFrame = {
-    val (topk, assigned, _) = annPqPlan(v, cells, probes, k, lloydIters, pqIters, nSub, nCodes)
-    graft.Scratch.seal(topk, assigned).orderBy("q_id", "rnk")
+    val parts = annPqPlan(v, cells, probes, k, lloydIters, pqIters, nSub, nCodes)
+    try graft.Scratch.seal(parts.topk, parts.assigned).orderBy("q_id", "rnk")
+    finally parts.dropIndex()
   }
 
-  /** The un-sealed IVF-PQ plan, its materialized input, and the PQ
-    * index frame — the spec asserts the index's codes-only schema
-    * (the corpus side of the candidate join must never carry vectors).
+  /** The pieces of the IVF-PQ plan a consumer may need separately:
+    * the final top-k, the materialized assignment frame (caller
+    * releases), the bucketed codes-index read, and the index table's
+    * cleanup hook (call after the result is materialized).
+    */
+  private[graft] case class PqPlanParts(topk: DataFrame, assigned: DataFrame,
+      index: DataFrame, indexTable: String) {
+    def dropIndex(): Unit =
+      index.sparkSession.sql(s"DROP TABLE IF EXISTS $indexTable")
+  }
+
+  /** The un-sealed IVF-PQ plan — the spec asserts the index's
+    * codes-only schema (the corpus side of the candidate join must
+    * never carry vectors) and the bucket-layout probe (the corpus
+    * side of the candidate join must plan with no exchange).
+    *
+    * The codes index is a WRITE-side artifact: it is persisted as a
+    * parquet table bucketed+sorted on `cell`, so its one shuffle is
+    * paid at write time and every probe against it — this run's and,
+    * at production, every later query batch's — scans
+    * pre-partitioned files and joins exchange-free on the corpus
+    * side. Only the (small, query-batch-sized) ADC side shuffles to
+    * the bucket layout. Bucket count = IvfCells: the join's effective
+    * parallelism is bounded by distinct cells whatever the partition
+    * count, and one bucket file per cell is exactly the
+    * one-posting-list-per-cell layout a serving IVF index uses.
     */
   private[graft] def annPqPlan(v: DataFrame, cells: Int, probes: Int, k: Int,
       lloydIters: Int, pqIters: Int,
-      nSub: Int, nCodes: Int): (DataFrame, DataFrame, DataFrame) = {
+      nSub: Int, nCodes: Int): PqPlanParts = {
     val subDim = Dim / nSub
     val assigned = cellAssignmentsOf(v, cells, probes, lloydIters)
     val base = assigned.filter(col("crnk") === 1)
     var cb = pqSeedsOf(base, subDim, nSub, nCodes)
     for (_ <- 0 until pqIters) cb = pqLloydStep(base, cb, nSub, subDim)
     val cn2Lit = pqFlatLit(cb, nSub, nCodes)(cq => cq.map(x => x * x).sum)
-    val corpus = pqIndexOf(base, cb, nSub, subDim, nCodes, cn2Lit)
-    val queriesSide = assigned.select(
-      col("vec_id").as("q_id"), col("cent_id").as("cell"),
-      expr(pqAdcExpr(cb, nSub, subDim, nCodes)).as("adc"), col("n2").as("qn2"))
+    val table = "graft_pqidx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.sources.BucketedTable.write(
+      pqIndexOf(base, cb, nSub, subDim, nCodes, cn2Lit), table, "cell", cells)
+    val corpus = graft.sources.BucketedTable.read(v.sparkSession, table)
+    // Probe-side shaping, doing two jobs with one small shuffle:
+    //
+    // 1. SPREAD: the materialized assignment frame arrives
+    //    AQE-coalesced to a handful of partitions (it is tiny — that
+    //    coalesce is right for it), but the candidate join fans each
+    //    probe row out by its cell's whole posting list, so candidate
+    //    generation AND the shortlist sort inherit the probe side's
+    //    parallelism. Un-spread, both ran near-serially (measured
+    //    6.5 → 53 s at sf0.1 when the shortlist's old distinct —
+    //    whose exchange had been providing the spread by accident —
+    //    was removed). A pinned-count hash repartition is the
+    //    cheapest possible shuffle here and AQE keeps user-specified
+    //    counts; partitioning by q_id also leaves the join output
+    //    already distributed on q_id, so the shortlist window needs
+    //    NO exchange — the full candidate set never shuffles at all.
+    //
+    // 2. STAGE-ISOLATE the ADC build: the repartition sits AFTER the
+    //    ADC projection so the M×K-literal expression (which blows
+    //    the 64 KB whole-stage-codegen method limit by construction)
+    //    fails codegen in its own probe-row-sized stage, NOT inside
+    //    the candidate stage — with them fused, the codegen fallback
+    //    dragged the whole per-candidate scoring loop into
+    //    interpreted mode (measured 10×: 2.8 → 28 s at sf0.1). The
+    //    shuffle carries one ADC table per probe row — query-batch-
+    //    sized by the ANN contract, never corpus-sized.
+    val parallelism = v.sparkSession.sessionState.conf.numShufflePartitions
+    val queriesSide = assigned
+      .select(
+        col("vec_id").as("q_id"), col("cent_id").as("cell"),
+        expr(pqAdcExpr(cb, nSub, subDim, nCodes)).as("adc"), col("n2").as("qn2"))
+      .repartition(parallelism, col("q_id"))
+    // no distinct over the candidate set: each corpus vector lives in
+    // exactly ONE cell (crnk = 1) and a query probes DISTINCT cells,
+    // so a (q_id, n_id) pair can arise from at most one join row —
+    // uniqueness holds by construction (spec-pinned), and a distinct
+    // here would re-shuffle the full candidate set for nothing
     val cands = queriesSide.join(corpus, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         expr(scoreE6(pqAdcDot("adc", "codes", nSub, nCodes), "qn2", "rn2")).as("adc_e6"))
-      .distinct()
     // exact re-rank of the ADC top-R shortlist (the production IVF-PQ
     // shape): true vectors are fetched for R ids per query only — the
     // output scores are EXACT cosine; PQ is purely the pruner.
@@ -699,7 +761,7 @@ object VectorOps {
     val topk = rescored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
-    (topk, assigned, corpus)
+    PqPlanParts(topk, assigned, corpus, table)
   }
 
   /** The PQ index frame: (cell, n_id, codes[M], rn2) — the ONLY corpus

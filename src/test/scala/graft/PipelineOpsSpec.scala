@@ -863,24 +863,75 @@ class PipelineOpsSpec extends SparkSpec {
       df.select("q_id", "n_id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val exact = topSets(VectorOps.annBruteforceFor(quantFrame(), quantFrame(), 3))
-    val (topk, assigned, index) = VectorOps.annPqPlan(
+    val parts = VectorOps.annPqPlan(
       graft.Scratch.cp(quantFrame()), clusters, 1, 3,
       lloydIters = 1, pqIters = 3, nSub = VectorOps.PqSub, nCodes = VectorOps.PqCodes)
-    assert(index.columns.toSeq == Seq("n_id", "cell", "codes", "rn2"),
-      s"PQ index must shuffle codes only, got ${index.columns.mkString(",")}")
-    val codeRows = index.select("codes").collect()
-    assert(codeRows.nonEmpty)
-    codeRows.foreach { r =>
-      val cs = r.getSeq[Long](0)
-      assert(cs.length == VectorOps.PqSub)
-      assert(cs.forall(c => c >= 0 && c < VectorOps.PqCodes), s"code out of range: $cs")
+    try {
+      val index = parts.index
+      assert(index.columns.toSeq == Seq("n_id", "cell", "codes", "rn2"),
+        s"PQ index must shuffle codes only, got ${index.columns.mkString(",")}")
+      val codeRows = index.select("codes").collect()
+      assert(codeRows.nonEmpty)
+      codeRows.foreach { r =>
+        val cs = r.getSeq[Long](0)
+        assert(cs.length == VectorOps.PqSub)
+        assert(cs.forall(c => c >= 0 && c < VectorOps.PqCodes), s"code out of range: $cs")
+      }
+      // candidate-pair uniqueness BY CONSTRUCTION (each n_id in exactly
+      // one cell): the plan dropped its distinct on this argument
+      assert(index.groupBy("n_id").count().filter(col("count") > 1).count() == 0,
+        "a corpus vector appears in more than one cell — the no-distinct argument broke")
+      val pq = topSets(parts.topk)
+      val recall = exact.map { case (q, ex) =>
+        pq.get(q).map(_.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+      }.sum / exact.size
+      assert(recall >= 0.95, s"ann_pq recall@3 fell below the floor: $recall")
+    } finally {
+      graft.Scratch.free(parts.assigned)
+      parts.dropIndex()
     }
-    val pq = topSets(topk)
-    graft.Scratch.free(assigned)
-    val recall = exact.map { case (q, ex) =>
-      pq.get(q).map(_.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
-    }.sum / exact.size
-    assert(recall >= 0.95, s"ann_pq recall@3 fell below the floor: $recall")
+  }
+
+  test("ann_pq: the candidate probe joins exchange-free on the bucketed codes index") {
+    // BucketedJoinSpec pattern: the index is written bucketed+sorted
+    // on `cell`, so the probe's sort-merge join must plan with NO
+    // exchange (and no sort) on the corpus side — the index's shuffle
+    // was paid once at write time. Broadcast would hide the property.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    def emb(id: Long): Array[Double] =
+      Array.tabulate(dim)(d => (((id * 48271L + d * 7919L) % 1000L) - 500L) / 500.0)
+    def quantFrame() = (0L until 80L).map(i => (i, emb(i))).toDF("vec_id", "embedding")
+      .withColumn("q", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+      .withColumn("n2", expr("long_dot(q, q)"))
+      .filter(col("n2") > 0)
+      .select("vec_id", "q", "n2")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the threshold must hold through EXECUTION, not just plan build —
+    // AQE re-decides the join strategy per query stage at runtime
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val parts = VectorOps.annPqPlan(graft.Scratch.cp(quantFrame()), 4, 1, 3,
+      lloydIters = 1, pqIters = 1, nSub = VectorOps.PqSub, nCodes = VectorOps.PqCodes)
+    try {
+      parts.topk.collect()
+      val plan = parts.topk.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join for the probe:\n$plan")
+      // exactly ONE exchange on the join key: the ADC/query side. A
+      // second hashpartitioning(cell...) would mean the index side
+      // re-shuffled what its bucket layout already paid for.
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r
+        .findAllIn(plan).length
+      assert(cellExchanges == 1,
+        s"expected exactly one cell exchange (the query side), got $cellExchanges:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"the index side should scan the bucketed layout:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      graft.Scratch.free(parts.assigned)
+      parts.dropIndex()
+    }
   }
 
   test("ann_bruteforce gate shape: bounded probes x corpus == full self-join restricted to the probes") {
