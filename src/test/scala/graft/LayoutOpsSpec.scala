@@ -50,6 +50,66 @@ class LayoutOpsSpec extends SparkSpec {
     assert(z < h, s"z layout ($z) not better than hour-only layout ($h)")
   }
 
+  test("z-order layout: REAL parquet row-group stats skip strictly more rows than either single-column layout") {
+    // the partitions-touched test above measures the designed effect
+    // on the key's own boxes; this one measures it where production
+    // skipping actually happens — parquet footer min/max stats under
+    // a pushed-down predicate. Each layout is WRITTEN to parquet
+    // (repartitionByRange + sortWithinPartitions, the real write
+    // path), then re-read with single-dimension equality predicates;
+    // the scan's numOutputRows metric counts exactly the rows that
+    // survived row-group skipping, so "strictly fewer rows read" is
+    // asserted on the engine's own metric, not a model of it.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val work = java.nio.file.Files.createTempDirectory("graft_zlayout_").toFile
+    try {
+      def write(layoutCol: String): String = {
+        val d = s"$work/$layoutCol"
+        LayoutOps.layoutBy(Tables.events(spark, sfDir), layoutCol, P)
+          .write.mode("overwrite").parquet(d)
+        d
+      }
+      def rowsRead(dir: String, cond: org.apache.spark.sql.Column): Long = {
+        val df = spark.read.parquet(dir).filter(cond)
+        df.collect()
+        val scans = df.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }
+        assert(scans.nonEmpty && scans.forall(_.metadata("PushedFilters") != "[]"),
+          "the predicate must reach the parquet scan for stats skipping to exist")
+        scans.map(_.metrics("numOutputRows").value).sum
+      }
+      val zDir = write("z"); val uDir = write("u"); val hDir = write("h")
+      val base = LayoutOps.zKeyed(Tables.events(spark, sfDir))
+      def sample(c: String): Seq[Long] = {
+        val all = base.select(c).distinct().collect()
+          .map(_.getAs[Long](c)).sorted.toSeq
+        val step = math.max(1, all.size / 8)
+        all.indices.collect { case i if i % step == 0 => all(i) }
+      }
+      val us = sample("u"); val hs = sample("h")
+      def mixedWorkload(dir: String): Long =
+        us.map(x => rowsRead(dir, col("u") === x)).sum * hs.size +
+          hs.map(x => rowsRead(dir, col("h") === x)).sum * us.size
+      val z = mixedWorkload(zDir)
+      val u = mixedWorkload(uDir)
+      val h = mixedWorkload(hDir)
+      assert(z < u, s"z layout read $z rows vs user-only layout $u on the mixed workload")
+      assert(z < h, s"z layout read $z rows vs hour-only layout $h on the mixed workload")
+      // and each single-column layout certifies the harness: it must
+      // skip on ITS OWN dimension (vs the total corpus size per probe)
+      val total = Tables.events(spark, sfDir).count()
+      assert(us.map(x => rowsRead(uDir, col("u") === x)).sum < total * us.size,
+        "u-sorted parquet did not skip any row groups on u predicates — stats harness broken")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(work)
+    }
+  }
+
   test("the Morton key is a bijective interleave of the normalized dimensions") {
     // decode the key back to (a, b) and compare against the keyed
     // frame's own columns — a bit dropped or doubled anywhere breaks it
