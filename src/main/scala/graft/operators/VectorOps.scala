@@ -102,31 +102,40 @@ object VectorOps {
     * with more bands.
     */
   private[graft] def bucketed(spark: SparkSession, dir: String,
-      bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame =
-    bucketedFrom(quantized(spark, dir), bands, bitsPerBand)
+      bands: Int = Bands, bitsPerBand: Int = BitsPerBand,
+      keepBandVector: Boolean = false): DataFrame =
+    bucketedFrom(quantized(spark, dir), bands, bitsPerBand, keepBandVector)
 
   /** Bucket keys over a caller-supplied quantized frame
     * (vec_id, q, n2) — the corpus-independent entry the recall specs
     * drive with synthetic clustered vectors.
     */
   private[graft] def bucketedOf(qIn: DataFrame,
-      bands: Int, bitsPerBand: Int): DataFrame =
-    bucketedFrom(graft.Scratch.cp(qIn), bands, bitsPerBand)
+      bands: Int, bitsPerBand: Int,
+      keepBandVector: Boolean = false): DataFrame =
+    bucketedFrom(graft.Scratch.cp(qIn), bands, bitsPerBand, keepBandVector)
 
   private def bucketedFrom(q: DataFrame,
-      bands: Int, bitsPerBand: Int): DataFrame =
+      bands: Int, bitsPerBand: Int, keepBandVector: Boolean): DataFrame =
     // materialized once: quantization + the hyperplane dots feed both
     // self-join sides of ann_lsh / dedup_embed; the quantized frame is
     // subsumed by this one and released immediately
-    graft.Scratch.seal(bucketKeysPlan(q, bands, bitsPerBand), q)
+    graft.Scratch.seal(bucketKeysPlan(q, bands, bitsPerBand, keepBandVector), q)
 
   /** The pure (vec_id, q, n2, band_idx, bucket) plan — every step
     * row-local, so it runs unchanged on a STREAMING frame (the
     * stream_ann probe side); the batch path seals it, a stream must
     * not.
+    *
+    * With `keepBandVector` each exploded row ALSO carries every
+    * band's bucket as scalar columns `bb0..bb{bands-1}` — what lets
+    * the self-join consumers assign each colliding pair to its FIRST
+    * shared band with a row-local scalar check (see [[lshTopkFrom]])
+    * instead of deduplicating the materialized candidate set.
     */
   private[graft] def bucketKeysPlan(q: DataFrame,
-      bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame = {
+      bands: Int = Bands, bitsPerBand: Int = BitsPerBand,
+      keepBandVector: Boolean = false): DataFrame = {
     val nPlanes = bands * bitsPerBand
     val withBits = (0 until nPlanes).foldLeft(q) { (d, j) =>
       d.withColumn(s"bit$j",
@@ -137,11 +146,33 @@ object VectorOps {
         .map(k => s"shiftleft(bit${b * bitsPerBand + k}, $k)").mkString(" + ")
       d.withColumn(s"bucket$b", expr(bits))
     }
-    withBuckets.select(col("vec_id"), col("q"), col("n2"),
+    val carriedNames =
+      if (keepBandVector) (0 until bands).map(b => s"bb$b") else Seq.empty
+    val carried = carriedNames.zipWithIndex.map {
+      case (n, b) => col(s"bucket$b").as(n)
+    }
+    withBuckets.select(Seq(col("vec_id"), col("q"), col("n2")) ++ carried :+
       explode(expr(s"map_from_arrays(sequence(0, ${bands - 1}), " +
-        s"array(${(0 until bands).map(b => s"bucket$b").mkString(",")}))")))
-      .toDF("vec_id", "q", "n2", "band_idx", "bucket")
+        s"array(${(0 until bands).map(b => s"bucket$b").mkString(",")}))")): _*)
+      .toDF(Seq("vec_id", "q", "n2") ++ carriedNames ++ Seq("band_idx", "bucket"): _*)
   }
+
+  /** Row-local "this band owns the pair" predicate for the bucketed
+    * self-joins: TRUE iff the joined band is the FIRST band where the
+    * two rows' buckets collide. Each colliding pair then materializes
+    * EXACTLY ONCE across the whole join — uniqueness by construction
+    * replaces a distinct over the full candidate set (the largest
+    * shuffle these operators had), and makes the per-query top-k
+    * partial safe to run map-side. All-scalar comparisons (bands is
+    * plan-time geometry), so the candidate stage stays inside
+    * whole-stage codegen.
+    */
+  private def firstSharedBand(bands: Int): String =
+    "CASE CAST(a.band_idx AS INT) WHEN 0 THEN true " +
+      (1 until bands).map(j =>
+        s"WHEN $j THEN " +
+          (0 until j).map(i => s"a.bb$i <> b.bb$i").mkString(" AND "))
+        .mkString(" ") + " END"
 
   /** Row-local quantization of a raw embeddings frame — shared by the
     * batch [[quantized]] path and the streaming probe side (which
@@ -291,7 +322,8 @@ object VectorOps {
     */
   def annLshWith(spark: SparkSession, dir: String,
       bands: Int, bitsPerBand: Int, k: Int = 3): DataFrame =
-    lshTopkFrom(bucketed(spark, dir, bands, bitsPerBand), k)
+    lshTopkFrom(bucketed(spark, dir, bands, bitsPerBand,
+      keepBandVector = true), bands, k)
 
   /** ann_lsh over a caller-supplied quantized frame — used by the
     * recall-floor spec to compare against brute force on a controlled
@@ -299,16 +331,57 @@ object VectorOps {
     */
   def annLshOf(qIn: DataFrame, bands: Int = Bands,
       bitsPerBand: Int = BitsPerBand, k: Int = 3): DataFrame =
-    lshTopkFrom(bucketedOf(qIn, bands, bitsPerBand), k)
+    lshTopkFrom(bucketedOf(qIn, bands, bitsPerBand,
+      keepBandVector = true), bands, k)
 
-  private def lshTopkFrom(b: DataFrame, k: Int): DataFrame = {
-    val cands = b.as("a").join(b.as("b"),
+  /** Candidate pairs materialize once each ([[firstSharedBand]] —
+    * the distinct this replaces shuffled the WHOLE candidate set,
+    * the operator's largest exchange by orders of magnitude), so the
+    * top-k window's partial rank-limit runs map-side on the join
+    * output and the only candidate-set-sized work left is the scoring
+    * projection itself. `b` must carry the band vector.
+    */
+  /** Sub-bucket salt factor for the LSH candidate self-join — the
+    * text-LSH salt-split (TextOps.minhashCandidatesSaltSplit) applied
+    * to the vector join. At the default 4-bit band geometry every
+    * band has only 16 buckets, so the join's effective parallelism is
+    * bands×buckets with hot buckets owning quadratic work; salting
+    * splits each bucket's pair space S ways (the neighbor side keyed
+    * by hash(vec_id) % S, the query side replicated to all S salts —
+    * each pair still meets on EXACTLY one salt, so the candidate set
+    * is identical, spec-pinned). Cost: the replicated side scans S× —
+    * rows-sized, never pairs-sized. At production 16-24-bit geometry
+    * buckets are fine-grained and S can drop to 1.
+    */
+  private[graft] val LshSaltFactor = 4
+
+  /** The salted, canonical-band candidate self-join shared by the
+    * top-k path and the spec hook (`pairFilter` is =!= for top-k,
+    * < for the dedup pair stream).
+    */
+  private def lshCandidateJoin(b: DataFrame, bands: Int): DataFrame = {
+    val salted = b.withColumn("salt", pmod(hash(col("vec_id")), lit(LshSaltFactor)))
+    val replicated = b.withColumn("salt",
+      explode(expr(s"sequence(0, ${LshSaltFactor - 1})")))
+    replicated.as("a").join(salted.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") =!= col("b.vec_id"))
+        col("a.salt") === col("b.salt") &&
+        col("a.vec_id") =!= col("b.vec_id") &&
+        expr(firstSharedBand(bands)))
+  }
+
+  /** The raw canonical-band candidate pair stream — spec hook for the
+    * uniqueness/equivalence pin (no scoring, no top-k).
+    */
+  private[graft] def annLshCandidatesForSpec(b: DataFrame, bands: Int): DataFrame =
+    lshCandidateJoin(b, bands)
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
+
+  private def lshTopkFrom(b: DataFrame, bands: Int, k: Int): DataFrame = {
+    val cands = lshCandidateJoin(b, bands)
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
-      .distinct()
     val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
     val topk = cands.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -322,14 +395,16 @@ object VectorOps {
     * not just row counts.
     */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val b = bucketed(spark, dir)
+    val b = bucketed(spark, dir, keepBandVector = true)
+    // each pair from its first shared band only (firstSharedBand) —
+    // no distinct over the pair set, same argument as lshTopkFrom
     val pairs = b.as("a").join(b.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
+        col("a.vec_id") < col("b.vec_id") &&
+        expr(firstSharedBand(Bands)))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
-      .distinct()
       .filter(col("score_e6") >= 400000)
     graft.Scratch.seal(pairs, b).orderBy("a_id", "b_id")
   }

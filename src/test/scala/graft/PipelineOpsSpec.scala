@@ -832,6 +832,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.90, s"ann_lsh recall@3 fell below the floor: $recall")
   }
 
+  test("ann_lsh first-shared-band candidates equal the distinct-based reference (pair-unique by construction)") {
+    // the canonical-band predicate replaced a distinct over the whole
+    // candidate set; this pins the equivalence row-for-row against an
+    // inline distinct-based reference built from the SAME bucketed
+    // frame, and pins that the new pair stream really is
+    // duplicate-free before any dedup could hide a double-emit
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    def emb(id: Long): Array[Double] =
+      Array.tabulate(dim)(d => (((id * 69621L + d * 823L) % 1000L) - 500L) / 500.0)
+    def quantFrame() = (0L until 200L).map(i => (i, emb(i))).toDF("vec_id", "embedding")
+      .withColumn("q", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+      .withColumn("n2", expr("long_dot(q, q)"))
+      .filter(col("n2") > 0)
+      .select("vec_id", "q", "n2")
+    val b = VectorOps.bucketedOf(quantFrame(), 4, 4, keepBandVector = true)
+    // reference: the old shape — all colliding band rows, then distinct
+    val ref = b.as("a").join(b.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = VectorOps.annLshCandidatesForSpec(b, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.toSet == ref, "canonical-band candidate set diverged from the distinct reference")
+    assert(got.size == got.toSet.size,
+      "a pair materialized from more than one band — firstSharedBand broke")
+    assert(ref.nonEmpty)
+    graft.Scratch.free(b)
+  }
+
   test("ann_pq recall@3 vs brute force clears a numeric floor; index shuffles codes, not vectors") {
     // same harness as the LSH/IVF recall guards: 64-dim, 4 clusters +
     // noise. Two contracts pinned at once: (a) IVF-PQ quality — a
