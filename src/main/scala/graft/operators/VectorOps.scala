@@ -515,17 +515,25 @@ object VectorOps {
   def annIvfOf(v: DataFrame,
       cells: Int, probes: Int, k: Int, lloydIters: Int): DataFrame = {
     val assigned = cellAssignmentsOf(v, cells, probes, lloydIters)
+    // salt-split the cell join (the ann_lsh pattern): with few coarse
+    // cells the join's parallelism is the cell count and a hot cell
+    // owns quadratic work — the corpus side salts by hash(n_id), the
+    // probe side replicates to all salts, every pair still meets on
+    // exactly one salt (n_id determines it), so the candidate set is
+    // unchanged and spread over cells×S keys
     val corpus = assigned.filter(col("crnk") === 1)
       .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
         col("cent_id").as("cell"))
+      .withColumn("salt", pmod(hash(col("n_id")), lit(LshSaltFactor)))
     val queriesSide = assigned
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"),
         col("cent_id").as("cell"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${LshSaltFactor - 1})")))
     // no distinct: each n_id lives in exactly one cell (crnk = 1) and
     // a query probes distinct cells, so (q_id, n_id) pairs are unique
     // by construction — a distinct would re-shuffle the full
     // candidate set for nothing (uniqueness spec-pinned with ann_pq's)
-    val cands = queriesSide.join(corpus, "cell")
+    val cands = queriesSide.join(corpus, Seq("cell", "salt"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         expr(scoreE6(dotExpr("qq", "nq"), "qn2", "nn2")).as("score_e6"))
