@@ -1261,15 +1261,28 @@ object TextOps {
     val sigs = graft.Scratch.cp(Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr(s"graft_simhash32(${hxAll("split(text,' ')")})").as("sig")))
+    // each pair emits from its FIRST matching band only (the ann_lsh
+    // canonical-band argument, row-local over the two sigs), so the
+    // 4-way union is disjoint BY CONSTRUCTION and the distinct that
+    // re-shuffled the whole pair set (~n²/256 × bands rows) is gone;
+    // the d<=3 filter keeps full recall unchanged — pigeonhole still
+    // guarantees at least one matching band, and WHICH band emits a
+    // pair doesn't change the pair
     def bandJoin(b: Int) = {
       val shift = b * 8
+      val canonical =
+        if (b == 0) "true"
+        else (0 until b).map { i =>
+          s"(shiftright(a.sig, ${i * 8}) & 255) <> (shiftright(b.sig, ${i * 8}) & 255)"
+        }.mkString(" AND ")
       sigs.as("a").join(sigs.as("b"),
         expr(s"(shiftright(a.sig, $shift) & 255) = (shiftright(b.sig, $shift) & 255)") &&
+          expr(canonical) &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           expr("bit_count(a.sig ^ b.sig)").cast(LongType).as("hamming"))
     }
-    val pairs = (0 until SimBands).map(bandJoin).reduce(_ union _).distinct()
+    val pairs = (0 until SimBands).map(bandJoin).reduce(_ union _)
       .filter(col("hamming") <= 3)
     graft.Scratch.seal(pairs, sigs).orderBy("a_id", "b_id")
   }
