@@ -26,7 +26,7 @@ object Bench {
     // one-time engine spinup (r03: stream_batches 9.7 s vs its 2.9 s
     // isolated re-time). Smallest corpus available; a skipped warmup is
     // REPORTED so skewed stream numbers are attributable.
-    if (selected.exists(_._1.startsWith("stream_"))) {
+    if (selected.exists(s => streaming.StreamImport.queries.contains(s._1))) {
       val warmDir = Seq("/root/testdata/sf0.001", sfDir)
         .find(d => new java.io.File(s"$d/events.parquet").exists())
       try warmDir match {
@@ -48,9 +48,13 @@ object Bench {
     // bench-scale state/shuffle partitioning for the streaming family
     // (see the per-rep comment below); overridable so an A/B against
     // the production-sized 32 stays a one-env-var run
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt.max(1)
+    // family by MEMBERSHIP, not name prefix: src_out_of_order is a
+    // stateful streaming query whose name doesn't start with stream_,
+    // and a prefix test silently left it at the 32-partition default
+    // (the exact fixed-cost drift this conf exists to remove)
     def streamFamily(name: String): Boolean =
-      name.startsWith("stream_") || name == "import_loop"
+      streaming.StreamImport.queries.contains(name)
     val failed = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

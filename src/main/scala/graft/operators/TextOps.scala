@@ -547,13 +547,25 @@ object TextOps {
       .groupBy("t").agg(count(lit(1)).cast(LongType).as("cnt")))
     val total = counts.agg(sum("cnt").cast(LongType).as("total"))
     val top = counts.orderBy(col("cnt").desc, col("t")).limit(VocabTopK)
-    val curve = top.crossJoin(broadcast(total)) // one row
-      .withColumn("rnk", expr(
-        "CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS BIGINT)"))
-      .withColumn("cum_e4", expr(
-        "10000 * SUM(cnt) OVER (ORDER BY cnt DESC, t ASC " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) DIV total"))
-      .select(col("rnk"), col("t").as("term"), col("cnt"), col("cum_e4"))
+    // Rank + cumulative share WITHOUT a window: the frame is ≤ K rows
+    // by construction, but the unpartitioned rank/cumsum windows here
+    // planned single-partition WindowExecs whose "No Partition
+    // Defined" degradation warnings buried real signals in every
+    // sweep log (a constant PARTITION BY doesn't help —
+    // EliminateWindowPartitions folds it back out). Instead: collapse
+    // the top-K cut to one sorted array ((cnt desc, t asc) via the
+    // negated-count struct key); posexplode gives the 1-based rank and
+    // a prefix-slice aggregate gives the running sum — O(K²) = 10⁴
+    // adds on ONE row, versus a single-partition exchange + window.
+    val curve = top
+      .agg(expr("sort_array(collect_list(named_struct('nc', -cnt, 't', t, 'cnt', cnt)))").as("a"))
+      .crossJoin(broadcast(total)) // one row each side
+      .select(col("a"), col("total"), posexplode(col("a")).as(Seq("pos", "s")))
+      .select(
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("s.t").as("term"), col("s.cnt").as("cnt"),
+        expr("10000 * aggregate(slice(a, 1, pos + 1), 0L, (acc, x) -> acc + x.cnt) DIV total")
+          .as("cum_e4"))
     graft.Scratch.seal(curve, counts).orderBy("rnk")
   }
 

@@ -350,12 +350,20 @@ object TrainOps {
     val tok = graft.Scratch.cp(Tables.documents(spark, dir)
       .select(col("doc_id"),
         posexplode(expr(s"regexp_extract_all(text, '$PretokRe', 0)")).as(Seq("pos", "t"))))
-    val byFreq = Window.orderBy(col("c").desc, col("t"))
+    // Rank WITHOUT a window: the frame is ≤ TokenizeVocab rows by
+    // construction, but an unpartitioned row_number() here planned a
+    // single-partition WindowExec whose "No Partition Defined"
+    // degradation warning buried real signals in every sweep log (a
+    // constant PARTITION BY doesn't help — EliminateWindowPartitions
+    // folds it back out). Instead: collapse the top-V cut to one
+    // sorted array ((c desc, t asc) via the negated-count struct key)
+    // and read the 1-based rank off posexplode — same vid assignment,
+    // one fewer exchange, zero window machinery.
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t")).limit(TokenizeVocab)
-      // the window runs on TokenizeVocab rows — bounded by construction
-      .withColumn("vid", row_number().over(byFreq).cast(LongType))
-      .select(col("t").as("vt"), col("vid"))
+      .agg(expr("sort_array(collect_list(named_struct('nc', -c, 't', t)))").as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "s")))
+      .select(col("s.t").as("vt"), (col("pos") + 1).cast(LongType).as("vid"))
     val ids = tok.join(broadcast(vocab), col("t") === col("vt"), "left")
       .select(col("doc_id"), col("pos"), coalesce(col("vid"), lit(0L)).as("id"))
       .groupBy("doc_id")

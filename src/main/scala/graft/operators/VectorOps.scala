@@ -334,13 +334,6 @@ object VectorOps {
     lshTopkFrom(bucketedOf(qIn, bands, bitsPerBand,
       keepBandVector = true), bands, k)
 
-  /** Candidate pairs materialize once each ([[firstSharedBand]] —
-    * the distinct this replaces shuffled the WHOLE candidate set,
-    * the operator's largest exchange by orders of magnitude), so the
-    * top-k window's partial rank-limit runs map-side on the join
-    * output and the only candidate-set-sized work left is the scoring
-    * projection itself. `b` must carry the band vector.
-    */
   /** Sub-bucket salt factor for the LSH candidate self-join — the
     * text-LSH salt-split (TextOps.minhashCandidatesSaltSplit) applied
     * to the vector join. At the default 4-bit band geometry every
@@ -356,8 +349,15 @@ object VectorOps {
   private[graft] val LshSaltFactor = 4
 
   /** The salted, canonical-band candidate self-join shared by the
-    * top-k path and the spec hook (`pairFilter` is =!= for top-k,
-    * < for the dedup pair stream).
+    * top-k path and the spec hook. Candidate pairs materialize once
+    * each ([[firstSharedBand]] — the distinct this replaces shuffled
+    * the WHOLE candidate set, the operator's largest exchange by
+    * orders of magnitude), so the top-k window's partial rank-limit
+    * runs map-side on the join output and the only
+    * candidate-set-sized work left is the scoring projection itself.
+    * `b` must carry the band vector. Pairs are emitted both ways
+    * (=!=, not <) because the top-k consumer ranks per q_id; the
+    * dedup pair stream (dedupEmbed) builds its own one-way join.
     */
   private def lshCandidateJoin(b: DataFrame, bands: Int): DataFrame = {
     val salted = b.withColumn("salt", pmod(hash(col("vec_id")), lit(LshSaltFactor)))
@@ -799,9 +799,13 @@ object VectorOps {
     //    whose exchange had been providing the spread by accident —
     //    was removed). A pinned-count hash repartition is the
     //    cheapest possible shuffle here and AQE keeps user-specified
-    //    counts; partitioning by q_id also leaves the join output
-    //    already distributed on q_id, so the shortlist window needs
-    //    NO exchange — the full candidate set never shuffles at all.
+    //    counts. (The join itself re-keys this side to cell — the
+    //    exchange-count spec pins hashpartitioning(cell) on the probe
+    //    side — so the join output is CELL-distributed and the
+    //    shortlist's q_id window costs one candidate-set exchange;
+    //    that exchange carries the rank-limit-pre-trimmed set, and
+    //    the repartition's real wins are the spread and the codegen
+    //    stage isolation below, not exchange elimination.)
     //
     // 2. STAGE-ISOLATE the ADC build: the repartition sits AFTER the
     //    ADC projection so the M×K-literal expression (which blows

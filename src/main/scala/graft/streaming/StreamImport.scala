@@ -2169,13 +2169,21 @@ object StreamImport {
     spark.conf.set("spark.sql.shuffle.partitions",
       spark0.conf.get("spark.sql.shuffle.partitions"))
     val subject = s"zeebe-export-gate-${System.nanoTime()}"
-    val msgs = toRecs(Tables.events(spark, dir))
+    // publish the gate corpus in BOUNDED chunks: toLocalIterator holds
+    // one partition's rows on the driver at a time (order preserved —
+    // the orderBy's range partitioning is the iteration order), so the
+    // harness's driver footprint is one partition, not the corpus. The
+    // whole-corpus .collect() that preceded this was the harness's
+    // first OOM at a larger gate corpus.
+    val msgIt = toRecs(Tables.events(spark, dir))
       .orderBy("ts_ms", "event_id")
       .select(to_json(struct(col("event_id"), col("ts_ms"), col("user_id"),
         col("event_type"), col("value"), col("k"))))
       .as[String](Encoders.STRING)
-      .collect()
-    graft.sources.QueueHub.publish(subject, msgs.toIndexedSeq)
+      .toLocalIterator()
+    import scala.jdk.CollectionConverters._
+    msgIt.asScala.grouped(65536)
+      .foreach(chunk => graft.sources.QueueHub.publish(subject, chunk))
     val work = java.nio.file.Files.createTempDirectory("graft_loop_gate_").toString
     val result = try {
       val sinkDir = s"$work/sink"
