@@ -10,85 +10,109 @@ import org.apache.spark.sql.functions._
   * b~c must collapse to ONE kept doc, which needs the transitive
   * closure, not the pair list).
   *
-  * Algorithm: min-label propagation WITH pointer doubling — every
-  * node starts labeled with itself; each round it takes the min over
-  * (its label, its neighbors' labels, its label's OWN label). The
-  * last term is the shortcut: label chains halve every round, so
-  * convergence is O(log diameter) rounds instead of O(diameter) —
-  * a 200-node path (diameter 199) converges well inside the 50-round
-  * cap (spec-pinned) where plain propagation would need 199. Each
-  * round is two joins + one aggregation, all on the node key, the
-  * shortcut join being a self-join of the (already materialized)
-  * label frame; lineage is truncated per round (localCheckpoint) so
-  * plans stay flat. This is the standard large-scale CC family
-  * (GraphX's Pregel CC plus the Hash-to-Min shortcut); no driver-side
-  * graph materializes.
+  * Algorithm: alternating large-star / small-star edge contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014 — the public two-phase algorithm GraphFrames ships).
+  * Each round rewrites the EDGE SET toward a star forest: large-star
+  * hooks every node's larger neighbors onto its neighborhood minimum,
+  * small-star re-points every node and its smaller neighbors at that
+  * minimum. The only fixed points are star forests whose roots are
+  * the component minima, and alternation reaches one in O(log² n)
+  * rounds (2-3 in practice on dedup graphs, whose clusters are
+  * near-cliques from banded LSH).
+  *
+  * Why contraction and not label propagation at 100 TB: propagation
+  * shuffles an N-row label table (plus the full edge list) EVERY
+  * round regardless of progress; contraction's working set is the
+  * edge list itself, which SHRINKS toward one star edge per non-root
+  * node as soon as hooks land — later rounds touch cluster
+  * membership, not the corpus. Each round is two groupBy-min + join
+  * passes over the current edges; lineage is truncated per round
+  * (graft.Scratch) so plans stay flat. No driver-side graph
+  * materializes.
   */
 object Components {
 
-  /** Label-propagate to convergence over an undirected edge list
-    * (columns `a_id`, `b_id`) covering `nodes` (column `doc_id`).
-    * Returns (doc_id, component) where component = min doc_id reachable.
-    * Superseded label generations and the symmetrized edge list are
-    * released as soon as they can no longer be read (graft.Scratch);
-    * only the final labels stay materialized for the caller.
+  /** Rounds taken by the most recent [[connectedComponents]] run on
+    * this JVM (diagnostic hook for specs and the PLANS.md scale
+    * record; -1 until a run completes).
+    */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Contract to a star forest over an undirected edge list (columns
+    * `a_id`, `b_id`) covering `nodes` (column `doc_id`). Returns
+    * (doc_id, component) where component = min doc_id reachable.
+    * Superseded edge generations are released as soon as they can no
+    * longer be read (graft.Scratch); only the final labels stay
+    * materialized for the caller.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    // materialize the edge list ONCE — the loop re-reads it every
-    // round, and without the barrier each round would recompute the
-    // full candidate-generation plan (minhash signatures included)
-    val sym = graft.Scratch.cp(
-      edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    // canonical large→small orientation, deduped, self-loops dropped —
+    // materialized ONCE so the loop never recomputes the candidate
+    // generation (minhash signatures included) feeding the edge list
+    var cur = graft.Scratch.cp(
+      edges.select(
+        greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var curCount = cur.count()
     val MaxRounds = 50
-    var labels = graft.Scratch.cp(
-      nodes.select(col("doc_id"), col("doc_id").as("component")))
-    // labels only ever decrease; the label sum is a strictly
-    // decreasing convergence witness (one agg per round, carried
-    // over). Summed in decimal(38,0) — a bigint sum would wrap at
-    // billion-node/large-id scale and wrapped equality is not a
-    // convergence proof. Sum over zero rows is null — an empty node
-    // set is already converged.
-    def witnessOf(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-    val first = witnessOf(labels)
-    if (first == null) { graft.Scratch.free(sym); return labels }
-    var witness = first
     var converged = false
     var rounds = 0
     while (!converged && rounds < MaxRounds) {
-      val neighborMin = sym
-        .join(labels, sym("dst") === labels("doc_id"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min("component").as("nbr_min"))
-      // pointer shortcut: my label is always some node's id, so look
-      // up THAT node's label — chains halve per round (O(log d))
-      val ptrMin = labels.as("l1")
-        .join(labels.as("l2"), col("l1.component") === col("l2.doc_id"))
-        .select(col("l1.doc_id").as("doc_id"), col("l2.component").as("ptr_min"))
-      val next = graft.Scratch.cp(labels.as("l")
-        .join(neighborMin.as("n"), Seq("doc_id"), "left")
-        .join(ptrMin.as("p"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("component"),
-            coalesce(col("nbr_min"), col("component")),
-            coalesce(col("ptr_min"), col("component"))).as("component")))
-      val after = witnessOf(next)
-      converged = witness.compareTo(after) == 0
-      witness = after
-      graft.Scratch.free(labels)
-      labels = next
+      // LARGE-STAR over the symmetric neighborhood: for each node u
+      // with m = min(Γ(u) ∪ {u}), hook every LARGER neighbor v
+      // directly onto m. Emitted edges keep the canonical orientation
+      // by construction (v > u ≥ m).
+      val sym = cur.select(col("u"), col("v"))
+        .union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR on the (already large→small) result: for each node
+      // u with m = min of its smaller neighbors, re-point u AND every
+      // other smaller neighbor at m. Again canonical by construction.
+      val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = graft.Scratch.cp(
+        ls.join(mins2, "u")
+          .select(col("v").as("n"), col("m"))
+          .filter(col("n") =!= col("m"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .union(mins2.select(col("u"), col("m").as("v")))
+          .distinct())
+      // Converged ⟺ the edge set reached a fixed point (Kiveris: the
+      // fixed points are exactly the star forests). Both generations
+      // are distinct sets, so count equality + one-sided emptiness of
+      // the difference proves set equality — two cheap jobs over the
+      // CONTRACTED (shrinking) edge set, not the corpus.
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.exceptAll(cur).isEmpty
+      graft.Scratch.free(cur)
+      cur = next
+      curCount = nextCount
       rounds += 1
     }
-    graft.Scratch.free(sym)
-    // with shortcutting, MaxRounds=50 covers diameters up to ~2^50 —
-    // hitting it means the loop is broken, not the graph too long;
-    // silent under-merge is worse than failing loudly
+    lastRounds.set(rounds)
+    // 50 rounds covers the O(log² n) bound at any conceivable corpus —
+    // hitting the cap means the loop is broken, not the graph too
+    // large; silent under-merge is worse than failing loudly
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $MaxRounds rounds — graph diameter too large")
-    labels
+        s"connectedComponents did not converge in $MaxRounds rounds")
+    // star forest: every non-root carries exactly one edge (u → its
+    // component root). The groupBy-min is the identity there and
+    // pins the 1:1 shape even if a future edit perturbs the loop.
+    val roots = cur.groupBy(col("u").as("doc_id")).agg(min("v").as("component"))
+    val labels = nodes
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    graft.Scratch.seal(labels, cur)
   }
 
   /** Minhash-LSH candidate pairs → duplicate clusters: one row per

@@ -18,16 +18,20 @@ class ComponentsPropertySpec extends SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  test("pointer doubling: a 200-node path (diameter 199) converges inside the round cap") {
+  test("star contraction: a 200-node path (diameter 199) converges inside the round cap") {
     import spark.implicits._
     val n = 200
     val nodes = (0L until n.toLong).toDF("doc_id")
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
     // plain O(diameter) propagation would need 199 rounds and trip the
-    // MaxRounds=50 loud failure; the shortcut closes in O(log d)
+    // MaxRounds=50 loud failure; large-star/small-star contraction
+    // closes in O(log² n) — well under the cap even on the worst-case
+    // path shape (dedup graphs are near-cliques and take 2-3)
     val got = Components.connectedComponents(nodes, edges).collect()
     assert(got.length == n)
     assert(got.forall(_.getLong(1) == 0L), "every node must collapse to component 0")
+    val r = Components.lastRounds.get()
+    assert(r > 0 && r <= 20, s"path contraction took $r rounds — contraction broken?")
   }
 
   test("connectedComponents matches union-find on 15 seeded random graphs") {
