@@ -18,8 +18,17 @@ object Bench {
     // optional isolation filter (comma-separated names): lets a slow
     // query be re-timed alone, outside sweep order — full sweep when unset
     val only = Graft.nameFilter("SPARK_GRAFT_BENCH_ONLY")
+    // family filter: the round chain's stream-protocol A/B re-times
+    // exactly the streaming family (by queries-map membership, same
+    // rule as the partitioning conf below) without hardcoding the
+    // name list in the shell script
+    val famOnly = sys.env.get("SPARK_GRAFT_BENCH_FAMILY").map(_.trim).filter(_.nonEmpty)
+    famOnly.foreach(f => require(f == "stream",
+      s"SPARK_GRAFT_BENCH_FAMILY supports only 'stream', got '$f'"))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        famOnly.forall(_ => streaming.StreamImport.queries.contains(name)) }
     // warm the STREAMING machinery too (state-store provider, streaming
     // codegen paths, sink round-trip classes) — without this the
     // alphabetically-first stream_* query absorbs several seconds of
@@ -143,12 +152,16 @@ object Bench {
     // BENCH_<dirname>.json, with sf0.1 mapped to the legacy
     // BENCH_full.json name the round artifacts already use
     val dirName = new java.io.File(sfDir).getName
-    // an isolated re-time (BENCH_ONLY set) must never clobber the
-    // standing full-sweep artifact with a few-query file
-    val artifact =
-      if (only.nonEmpty) "BENCH_isolated.json"
-      else if (dirName == "sf0.1") "BENCH_full.json"
-      else s"BENCH_$dirName.json"
+    // an isolated re-time (BENCH_ONLY/FAMILY set) must never clobber
+    // the standing full-sweep artifact with a few-query file; an
+    // explicit SPARK_GRAFT_BENCH_ARTIFACT names the file directly
+    // (the round chain's stream-A/B and sf10 subset points use it)
+    val artifact = sys.env.get("SPARK_GRAFT_BENCH_ARTIFACT")
+      .map(_.trim).filter(_.nonEmpty).getOrElse {
+        if (only.nonEmpty || famOnly.nonEmpty) "BENCH_isolated.json"
+        else if (dirName == "sf0.1") "BENCH_full.json"
+        else s"BENCH_$dirName.json"
+      }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(artifact), fullLine + "\n")
     catch { case e: Throwable =>

@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# End-of-round consolidation chain. Run DETACHED — it takes ~50-70 min:
+#
+#   nohup bash tools/round_chain.sh > /tmp/chain.log 2>&1 &
+#   tail -f /tmp/chain.status
+#
+# Steps (each logs to its own /tmp/chain_*.log; progress to /tmp/chain.status):
+#   1. full ScalaTest suite
+#   2. sf0.1 full bench, 3 reps                         -> BENCH_full.json
+#   3. stream-family A/B at the PRODUCTION 32-partition
+#      state sizing (the bench default is 8 — this run
+#      keeps the re-based streaming baseline honest)     -> BENCH_stream32.json
+#   4. sf1 full bench, 1 rep (regenerates testdata/sf1
+#      first if the corpus is absent)                    -> BENCH_sf1.json
+#   5. CHAIN_SF10=1 only: slow-family sweep at sf10
+#      (regenerating testdata/sf10 if absent)            -> BENCH_sf10.json
+set -u
+cd "$(dirname "$0")/.."
+STATUS=/tmp/chain.status
+note() { echo "$(date +%T) $*" >> "$STATUS"; }
+: > "$STATUS"
+
+note "tests: start"
+if sbt -batch test > /tmp/chain_test.log 2>&1; then
+  note "tests: PASS ($(grep -c 'Tests: succeeded' /tmp/chain_test.log) suites reported)"
+else
+  note "tests: FAIL (see /tmp/chain_test.log)"
+fi
+
+note "bench sf0.1: start"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.Bench" > /tmp/chain_bench01.log 2>&1
+note "bench sf0.1: done $(grep -o '"value":[0-9.]*' BENCH_full.json 2>/dev/null | head -1)"
+
+note "stream A/B @32 parts: start"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_FAMILY=stream SPARK_GRAFT_STREAM_SHUFFLE=32 \
+  SPARK_GRAFT_BENCH_ARTIFACT=BENCH_stream32.json \
+  sbt -batch "runMain graft.Bench" > /tmp/chain_stream32.log 2>&1
+note "stream A/B: done $(grep -o '"value":[0-9.]*' BENCH_stream32.json 2>/dev/null | head -1)"
+
+if [ ! -f testdata/sf1/lineitem.parquet ]; then
+  note "sf1 corpus: regenerating (it is gitignored and vanishes between rounds)"
+  python3 tools/make_sf1.py /root/testdata/sf0.1 testdata/sf1 10 > /tmp/chain_sf1gen.log 2>&1
+fi
+note "bench sf1: start"
+SPARK_GRAFT_SF_DIR="$PWD/testdata/sf1" SPARK_GRAFT_BENCH_REPS=1 \
+  sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf1.log 2>&1
+note "bench sf1: done $(grep -o '"value":[0-9.]*' BENCH_sf1.json 2>/dev/null | head -1)"
+
+if [ "${CHAIN_SF10:-0}" = "1" ]; then
+  if [ ! -f testdata/sf10/lineitem.parquet ]; then
+    note "sf10 corpus: regenerating (100 key-shifted copies of sf0.1)"
+    python3 tools/make_sf1.py /root/testdata/sf0.1 testdata/sf10 100 > /tmp/chain_sf10gen.log 2>&1
+  fi
+  # the slow families whose scaling exponents the 100 TB claims rest
+  # on (ann / dedup / multimodal / import / decontaminate) — a full
+  # 146-query sf10 sweep would be dominated by hours of small queries
+  SLOW="mm_pipeline,ann_pq,ann_lsh,ann_ivf,ann_bruteforce,dedup_minhash,dedup_simhash,dedup_ngram,dedup_embed,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
+  note "bench sf10 (slow families): start"
+  SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_GRAFT_BENCH_REPS=1 \
+    SPARK_GRAFT_BENCH_ONLY="$SLOW" \
+    SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf10.json \
+    sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf10.log 2>&1
+  note "bench sf10: done $(grep -o '"value":[0-9.]*' BENCH_sf10.json 2>/dev/null | head -1)"
+fi
+
+note "chain: COMPLETE"
