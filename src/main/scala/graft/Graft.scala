@@ -49,6 +49,16 @@ object Graft {
       // the JVM's own limits
       .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
       .config("spark.ui.enabled", "false")
+      // scratch backend selection (see graft.Scratch): set as a
+      // BUILDER conf so Bench/Verify's per-query child sessions
+      // (spark.newSession() restarts from SparkConf defaults) inherit
+      // the choice — a runtime-only set would silently revert to
+      // localCheckpoint inside the harnesses
+      .config("spark.graft.scratch",
+        sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "local"))
+      .config("spark.graft.scratch.dir",
+        sys.env.getOrElse("SPARK_GRAFT_SCRATCH_DIR",
+          sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-scratch"))
       .getOrCreate()
     functions.GraftFunctions.register(spark)
     spark

@@ -148,8 +148,26 @@ object Scratch {
         val dir = fs.makeQualified(raw)
         df.write.parquet(dir.toString)
         // explicit schema: an all-empty intermediate may leave no data
-        // files, and schema inference over zero footers would throw
-        val rd = spark.read.schema(df.schema).parquet(dir.toString)
+        // files, and schema inference over zero footers would throw.
+        // RESTORE SPREAD ON UNDER-SPLIT SCANS: a bench-scale scratch
+        // frame is small next to maxPartitionBytes, so the read-back
+        // bin-packs every part file into 1-2 splits — and the
+        // self-joins these frames feed do their quadratic
+        // pair-evaluation at whatever parallelism the probe side has
+        // (measured: ann_lsh 7.5 → 217 s at sf1 when the bucketed
+        // frame came back as 2 splits and the small file stats
+        // flipped the join to a 2-partition-probe broadcast join;
+        // localCheckpoint's LogicalRDD reports unknown-huge size and
+        // keeps the 32-way shuffle join). Re-spreading to the
+        // session's shuffle parallelism costs one round-robin
+        // exchange per consumer read — the durability tax at bench
+        // scale. At production scale the frame's natural split count
+        // exceeds the threshold and NO extra exchange is added.
+        val rd0 = spark.read.schema(df.schema).parquet(dir.toString)
+        val target = spark.sessionState.conf.numShufflePartitions
+        val rd =
+          if (rd0.rdd.getNumPartitions * 2 < target) rd0.repartition(target)
+          else rd0
         // track by the READ-BACK frame's own root paths so free()'s
         // leaf extraction matches byte-for-byte (qualification included)
         (rd, leafHandles(rd).collect { case d: DirHandle => d })
