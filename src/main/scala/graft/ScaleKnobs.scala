@@ -35,12 +35,20 @@ object ScaleKnobs {
     val out = Seq.newBuilder[String]
     out += "| family | geometry | secs | candidates | quality |"
     out += "|---|---|---|---|---|"
+    // family filter (comma list of minhash|ann_lsh|ann_ivf|ann_pq|
+    // components): a single-knob re-measure — e.g. after an LSH
+    // hashing change — must not pay the whole 400+ s sweep (whose
+    // machine load then pollutes any concurrent bench, as r11's
+    // driver artifact showed). Unset = everything.
+    val fams = Graft.nameFilter("SPARK_GRAFT_KNOBS_FAMILY")
+    def want(f: String): Boolean = fams.forall(_.contains(f))
 
     // ---------------- minhash: k × bandRows ----------------
     // truth = the exact (df-capped) n-gram Jaccard pairs; recall per
     // Jaccard band shows the LSH theory doing its job: strict
     // geometry keeps the high-j (true duplicate) pairs and sheds the
     // low-j tail that at 100 TB is pure candidate-verify waste.
+    if (want("minhash")) {
     val (truth, truthSecs) = timed {
       val t = Scratch.cp(operators.TextOps.dedupNgram(spark, sfDir)
         .select("a_id", "b_id", "jac_e4"))
@@ -71,23 +79,27 @@ object ScaleKnobs {
       // geometries; per-geometry frames are freed individually above
     }
     Scratch.releaseAll()
+    }
 
     // ---------------- ANN: exact baseline once ----------------
+    val wantAnn = want("ann_lsh") || want("ann_ivf") || want("ann_pq")
     def quant(): DataFrame =
       Scratch.cp(operators.VectorOps.quantizePlan(Tables.embeddings(spark, sfDir)))
     def topSets(df: DataFrame): Map[Long, Set[Long]] =
       df.select("q_id", "n_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val (exact, exactSecs) = timed {
+    val (exact, exactSecs) = if (wantAnn) timed {
       val v = quant()
       val bf = operators.VectorOps.annBruteforceFor(v, v, 3, maxQueries = Long.MaxValue)
       val m = topSets(bf)
       Scratch.free(v)
       m
-    }
+    } else (Map.empty[Long, Set[Long]], 0.0)
     val nQ = exact.size
-    out += s"| ann | exact brute-force top-3 ($nQ queries) | ${r2(exactSecs)} | ${nQ.toLong * (nQ - 1)} pairs scored | reference |"
-    Scratch.releaseAll()
+    if (wantAnn) {
+      out += s"| ann | exact brute-force top-3 ($nQ queries) | ${r2(exactSecs)} | ${nQ.toLong * (nQ - 1)} pairs scored | reference |"
+      Scratch.releaseAll()
+    }
     def recallOf(approx: Map[Long, Set[Long]]): Double = {
       val per = exact.toSeq.map { case (q, ex) =>
         approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size.max(1)
@@ -96,7 +108,7 @@ object ScaleKnobs {
     }
 
     // ---------------- ann_lsh: bands × bits ----------------
-    for ((bands, bits) <- Seq((4, 4), (8, 8), (8, 16))) {
+    if (want("ann_lsh")) for ((bands, bits) <- Seq((4, 4), (8, 8), (8, 16))) {
       val ((nCand, rec), secs) = timed {
         val b = Scratch.cp(operators.VectorOps.bucketed(spark, sfDir, bands, bits,
           keepBandVector = true))
@@ -111,7 +123,7 @@ object ScaleKnobs {
     }
 
     // ---------------- ann_ivf: cells × probes ----------------
-    for ((cells, probes) <- Seq((16, 2), (128, 8))) {
+    if (want("ann_ivf")) for ((cells, probes) <- Seq((16, 2), (128, 8))) {
       val (rec, secs) = timed {
         recallOf(topSets(operators.VectorOps.annIvfWith(spark, sfDir, cells, probes)))
       }
@@ -120,7 +132,7 @@ object ScaleKnobs {
     }
 
     // ---------------- ann_pq: codebook size ----------------
-    for (nCodes <- Seq(16, 256)) {
+    if (want("ann_pq")) for (nCodes <- Seq(16, 256)) {
       val (rec, secs) = timed {
         recallOf(topSets(operators.VectorOps.annPqOf(
           quant(), 16, 2, 3, 1, 1, nCodes = nCodes)))
@@ -130,11 +142,13 @@ object ScaleKnobs {
     }
 
     // ---------------- components: contraction rounds ----------------
-    val (nLabels, ccSecs) = timed {
-      operators.Components.dedupComponents(spark, sfDir).count()
+    if (want("components")) {
+      val (nLabels, ccSecs) = timed {
+        operators.Components.dedupComponents(spark, sfDir).count()
+      }
+      out += s"| components | large-star/small-star | ${r2(ccSecs)} | $nLabels nodes | rounds=${operators.Components.lastRounds.get()} |"
+      Scratch.releaseAll()
     }
-    out += s"| components | large-star/small-star | ${r2(ccSecs)} | $nLabels nodes | rounds=${operators.Components.lastRounds.get()} |"
-    Scratch.releaseAll()
 
     out.result().foreach(println)
     spark.stop()

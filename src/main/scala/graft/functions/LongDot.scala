@@ -134,6 +134,28 @@ object GraftFunctions {
     WinnowMins(children.head, w)
   }
 
+  /** Builder for `graft_lsh_buckets(q, bands, bitsPerBand)` — both
+    * geometry arguments must be integer literals (band geometry is
+    * plan-time, like minhash k / winnow w).
+    */
+  private[functions] def lshBucketsBuilder(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(children.length == 3,
+      "graft_lsh_buckets(q, bands, bitsPerBand) takes exactly 3 arguments")
+    def lit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_buckets: $what must be an integer literal, got $other")
+    }
+    val bands = lit(children(1), "bands")
+    val bits = lit(children(2), "bitsPerBand")
+    require(bands >= 1, s"graft_lsh_buckets: bands=$bands must be >= 1")
+    require(bits >= 1 && bits <= 62,
+      s"graft_lsh_buckets: bitsPerBand=$bits must be in [1, 62]")
+    LshBuckets(children.head, bands, bits)
+  }
+
   /** Builder for `graft_adc_dot(adc, codes, nCodes)` — nCodes must be
     * an integer literal (codebook geometry is plan-time, like
     * graft_winnow's window).
@@ -168,6 +190,7 @@ object GraftFunctions {
     ("graft_xorfold", classOf[XorFold], c => XorFold(c.head)),
     ("graft_maxrun", classOf[MaxRun], c => MaxRun(c.head)),
     ("graft_winnow", classOf[WinnowMins], winnowBuilder _),
+    ("graft_lsh_buckets", classOf[LshBuckets], lshBucketsBuilder _),
     ("graft_adc_dot", classOf[AdcDot], adcDotBuilder _))
 
   /** Idempotent for OUR functions: a name already registered with

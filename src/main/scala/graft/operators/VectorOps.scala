@@ -56,20 +56,11 @@ object VectorOps {
   /** Deterministic pseudo-random hyperplane j: 64 ints in [-1000, 1000]
     * derived from the portable md5 hash — both engines synthesize the
     * SAME planes, so bucketing is reproducible with no stored model.
-    * Spark-side the planes are folded to LITERAL arrays at plan build
-    * (they are constants — recomputing 16×64 md5s per row was the
-    * dominant cost of the bucketed ops).
+    * Spark-side the whole plane matrix lives inside the native
+    * `graft_lsh_buckets` expression (graft.functions.LshBuckets —
+    * LshBuckets.planeComponent is this same recipe); only the DuckDB
+    * rendering remains here.
     */
-  private def planeValue(j: Int, i: Int): Long = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${j}_$i".getBytes("UTF-8"))
-    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
-  }
-
-  private def planeExpr(j: Int): String =
-    (0 until Dim).map(i => s"${planeValue(j, i)}L").mkString("array(", ", ", ")")
-
   private def planeDuck(j: Int): String =
     s"[CAST(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('$j', '_', CAST(i AS VARCHAR))),1,15)) AS UBIGINT) % 2001 AS BIGINT) - 1000 " +
       s"for i in range(0, $Dim)]"
@@ -136,24 +127,23 @@ object VectorOps {
   private[graft] def bucketKeysPlan(q: DataFrame,
       bands: Int = Bands, bitsPerBand: Int = BitsPerBand,
       keepBandVector: Boolean = false): DataFrame = {
-    val nPlanes = bands * bitsPerBand
-    val withBits = (0 until nPlanes).foldLeft(q) { (d, j) =>
-      d.withColumn(s"bit$j",
-        expr(s"IF(${dotExpr("q", planeExpr(j))} >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"))
-    }
-    val withBuckets = (0 until bands).foldLeft(withBits) { (d, b) =>
-      val bits = (0 until bitsPerBand)
-        .map(k => s"shiftleft(bit${b * bitsPerBand + k}, $k)").mkString(" + ")
-      d.withColumn(s"bucket$b", expr(bits))
-    }
+    // all bands in ONE native pass (graft.functions.LshBuckets): the
+    // spelled-out form — bands*bits separate long_dot(q, <literal
+    // plane>) bit columns — re-walked the vector per plane and was the
+    // dominant constant of the production geometry (bands=8, bits=16:
+    // 128 dots/row; the r11 knob table's 34.9 s vs 10.5 s gap).
+    // Bucket values are bit-identical (LshBucketsSpec pins it), so the
+    // gate oracles are untouched.
+    GraftFunctions.register(q.sparkSession)
+    val withBuckets = q.withColumn("_bkts",
+      expr(s"graft_lsh_buckets(q, $bands, $bitsPerBand)"))
     val carriedNames =
       if (keepBandVector) (0 until bands).map(b => s"bb$b") else Seq.empty
     val carried = carriedNames.zipWithIndex.map {
-      case (n, b) => col(s"bucket$b").as(n)
+      case (n, b) => expr(s"_bkts[$b]").as(n)
     }
     withBuckets.select(Seq(col("vec_id"), col("q"), col("n2")) ++ carried :+
-      explode(expr(s"map_from_arrays(sequence(0, ${bands - 1}), " +
-        s"array(${(0 until bands).map(b => s"bucket$b").mkString(",")}))")): _*)
+      posexplode(col("_bkts")): _*)
       .toDF(Seq("vec_id", "q", "n2") ++ carriedNames ++ Seq("band_idx", "bucket"): _*)
   }
 

@@ -42,6 +42,40 @@ class FunctionsPropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_lsh_buckets matches the spelled-out long_dot formula across geometries") {
+    // the pre-native bucketKeysPlan: bands*bits literal-plane dots,
+    // bit_j = IF(dot >= 0, 1, 0), bucket_b = sum shiftleft(bit, k).
+    // The native pass must be bit-identical on every geometry —
+    // including the production bands=8/bits=16 — or the gate oracles
+    // and the r11 ScaleKnobs recall rows silently shift.
+    graft.functions.GraftFunctions.register(spark)
+    val dim = graft.functions.LshBuckets.Dim
+    def planeLit(j: Int): String =
+      (0 until dim).map(i =>
+        s"${graft.functions.LshBuckets.planeComponent(j, i)}L")
+        .mkString("array(", ", ", ")")
+    val rnd = new scala.util.Random(1031)
+    val vecs = Seq.fill(40)(
+      Seq.fill(dim)(rnd.nextInt(20001) - 10000L)) ++
+      Seq(Seq.fill(12)(rnd.nextInt(2001) - 1000L), // short vector: prefix rule
+        Seq.fill(dim)(0L)) // all-zero: every dot == 0 -> all bits set
+    for ((bands, bits) <- Seq((4, 4), (8, 16), (2, 8), (1, 1))) {
+      vecs.foreach { v =>
+        val arr = v.map(x => s"${x}L").mkString("array(", ", ", ")")
+        val spelled = (0 until bands).map { b =>
+          (0 until bits).map { k =>
+            s"shiftleft(IF(long_dot($arr, ${planeLit(b * bits + k)}) >= 0, " +
+              s"CAST(1 AS BIGINT), CAST(0 AS BIGINT)), $k)"
+          }.mkString(" + ")
+        }.mkString("array(", ", ", ")")
+        val row = spark.sql(
+          s"SELECT graft_lsh_buckets($arr, $bands, $bits) AS got, $spelled AS want").head()
+        assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+          s"lsh_buckets mismatch at bands=$bands bits=$bits")
+      }
+    }
+  }
+
   test("kmvMerge is a commutative, associative, idempotent monoid on random sketches") {
     val rnd = new scala.util.Random(7)
     val k = ApproxOps.KmvK
