@@ -55,14 +55,26 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   fi
   # the slow families whose scaling exponents the 100 TB claims rest
   # on (ann / dedup / multimodal / import / decontaminate) — a full
-  # 146-query sf10 sweep would be dominated by hours of small queries
-  SLOW="mm_pipeline,ann_pq,ann_lsh,ann_ivf,ann_bruteforce,dedup_minhash,dedup_simhash,dedup_ngram,dedup_embed,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
+  # 146-query sf10 sweep would be dominated by hours of small queries.
+  # EXCLUDED by design: ann_lsh / ann_pq / dedup_embed, whose GATE
+  # geometries (4-bit buckets, 16 coarse cells — the small-corpus
+  # settings the oracles pin) are intentionally quadratic in bucket
+  # density and OOM'd an 8g heap at sf10 on the first chain run; the
+  # production-geometry arm below measures those families at the
+  # settings that would actually run on a big corpus.
+  SLOW="mm_pipeline,ann_ivf,ann_bruteforce,dedup_minhash,dedup_simhash,dedup_ngram,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
   note "bench sf10 (slow families): start"
   SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_GRAFT_BENCH_REPS=1 \
-    SPARK_GRAFT_BENCH_ONLY="$SLOW" \
+    SPARK_GRAFT_BENCH_ONLY="$SLOW" SPARK_DRIVER_MEM=64g \
     SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf10.json \
     sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf10.log 2>&1
   note "bench sf10: done $(grep -o '"value":[0-9.]*' BENCH_sf10.json 2>/dev/null | head -1)"
+  note "sf10 ANN production geometries (time-only knobs): start"
+  SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_DRIVER_MEM=64g \
+    SPARK_GRAFT_KNOBS_FAMILY=ann_lsh,ann_ivf,ann_pq SPARK_GRAFT_KNOBS_TIME_ONLY=1 \
+    sbt -batch "runMain graft.ScaleKnobs" > /tmp/chain_knobs_sf10.log 2>&1
+  grep -E '^(\[info\] )?\| ' /tmp/chain_knobs_sf10.log | sed 's/^\[info\] //' > KNOBS_sf10.md 2>/dev/null
+  note "sf10 ANN production: done ($(wc -l < KNOBS_sf10.md 2>/dev/null) rows -> KNOBS_sf10.md)"
 fi
 
 note "chain: COMPLETE"
