@@ -42,34 +42,53 @@ object ScaleKnobs {
     // driver artifact showed). Unset = everything.
     val fams = Graft.nameFilter("SPARK_GRAFT_KNOBS_FAMILY")
     def want(f: String): Boolean = fams.forall(_.contains(f))
+    // time-only mode (SPARK_GRAFT_KNOBS_TIME_ONLY=1): skip the exact
+    // references (brute-force top-k, n-gram Jaccard truth) and measure
+    // wall + candidate density of the PRODUCTION geometries only. This
+    // is the ≥sf10 arm: the exact ANN baseline is 4×10^10 pairs at
+    // sf10 and the small-corpus gate geometries are by-design
+    // quadratic there (the r12 chain measured gate ann_lsh OOM-ing a
+    // 8g heap at sf10 — that IS the quadratic smell the production
+    // geometry exists to avoid, recorded in PLANS.md). Recall for the
+    // production geometries is pinned at sf1, where the exact
+    // reference is affordable; ≥sf10 re-measures cost, not quality.
+    val timeOnly = sys.env.get("SPARK_GRAFT_KNOBS_TIME_ONLY").contains("1")
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
 
-    // ---------------- minhash: k × bandRows ----------------
+    // ---------------- minhash / simhash: shared Jaccard truth ------
     // truth = the exact (df-capped) n-gram Jaccard pairs; recall per
     // Jaccard band shows the LSH theory doing its job: strict
     // geometry keeps the high-j (true duplicate) pairs and sheds the
     // low-j tail that at 100 TB is pure candidate-verify waste.
-    if (want("minhash")) {
-    val (truth, truthSecs) = timed {
+    val wantTruth = (want("minhash") || want("simhash")) && !timeOnly
+    val (truth, truthSecs) = if (wantTruth) timed {
       val t = Scratch.cp(operators.TextOps.dedupNgram(spark, sfDir)
         .select("a_id", "b_id", "jac_e4"))
       t.count(); t
-    }
-    val bandCounts = Seq(3000L, 6000L, 8000L).map { thr =>
+    } else (null: DataFrame, 0.0)
+    val bandCounts = if (wantTruth) Seq(3000L, 6000L, 8000L).map { thr =>
       thr -> truth.filter(col("jac_e4") >= thr).count()
-    }
-    out += s"| minhash | exact-truth (ngram jac, df-capped) | ${r2(truthSecs)} | " +
-      s"${bandCounts.map { case (t, c) => s"j≥$t:$c" }.mkString(" ")} | reference |"
+    } else Seq.empty
+    if (wantTruth)
+      out += s"| minhash | exact-truth (ngram jac, df-capped) | ${r2(truthSecs)} | " +
+        s"${bandCounts.map { case (t, c) => s"j≥$t:$c" }.mkString(" ")} | reference |"
+    def recallRows(cand: DataFrame): Seq[(Long, Double)] =
+      bandCounts.map { case (thr, total) =>
+        val hit = truth.filter(col("jac_e4") >= thr)
+          .join(cand, Seq("a_id", "b_id"), "left_semi").count()
+        (thr, if (total == 0) 1.0 else hit.toDouble / total)
+      }
+
+    // ---------------- minhash: k × bandRows ----------------
+    if (want("minhash") && !timeOnly) {
     for ((k, bandRows) <- Seq((8, 2), (64, 4), (128, 8))) {
       val ((nCand, recalls), secs) = timed {
         val cand = Scratch.cp(operators.TextOps
           .minhashCandidatesFullWith(spark, sfDir, k, bandRows)
           .select("a_id", "b_id"))
         val n = cand.count()
-        val rec = bandCounts.map { case (thr, total) =>
-          val hit = truth.filter(col("jac_e4") >= thr)
-            .join(cand, Seq("a_id", "b_id"), "left_semi").count()
-          (thr, if (total == 0) 1.0 else hit.toDouble / total)
-        }
+        val rec = recallRows(cand)
         Scratch.free(cand)
         (n, rec)
       }
@@ -78,8 +97,40 @@ object ScaleKnobs {
       // NO releaseAll inside this loop — `truth` must stay live across
       // geometries; per-geometry frames are freed individually above
     }
-    Scratch.releaseAll()
     }
+
+    // ---------------- simhash: signature width ----------------
+    // gate = (32 bits, 4×8 bands), production = (60, 4×15): same d≤3
+    // filter and pigeonhole recall argument, 2⁷ lower band density —
+    // the alpha=2.26 fix from the round-12 sf10 exponent table.
+    // Recall here is against the Jaccard truth like minhash (simhash
+    // d≤3 is a different detector than Jaccard; the j≥0.80 row is the
+    // "true near-dup" recall that matters). time-only runs production
+    // width only and reports density + wall.
+    // geometries are (bits, bands, maxHamming): d scales with the
+    // signature width — a fixed d on a wider signature is a strictly
+    // tighter detector (the (60,4,3) row quantifies that: 56× fewer
+    // candidates but recall 0.72-0.78 vs the gate's 0.92-0.95).
+    // Production = (60,6,5): d/bits ≈ the gate's operating point,
+    // bands = d+1 keeps exact pigeonhole recall.
+    val simGeoms =
+      if (timeOnly) Seq((60, 6, 5)) else Seq((32, 4, 3), (60, 4, 3), (60, 6, 5))
+    if (want("simhash")) for ((bits, bands, d) <- simGeoms) {
+      val ((nCand, recalls), secs) = timed {
+        val cand = Scratch.cp(operators.TextOps
+          .dedupSimhashWith(spark, sfDir, bits, bands, d)
+          .select("a_id", "b_id"))
+        val n = cand.count()
+        val rec = if (timeOnly) Seq.empty else recallRows(cand)
+        Scratch.free(cand)
+        (n, rec)
+      }
+      val qual =
+        if (timeOnly) "recall pinned at sf1"
+        else recalls.map { case (t, r) => s"recall j≥$t: ${r2(r)}" }.mkString(" ")
+      out += s"| simhash | bits=$bits bands=$bands d<=$d | ${r2(secs)} | $nCand | $qual |"
+    }
+    Scratch.releaseAll()
 
     // ---------------- ANN: exact baseline once ----------------
     val wantAnn = want("ann_lsh") || want("ann_ivf") || want("ann_pq")
@@ -88,16 +139,21 @@ object ScaleKnobs {
     def topSets(df: DataFrame): Map[Long, Set[Long]] =
       df.select("q_id", "n_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val (exact, exactSecs) = if (wantAnn) timed {
+    val (exact, exactSecs) = if (wantAnn && !timeOnly) timed {
       val v = quant()
       val bf = operators.VectorOps.annBruteforceFor(v, v, 3, maxQueries = Long.MaxValue)
       val m = topSets(bf)
       Scratch.free(v)
       m
     } else (Map.empty[Long, Set[Long]], 0.0)
-    val nQ = exact.size
-    if (wantAnn) {
-      out += s"| ann | exact brute-force top-3 ($nQ queries) | ${r2(exactSecs)} | ${nQ.toLong * (nQ - 1)} pairs scored | reference |"
+    // time-only: the /query density denominator is the corpus size
+    // (every vector is a query in these self-search shapes)
+    val nQ = if (timeOnly) {
+      if (wantAnn) { val v = quant(); val n = v.count(); Scratch.free(v); n }
+      else 0L
+    } else exact.size.toLong
+    if (wantAnn && !timeOnly) {
+      out += s"| ann | exact brute-force top-3 ($nQ queries) | ${r2(exactSecs)} | ${nQ * (nQ - 1)} pairs scored | reference |"
       Scratch.releaseAll()
     }
     def recallOf(approx: Map[Long, Set[Long]]): Double = {
@@ -108,36 +164,64 @@ object ScaleKnobs {
     }
 
     // ---------------- ann_lsh: bands × bits ----------------
-    if (want("ann_lsh")) for ((bands, bits) <- Seq((4, 4), (8, 8), (8, 16))) {
+    // time-only drops the 4-bit gate row: its bucket density is
+    // by-design quadratic on big corpora (small-corpus setting).
+    val lshGeoms =
+      if (timeOnly) Seq((8, 8), (8, 16)) else Seq((4, 4), (8, 8), (8, 16))
+    if (want("ann_lsh")) for ((bands, bits) <- lshGeoms) {
       val ((nCand, rec), secs) = timed {
         val b = Scratch.cp(operators.VectorOps.bucketed(spark, sfDir, bands, bits,
           keepBandVector = true))
         val n = operators.VectorOps.annLshCandidatesForSpec(b, bands).count()
         val topk = operators.VectorOps.annLshWith(spark, sfDir, bands, bits)
-        val r = recallOf(topSets(topk))
+        val r = if (timeOnly) { noop(topk); -1.0 } else recallOf(topSets(topk))
         Scratch.free(b)
         (n, r)
       }
-      out += s"| ann_lsh | bands=$bands bits=$bits | ${r2(secs)} | $nCand (${r2(nCand.toDouble / nQ)}/query) | recall@3 ${r2(rec)} |"
+      val qual = if (timeOnly) "recall pinned at sf1" else s"recall@3 ${r2(rec)}"
+      out += s"| ann_lsh | bands=$bands bits=$bits | ${r2(secs)} | $nCand (${r2(nCand.toDouble / nQ)}/query) | $qual |"
       Scratch.releaseAll()
     }
 
     // ---------------- ann_ivf: cells × probes ----------------
-    if (want("ann_ivf")) for ((cells, probes) <- Seq((16, 2), (128, 8))) {
+    // the production rule is cells ∝ corpus (annIvfWith scaladoc):
+    // per-query candidates = n·probes/cells, so FIXED cells is n²
+    // total — the gate's cells=16 measured alpha=2.16 at sf10
+    // (PLANS.md exponent table). time-only scales cells to hold the
+    // sf1 production slice (~156 vectors/cell at 128 cells / 20k
+    // vectors), rounded to a power of two: per-query candidate work
+    // is then constant across scale points and the total is linear.
+    def cellsForCorpus(n: Long): Int = {
+      val target = math.max(128.0, n / 156.0)
+      math.pow(2, math.round(math.log(target) / math.log(2)).toDouble).toInt
+    }
+    val ivfGeoms =
+      if (timeOnly) Seq((cellsForCorpus(nQ), 8)) else Seq((16, 2), (128, 8))
+    if (want("ann_ivf")) for ((cells, probes) <- ivfGeoms) {
       val (rec, secs) = timed {
-        recallOf(topSets(operators.VectorOps.annIvfWith(spark, sfDir, cells, probes)))
+        val topk = operators.VectorOps.annIvfWith(spark, sfDir, cells, probes)
+        if (timeOnly) { noop(topk); -1.0 } else recallOf(topSets(topk))
       }
-      out += s"| ann_ivf | cells=$cells probes=$probes | ${r2(secs)} | ~${nQ.toLong * probes / cells.max(1)}/query | recall@3 ${r2(rec)} |"
+      val qual = if (timeOnly) "recall pinned at sf1" else s"recall@3 ${r2(rec)}"
+      out += s"| ann_ivf | cells=$cells probes=$probes | ${r2(secs)} | ~${nQ * probes / cells.max(1)}/query | $qual |"
       Scratch.releaseAll()
     }
 
     // ---------------- ann_pq: codebook size ----------------
-    if (want("ann_pq")) for (nCodes <- Seq(16, 256)) {
+    // time-only pairs the big codebook with production cells — the
+    // gate's 16 coarse cells put nQ/16×probes candidates on every
+    // query, a small-corpus setting like LSH's 4-bit buckets.
+    val pqGeoms =
+      if (timeOnly) Seq((256, cellsForCorpus(nQ), 8))
+      else Seq((16, 16, 2), (256, 16, 2))
+    if (want("ann_pq")) for ((nCodes, cells, probes) <- pqGeoms) {
       val (rec, secs) = timed {
-        recallOf(topSets(operators.VectorOps.annPqOf(
-          quant(), 16, 2, 3, 1, 1, nCodes = nCodes)))
+        val topk = operators.VectorOps.annPqOf(
+          quant(), cells, probes, 3, 1, 1, nCodes = nCodes)
+        if (timeOnly) { noop(topk); -1.0 } else recallOf(topSets(topk))
       }
-      out += s"| ann_pq | M=8 K=$nCodes cells=16 probes=2 | ${r2(secs)} | shortlist=${operators.VectorOps.PqRerank}/query | recall@3 ${r2(rec)} |"
+      val qual = if (timeOnly) "recall pinned at sf1" else s"recall@3 ${r2(rec)}"
+      out += s"| ann_pq | M=8 K=$nCodes cells=$cells probes=$probes | ${r2(secs)} | shortlist=${operators.VectorOps.PqRerank}/query | $qual |"
       Scratch.releaseAll()
     }
 

@@ -134,6 +134,21 @@ object GraftFunctions {
     WinnowMins(children.head, w)
   }
 
+  /** Builder for `graft_simhash(arr, bits)` — bits must be an integer
+    * literal (signature width is plan-time geometry, like minhash k).
+    */
+  private[functions] def simHashBuilder(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(children.length == 2, "graft_simhash(arr, bits) takes exactly 2 arguments")
+    val bits = children(1) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash(arr, bits): bits must be an integer literal, got $other")
+    }
+    SimHashBits(children.head, bits)
+  }
+
   /** Builder for `graft_lsh_buckets(q, bands, bitsPerBand)` — both
     * geometry arguments must be integer literals (band geometry is
     * plan-time, like minhash k / winnow w).
@@ -183,6 +198,7 @@ object GraftFunctions {
     ("long_dot", classOf[LongDot], c => LongDot(c.head, c(1))),
     ("graft_hash60", classOf[Hash60], c => Hash60(c.head)),
     ("graft_simhash32", classOf[SimHash32], c => SimHash32(c.head)),
+    ("graft_simhash", classOf[SimHashBits], simHashBuilder _),
     ("graft_minhash8", classOf[MinHashK],
       c => MinHashK(c.head, MinhashA, MinhashB, MinhashP)),
     ("graft_minhash", classOf[MinHashK], minhashBuilder _),

@@ -80,6 +80,56 @@ case class SimHash32(child: Expression) extends HashArrayExpression {
   override def prettyName: String = "graft_simhash32"
 }
 
+/** SimHash over the low `bits` bits of the 60-bit token hashes — the
+  * PARAMETRIC width behind dedup_simhash's scale knob. The 32-bit
+  * gate signature (SimHash32, oracle-pinned) bands 4×8 and its
+  * per-band candidate density is ~n²/2⁹ — measured quadratic at sf10
+  * (alpha 2.26, PLANS.md round-12 exponent table). The production
+  * geometry keeps the SAME 4 bands (pigeonhole: Hamming ≤ 3 still
+  * guarantees a matching band) but votes all 60 hash bits, so bands
+  * are 15 wide and density drops 2⁷ to ~n²/2¹⁶ per band. The low 32
+  * bits of graft_simhash(arr, 60) equal graft_simhash32(arr) by
+  * construction (same votes), pinned by spec.
+  */
+case class SimHashBits(child: Expression, bits: Int) extends HashArrayExpression {
+  require(bits >= 1 && bits <= 60,
+    s"graft_simhash: bits=$bits must be in [1, 60] (hash60 width)")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashBits.sig(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.SimHashBits.sig($s, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}
+
+object SimHashBits {
+  def sig(hs: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
 /** k affine-permutation minhashes over the Mersenne prime 2^31-1:
   * mh_i = min over hashes h of (A_i * (h mod p) + B_i) mod p. Products
   * stay < 2^62 so the arithmetic is exact in any engine. Returns

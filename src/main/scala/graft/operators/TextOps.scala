@@ -1266,36 +1266,73 @@ object TextOps {
   private val SimBits = 32
   private val SimBands = 4 // 8 bits each — exact-recall band count for d<=3
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashWith(spark, dir, SimBits, SimBands)
+
+  /** dedup_simhash with explicit signature width × band count — the
+    * SCALE knob. The gate geometry (32 bits, 4×8 bands — what the
+    * oracle pins) has per-band candidate density ~n²/2⁹: measured
+    * alpha = 2.26 across sf1→sf10 (PLANS.md round-12 exponent table).
+    * Production = (60, 4): same 4 bands so the pigeonhole d≤3 recall
+    * argument is unchanged, but 15-bit bands shed density 2⁷. Width
+    * is capped by hash60 (the portable token hash); band count stays
+    * the d+1 floor — growing bands narrows them and breaks the
+    * guarantee.
+    */
+  def dedupSimhashWith(spark: SparkSession, dir: String,
+      bits: Int, bands: Int, maxHamming: Int = 3): DataFrame =
+    dedupSimhashOf(Tables.documents(spark, dir), bits, bands, maxHamming)
+
+  /** Parametric simhash dedup over a caller-supplied (doc_id, text)
+    * frame — the corpus-independent entry the geometry specs drive
+    * with planted duplicates. `maxHamming` scales with the signature
+    * width (d≤3 of 32 bits ≈ d≤5-6 of 60 — a fixed d on a wider
+    * signature is a strictly tighter detector, measured in the
+    * ScaleKnobs simhash table); the pigeonhole recall guarantee
+    * requires bands ≥ maxHamming + 1.
+    */
+  private[graft] def dedupSimhashOf(docs: DataFrame,
+      bits: Int, bands: Int, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0,
+      s"dedup_simhash: bits=$bits must split evenly into bands=$bands")
+    require(bands >= maxHamming + 1,
+      s"dedup_simhash: bands=$bands < maxHamming+1=${maxHamming + 1} voids the pigeonhole recall guarantee")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    GraftFunctions.register(docs.sparkSession)
+    // the gate signature keeps the oracle's spelled-out function name;
+    // parametric widths go through graft_simhash(arr, bits) — same
+    // votes, low-32 prefix pinned by spec
+    val sigExpr =
+      if (bits == 32) s"graft_simhash32(${hxAll("split(text,' ')")})"
+      else s"graft_simhash(${hxAll("split(text,' ')")}, $bits)"
     // signatures materialize once — they feed all band-join inputs;
     // without the barrier each side re-hashes the corpus
-    val sigs = graft.Scratch.cp(Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        expr(s"graft_simhash32(${hxAll("split(text,' ')")})").as("sig")))
+    val sigs = graft.Scratch.cp(docs
+      .select(col("doc_id"), expr(sigExpr).as("sig")))
     // each pair emits from its FIRST matching band only (the ann_lsh
     // canonical-band argument, row-local over the two sigs), so the
-    // 4-way union is disjoint BY CONSTRUCTION and the distinct that
-    // re-shuffled the whole pair set (~n²/256 × bands rows) is gone;
-    // the d<=3 filter keeps full recall unchanged — pigeonhole still
-    // guarantees at least one matching band, and WHICH band emits a
-    // pair doesn't change the pair
+    // bands-way union is disjoint BY CONSTRUCTION and the distinct
+    // that re-shuffled the whole pair set (~n²/2^w × bands rows) is
+    // gone; the d<=3 filter keeps full recall unchanged — pigeonhole
+    // still guarantees at least one matching band, and WHICH band
+    // emits a pair doesn't change the pair
     def bandJoin(b: Int) = {
-      val shift = b * 8
+      val shift = b * w
       val canonical =
         if (b == 0) "true"
         else (0 until b).map { i =>
-          s"(shiftright(a.sig, ${i * 8}) & 255) <> (shiftright(b.sig, ${i * 8}) & 255)"
+          s"(shiftright(a.sig, ${i * w}) & $mask) <> (shiftright(b.sig, ${i * w}) & $mask)"
         }.mkString(" AND ")
       sigs.as("a").join(sigs.as("b"),
-        expr(s"(shiftright(a.sig, $shift) & 255) = (shiftright(b.sig, $shift) & 255)") &&
+        expr(s"(shiftright(a.sig, $shift) & $mask) = (shiftright(b.sig, $shift) & $mask)") &&
           expr(canonical) &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           expr("bit_count(a.sig ^ b.sig)").cast(LongType).as("hamming"))
     }
-    val pairs = (0 until SimBands).map(bandJoin).reduce(_ union _)
-      .filter(col("hamming") <= 3)
+    val pairs = (0 until bands).map(bandJoin).reduce(_ union _)
+      .filter(col("hamming") <= maxHamming)
     graft.Scratch.seal(pairs, sigs).orderBy("a_id", "b_id")
   }
 

@@ -76,6 +76,26 @@ class FunctionsPropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_simhash(arr, 60) low 32 bits equal graft_simhash32 (prefix pin)") {
+    // the parametric width claims its low-32 prefix IS the gate
+    // signature (same per-bit votes) — what makes production (60,4)
+    // pairs a strict subset of gate pairs in SimhashSpec's sense
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(271)
+    val cases = Seq.fill(100)(
+      Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong() & ((1L << 60) - 1))) :+
+      Seq(0L) :+ Seq((1L << 60) - 1)
+    cases.foreach { hs =>
+      val arr = hs.map(h => s"${h}L").mkString("array(", ", ", ")")
+      val row = spark.sql(
+        s"SELECT graft_simhash($arr, 60) & 4294967295 AS lo, " +
+          s"graft_simhash32($arr) AS gate, " +
+          s"graft_simhash($arr, 32) AS p32").head()
+      assert(row.getLong(0) == row.getLong(1), s"prefix mismatch on $hs")
+      assert(row.getLong(2) == row.getLong(1), s"width-32 mismatch on $hs")
+    }
+  }
+
   test("kmvMerge is a commutative, associative, idempotent monoid on random sketches") {
     val rnd = new scala.util.Random(7)
     val k = ApproxOps.KmvK

@@ -424,6 +424,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mhRecall >= 0.9, s"minhash finds only ${(mhRecall * 100).round}% of ngram pairs")
   }
 
+  test("dedup_simhash production geometry (60,4): subset of gate pairs, exact dups kept") {
+    // prefix pin (FunctionsPropertySpec) ⇒ hamming on the 60-bit sig
+    // >= hamming on its low-32 gate prefix, so the d<=3 production
+    // pair set must be a SUBSET of the gate's — the wider signature
+    // only sheds, never invents. And identical texts hash to identical
+    // sigs at any width, so exact-duplicate pairs survive every
+    // geometry (the recall floor the pigeonhole argument guarantees).
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gate = pairSet(TextOps.dedupSimhash(spark, sfDir))
+    val prod = TextOps.dedupSimhashWith(spark, sfDir, 60, 4)
+    assert(prod.filter(col("hamming") > 3 || col("a_id") >= col("b_id")).count() == 0)
+    val prodSet = pairSet(prod)
+    assert(prodSet.subsetOf(gate),
+      s"${(prodSet -- gate).size} production pairs missing from the gate set")
+    // exact-dup floor on PLANTED duplicates (the corpus's near-dups
+    // are perturbed, never verbatim): doc k duplicated as doc k+10^6
+    // must pair at hamming 0 under every geometry
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(40)
+    val planted = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val wanted = docs.select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    for ((bits, bands, d) <- Seq((60, 4, 3), (60, 6, 5))) {
+      val plantedPairs = pairSet(
+        TextOps.dedupSimhashOf(planted, bits, bands, d).filter(col("hamming") === 0))
+      assert(wanted.subsetOf(plantedPairs),
+        s"${(wanted -- plantedPairs).size} planted exact-dup pairs lost at ($bits,$bands,d<=$d)")
+    }
+  }
+
   test("dedup_components: labels are transitively closed over candidate pairs") {
     import graft.operators.Components
     val comp = Components.dedupComponents(spark, sfDir)
