@@ -134,16 +134,26 @@ object VectorOps {
     // 128 dots/row; the r11 knob table's 34.9 s vs 10.5 s gap).
     // Bucket values are bit-identical (LshBucketsSpec pins it), so the
     // gate oracles are untouched.
+    // the EXPLODE shape is deliberately the pre-native one (scalar
+    // bucket columns -> map_from_arrays -> explode): switching to
+    // posexplode(_bkts) regressed the stream-static join of stream_ann
+    // 1.6x at sf1 (7.2 -> 11.7 s isolated A/B) — only the per-plane
+    // hashing moved into the native pass, the generator and join
+    // planning see the exact plan shape they always did.
     GraftFunctions.register(q.sparkSession)
-    val withBuckets = q.withColumn("_bkts",
+    val withBkts = q.withColumn("_bkts",
       expr(s"graft_lsh_buckets(q, $bands, $bitsPerBand)"))
+    val withBuckets = (0 until bands).foldLeft(withBkts) { (d, b) =>
+      d.withColumn(s"bucket$b", expr(s"_bkts[$b]"))
+    }
     val carriedNames =
       if (keepBandVector) (0 until bands).map(b => s"bb$b") else Seq.empty
     val carried = carriedNames.zipWithIndex.map {
-      case (n, b) => expr(s"_bkts[$b]").as(n)
+      case (n, b) => col(s"bucket$b").as(n)
     }
     withBuckets.select(Seq(col("vec_id"), col("q"), col("n2")) ++ carried :+
-      posexplode(col("_bkts")): _*)
+      explode(expr(s"map_from_arrays(sequence(0, ${bands - 1}), " +
+        s"array(${(0 until bands).map(b => s"bucket$b").mkString(",")}))")): _*)
       .toDF(Seq("vec_id", "q", "n2") ++ carriedNames ++ Seq("band_idx", "bucket"): _*)
   }
 
