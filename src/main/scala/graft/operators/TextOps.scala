@@ -1273,11 +1273,16 @@ object TextOps {
     * SCALE knob. The gate geometry (32 bits, 4×8 bands — what the
     * oracle pins) has per-band candidate density ~n²/2⁹: measured
     * alpha = 2.26 across sf1→sf10 (PLANS.md round-12 exponent table).
-    * Production = (60, 4): same 4 bands so the pigeonhole d≤3 recall
-    * argument is unchanged, but 15-bit bands shed density 2⁷. Width
-    * is capped by hash60 (the portable token hash); band count stays
-    * the d+1 floor — growing bands narrows them and breaks the
-    * guarantee.
+    * PRODUCTION = (60, 6, d≤5) — the geometry ScaleKnobs/README/SURVEY
+    * name: d/bits stays at the gate's operating point (recall within
+    * 2 points of the gate at 19× fewer candidates, KNOBS_sf10), and
+    * bands = d+1 keeps the exact pigeonhole guarantee. The (60, 4,
+    * d≤3) point is the SUBSET-PIN TEST geometry only (same band count
+    * as the gate so the prefix-subset spec applies; its fixed d on a
+    * wider signature is a strictly tighter detector — recall measured
+    * 0.72-0.78 in the knob table). Width is capped by hash60 (the
+    * portable token hash); band count stays the d+1 floor — growing
+    * bands narrows them and breaks the guarantee.
     */
   def dedupSimhashWith(spark: SparkSession, dir: String,
       bits: Int, bands: Int, maxHamming: Int = 3): DataFrame =

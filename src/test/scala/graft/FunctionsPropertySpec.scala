@@ -50,9 +50,20 @@ class FunctionsPropertySpec extends SparkSpec {
     // and the r11 ScaleKnobs recall rows silently shift.
     graft.functions.GraftFunctions.register(spark)
     val dim = graft.functions.LshBuckets.Dim
+    // INDEPENDENT plane derivation — the md5 first-15-hex-digit parse
+    // the DuckDB oracle renders (VectorOps.planeDuck) — NOT
+    // LshBuckets.planeComponent: deriving the expectation from the
+    // code under test would pin only the banding/summing logic, and a
+    // plane-recipe regression (beyond the oracle-covered planes 0-15)
+    // would pass silently.
+    def planeValue(j: Int, i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L - 1000L
+    }
     def planeLit(j: Int): String =
-      (0 until dim).map(i =>
-        s"${graft.functions.LshBuckets.planeComponent(j, i)}L")
+      (0 until dim).map(i => s"${planeValue(j, i)}L")
         .mkString("array(", ", ", ")")
     val rnd = new scala.util.Random(1031)
     val vecs = Seq.fill(40)(

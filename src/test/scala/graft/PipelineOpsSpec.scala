@@ -442,7 +442,11 @@ class PipelineOpsSpec extends SparkSpec {
     // exact-dup floor on PLANTED duplicates (the corpus's near-dups
     // are perturbed, never verbatim): doc k duplicated as doc k+10^6
     // must pair at hamming 0 under every geometry
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(40)
+    // orderBy before limit: an unordered limit is evaluated per ACTION,
+    // and the planted union and the `wanted` collect are two actions —
+    // Spark may pick different 40 rows for each, flaking the assert
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id").limit(40)
     val planted = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
     val wanted = docs.select("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet

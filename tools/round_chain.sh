@@ -20,17 +20,36 @@ STATUS=/tmp/chain.status
 note() { echo "$(date +%T) $*" >> "$STATUS"; }
 : > "$STATUS"
 
+ROUND="${CHAIN_ROUND:-13}"
 note "tests: start"
+T0=$(date +%s)
 if sbt -batch test > /tmp/chain_test.log 2>&1; then
+  TESTS_OK=true
   note "tests: PASS ($(grep -c 'Tests: succeeded' /tmp/chain_test.log) suites reported)"
 else
+  TESTS_OK=false
   note "tests: FAIL (see /tmp/chain_test.log)"
 fi
+# committed per-round test evidence (r12 verdict item 5): suite/test
+# counts + wall + the sha they ran against, so the judge doesn't burn
+# 20 minutes re-proving the suite green
+T1=$(date +%s)
+N_TESTS=$(grep -oE 'Total number of tests run: [0-9]+' /tmp/chain_test.log | tail -1 | grep -oE '[0-9]+')
+N_SUITES=$(grep -oE 'Suites: completed [0-9]+' /tmp/chain_test.log | tail -1 | grep -oE '[0-9]+')
+N_FAILED=$(grep -oE 'failed [0-9]+' /tmp/chain_test.log | tail -1 | grep -oE '[0-9]+')
+printf '{"round":%s,"git_sha":"%s","passed":%s,"suites":%s,"tests_run":%s,"failed":%s,"wall_sec":%s}\n' \
+  "$ROUND" "$(git rev-parse HEAD)" "$TESTS_OK" "${N_SUITES:-0}" "${N_TESTS:-0}" "${N_FAILED:--1}" "$((T1 - T0))" \
+  > "TESTS_r${ROUND}.json"
+note "tests: evidence -> TESTS_r${ROUND}.json"
 
+# BENCH_sf0.1.json is the BUILDER-owned committed record of this point;
+# the default BENCH_full.json name is driver-owned (re-run after round
+# close, gitignored) — see README "Round artifacts"
 note "bench sf0.1: start"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf0.1.json \
   sbt -batch "runMain graft.Bench" > /tmp/chain_bench01.log 2>&1
-note "bench sf0.1: done $(grep -o '"value":[0-9.]*' BENCH_full.json 2>/dev/null | head -1)"
+note "bench sf0.1: done $(grep -o '"value":[0-9.]*' BENCH_sf0.1.json 2>/dev/null | head -1)"
 
 note "stream A/B @32 parts: start"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
@@ -73,7 +92,9 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_DRIVER_MEM=64g \
     SPARK_GRAFT_KNOBS_FAMILY=ann_lsh,ann_ivf,ann_pq SPARK_GRAFT_KNOBS_TIME_ONLY=1 \
     sbt -batch "runMain graft.ScaleKnobs" > /tmp/chain_knobs_sf10.log 2>&1
-  grep -E '^(\[info\] )?\| ' /tmp/chain_knobs_sf10.log | sed 's/^\[info\] //' > KNOBS_sf10.md 2>/dev/null
+  # pattern matches '|---' separator rows too (r12 ADVICE: the
+  # trailing-space variant dropped them, so the table didn't render)
+  grep -E '^(\[info\] )?\|' /tmp/chain_knobs_sf10.log | sed 's/^\[info\] //' > KNOBS_sf10.md 2>/dev/null
   note "sf10 ANN production: done ($(wc -l < KNOBS_sf10.md 2>/dev/null) rows -> KNOBS_sf10.md)"
 fi
 
