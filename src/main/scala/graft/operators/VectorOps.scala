@@ -452,12 +452,94 @@ object VectorOps {
     */
   private val IvfCells = 16
   private val IvfProbes = 2
+  /** gate geometry of the hierarchical routing arm (`ann_ivf_hier`):
+    * 16 cells → S = ⌈√16⌉ = 4 super-centroids, 2 of them probed
+    */
+  private val IvfSuperProbes = 2
 
-  /** Seed centroids refined by `iters` Lloyd steps (0 = raw seeds). */
-  private def refinedCentroids(v: DataFrame, cells: Int, iters: Int): DataFrame = {
+  /** Collect the ≤ `cells` centroid rows to the driver, cent_id
+    * ascending. Bounded by construction like the PQ codebook: under
+    * the cells ∝ √corpus sizing rule the coarse table is O(√n·dim) —
+    * the serving-IVF contract that the coarse quantizer fits in
+    * memory everywhere. It returns to the cluster as a BROADCAST
+    * inside [[graft.functions.IvfRoute]], fetched once per executor.
+    */
+  private def collectCents(df: DataFrame): Array[(Long, Array[Long], Long)] =
+    df.select("cent_id", "cq", "cn2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+
+  /** Seed centroids refined by `iters` Lloyd steps (0 = raw seeds),
+    * collected. The ASSIGNMENT half of each step is row-local native
+    * routing (ivf_route, probes=1) — the r12 verdict's scale-killer
+    * was this very step as a crossJoin: n×cells rows through a
+    * rank-per-vector window exchange, 1034 s at sf10/cells=1024. The
+    * MEAN half keeps the distributed (cell, dim)-keyed aggregation:
+    * map-side partials shrink its shuffle to cells×dim rows per
+    * partition, and the refined table collected back is the same
+    * ≤ cells rows the old DataFrame path broadcast.
+    */
+  private def refinedCentroidsRouted(v: DataFrame, cells: Int, iters: Int,
+      superProbes: Int): Array[(Long, Array[Long], Long)] = {
+    val sc = v.sparkSession.sparkContext
+    var cents = collectCents(
+      v.filter(col("vec_id") < cells)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2")))
+    for (_ <- 0 until iters) {
+      val bc = sc.broadcast(graft.functions.IvfCoarseIndex.build(cents, Dim))
+      val refined = v
+        .withColumn("cent_id", element_at(
+          graft.functions.IvfRoute.column(col("q"), col("n2"), bc, 1, superProbes), 1))
+        .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg(expr("CAST(FLOOR(SUM(x) / COUNT(*)) AS BIGINT)").as("m"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cq"))
+        .withColumn("cn2", expr(dotExpr("cq", "cq")))
+        .filter(col("cn2") > 0)
+      cents = collectCents(refined)
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** One pass: top-`probes` cells per vector against the refined
+    * centroids, materialized — the corpus side is the crnk=1 filter of
+    * the SAME frame (computing assignments separately per side would
+    * re-run the routing twice). Row-local: the only rows ever
+    * materialized are the n×probes output of the native route —
+    * versus the old n×cells scored crossJoin plus its window
+    * exchange. `superProbes` <= 0 scans all cells (flat — the gate
+    * oracle's geometry); > 0 routes hierarchically (production).
+    */
+  private[graft] def cellAssignmentsOf(v: DataFrame,
+      cells: Int, probes: Int, lloydIters: Int, superProbes: Int): DataFrame = {
+    val cents = refinedCentroidsRouted(v, cells, lloydIters, superProbes)
+    val bc = v.sparkSession.sparkContext
+      .broadcast(graft.functions.IvfCoarseIndex.build(cents, Dim))
+    val routed = v.select(col("vec_id"), col("q"), col("n2"),
+        posexplode(graft.functions.IvfRoute.column(col("q"), col("n2"), bc, probes, superProbes))
+          .as(Seq("crnk0", "cent_id")))
+      .select(col("vec_id"), col("q"), col("n2"), col("cent_id"),
+        (col("crnk0") + 1).as("crnk"))
+    // subsumes the quantized frame (assignment rows carry q, n2);
+    // seal materializes eagerly, so the broadcast can drop right after
+    val out = graft.Scratch.seal(routed, v)
+    bc.destroy()
+    out
+  }
+
+  /** The pre-native assignment — `vectors CROSS JOIN
+    * broadcast(centroids)` scored through a rank-per-vector window —
+    * kept ONLY as the parity reference: IvfRouteParitySpec pins the
+    * routed path row-identical to this plan at both gate geometries.
+    * Never on the production path (n×cells rows + a window exchange).
+    */
+  private[graft] def cellAssignmentsDeclarative(v: DataFrame,
+      cells: Int, probes: Int, lloydIters: Int): DataFrame = {
     var cents = v.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
-    for (_ <- 0 until iters) {
+    for (_ <- 0 until lloydIters) {
       val scored = v.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("q"), col("cent_id"),
           expr(scoreE6(dotExpr("q", "cq"), "n2", "cn2")).as("cscore"))
@@ -473,48 +555,55 @@ object VectorOps {
         .withColumn("cn2", expr(dotExpr("cq", "cq")))
         .filter(col("cn2") > 0)
     }
-    cents
-  }
-
-  /** One pass: top-`probes` cells per vector against the refined
-    * centroids, materialized — the corpus side is the crnk=1 filter of
-    * the SAME frame (computing assignments separately per side would
-    * re-run the scoring + window twice).
-    */
-  private def cellAssignmentsOf(v: DataFrame,
-      cells: Int, probes: Int, lloydIters: Int): DataFrame = {
-    val cents = refinedCentroids(v, cells, lloydIters)
     val scored = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("n2"), col("cent_id"),
         expr(scoreE6(dotExpr("q", "cq"), "n2", "cn2")).as("cscore"))
     val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id"))
-    // subsumes the quantized frame (assignment rows carry q, n2)
     graft.Scratch.seal(
       scored.withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= probes),
+        .filter(col("crnk") <= probes)
+        .drop("cscore"),
       v)
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(spark, dir, IvfCells, IvfProbes)
 
+  /** The hierarchical-routing arm at gate geometry, with its OWN full
+    * DuckDB oracle ([[annIvfHierSql]] re-derives super seeds → group
+    * assignment → two-stage probe in SQL) — so the production routing
+    * path is hash-pinned end-to-end, not just spec-compared. Same
+    * cells/probes as `ann_ivf`; only the routing differs.
+    */
+  def annIvfHier(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, IvfCells, IvfProbes, superProbes = IvfSuperProbes)
+
   /** ann_ivf with explicit cell/probe counts — the scale knob (cells
     * grows with corpus size so each cell's slice stays
     * executor-sized; recall tunes with probes and Lloyd iterations).
     * The default geometry keeps the full oracle; the centroid side
-    * stays a broadcast of `cells` rows.
+    * is one broadcast coarse index of `cells` rows.
+    *
+    * `superProbes` selects the routing: 0 = flat scan of all cells
+    * (the gate oracle's geometry — still row-local native, but
+    * n·cells dot products); > 0 = hierarchical, n·(√cells +
+    * superProbes·√cells) — the PRODUCTION setting once cells grows
+    * with the corpus (cells ∝ corpus makes flat assignment the n²
+    * term the r12 sf10 sweep measured at 1034 s).
     */
   def annIvfWith(spark: SparkSession, dir: String,
-      cells: Int, probes: Int, k: Int = 3, lloydIters: Int = 1): DataFrame =
-    annIvfOf(quantized(spark, dir), cells, probes, k, lloydIters)
+      cells: Int, probes: Int, k: Int = 3, lloydIters: Int = 1,
+      superProbes: Int = 0): DataFrame =
+    annIvfOf(quantized(spark, dir), cells, probes, k, lloydIters, superProbes)
 
   /** ann_ivf over an externally supplied quantized frame (vec_id, q,
     * n2) — consumed (and released) by this call; the recall spec feeds
     * synthetic clustered corpora through it.
     */
   def annIvfOf(v: DataFrame,
-      cells: Int, probes: Int, k: Int, lloydIters: Int): DataFrame = {
-    val assigned = cellAssignmentsOf(v, cells, probes, lloydIters)
+      cells: Int, probes: Int, k: Int, lloydIters: Int,
+      superProbes: Int = 0): DataFrame = {
+    val assigned = cellAssignmentsOf(v, cells, probes, lloydIters, superProbes)
     // salt-split the cell join (the ann_lsh pattern): with few coarse
     // cells the join's parallelism is the cell count and a hot cell
     // owns quadratic work — the corpus side salts by hash(n_id), the
@@ -571,6 +660,95 @@ object VectorOps {
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |      ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
        |  FROM qv v CROSS JOIN cents c),
+       |corpus AS (
+       |  SELECT vec_id AS n_id, q AS nq, n2 AS nn2, cent_id AS cell
+       |  FROM assign WHERE crnk = 1),
+       |queries AS (
+       |  SELECT vec_id AS q_id, q AS qq, n2 AS qn2, cent_id AS cell
+       |  FROM assign WHERE crnk <= $IvfProbes),
+       |cands AS (
+       |  SELECT DISTINCT q_id, n_id,
+       |    ${scoreE6(dotDuck("qq", "nq"), "qn2", "nn2")} AS score_e6
+       |  FROM queries JOIN corpus USING (cell)
+       |  WHERE q_id <> n_id)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, score_e6 FROM (
+       |  SELECT q_id, n_id, score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, n_id) AS rnk
+       |  FROM cands) t
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** The hierarchical oracle re-derives the ENTIRE routed pipeline in
+    * SQL — super seeds (first ⌈√C⌉ centroids by cent_id), each
+    * centroid's group (rank-1 against the super seeds), per-vector
+    * super routing (top-`IvfSuperProbes`), and the within-route cell
+    * ranking — at BOTH stages (the Lloyd assignment and the final
+    * probe), exactly what [[graft.functions.IvfCoarseIndex.route]]
+    * computes row-locally. Every ranking is (score_e6 DESC, cent_id
+    * ASC), every score the shared fixed-point cosine.
+    */
+  def annIvfHierSql: String =
+    s"""WITH $quantizedDuckCte,
+       |seeds AS (
+       |  SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM qv WHERE vec_id < $IvfCells),
+       |sseed AS (
+       |  SELECT cent_id, cq, cn2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY cent_id) AS rs FROM seeds) t
+       |  WHERE rs <= CEIL(SQRT((SELECT COUNT(*) FROM seeds)))),
+       |s2s AS (
+       |  SELECT cent_id, sid FROM (
+       |    SELECT c.cent_id, s.cent_id AS sid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.cent_id
+       |        ORDER BY ${scoreE6(dotDuck("c.cq", "s.cq"), "c.cn2", "s.cn2")} DESC, s.cent_id) AS r
+       |    FROM seeds c CROSS JOIN sseed s) t WHERE r = 1),
+       |vroute AS (
+       |  SELECT vec_id, sid FROM (
+       |    SELECT v.vec_id, s.cent_id AS sid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${scoreE6(dotDuck("v.q", "s.cq"), "v.n2", "s.cn2")} DESC, s.cent_id) AS r
+       |    FROM qv v CROSS JOIN sseed s) t WHERE r <= $IvfSuperProbes),
+       |sassign AS (
+       |  SELECT vec_id, q, cent_id FROM (
+       |    SELECT v.vec_id, v.q, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |    FROM qv v JOIN vroute r ON r.vec_id = v.vec_id
+       |      JOIN s2s m ON m.sid = r.sid
+       |      JOIN seeds c ON c.cent_id = m.cent_id) t
+       |  WHERE crnk = 1),
+       |rm AS (
+       |  SELECT cent_id, p.pos AS pos,
+       |    CAST(FLOOR(SUM(q[p.pos + 1]) / COUNT(*)) AS BIGINT) AS m
+       |  FROM sassign, range(0, $Dim) p(pos)
+       |  GROUP BY cent_id, p.pos),
+       |cents0 AS (
+       |  SELECT cent_id, list(m ORDER BY pos) AS cq FROM rm GROUP BY cent_id),
+       |cents AS (
+       |  SELECT * FROM (
+       |    SELECT cent_id, cq, ${dotDuck("cq", "cq")} AS cn2 FROM cents0) t
+       |  WHERE cn2 > 0),
+       |csseed AS (
+       |  SELECT cent_id, cq, cn2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY cent_id) AS rs FROM cents) t
+       |  WHERE rs <= CEIL(SQRT((SELECT COUNT(*) FROM cents)))),
+       |c2s AS (
+       |  SELECT cent_id, sid FROM (
+       |    SELECT c.cent_id, s.cent_id AS sid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.cent_id
+       |        ORDER BY ${scoreE6(dotDuck("c.cq", "s.cq"), "c.cn2", "s.cn2")} DESC, s.cent_id) AS r
+       |    FROM cents c CROSS JOIN csseed s) t WHERE r = 1),
+       |qroute AS (
+       |  SELECT vec_id, sid FROM (
+       |    SELECT v.vec_id, s.cent_id AS sid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${scoreE6(dotDuck("v.q", "s.cq"), "v.n2", "s.cn2")} DESC, s.cent_id) AS r
+       |    FROM qv v CROSS JOIN csseed s) t WHERE r <= $IvfSuperProbes),
+       |assign AS (
+       |  SELECT v.vec_id, v.q, v.n2, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |  FROM qv v JOIN qroute r ON r.vec_id = v.vec_id
+       |    JOIN c2s m ON m.sid = r.sid
+       |    JOIN cents c ON c.cent_id = m.cent_id),
        |corpus AS (
        |  SELECT vec_id AS n_id, q AS nq, n2 AS nn2, cent_id AS cell
        |  FROM assign WHERE crnk = 1),
@@ -741,8 +919,10 @@ object VectorOps {
     */
   def annPqOf(v: DataFrame, cells: Int, probes: Int, k: Int,
       lloydIters: Int, pqIters: Int,
-      nSub: Int = PqSub, nCodes: Int = PqCodes): DataFrame = {
-    val parts = annPqPlan(v, cells, probes, k, lloydIters, pqIters, nSub, nCodes)
+      nSub: Int = PqSub, nCodes: Int = PqCodes,
+      superProbes: Int = 0): DataFrame = {
+    val parts = annPqPlan(v, cells, probes, k, lloydIters, pqIters, nSub, nCodes,
+      superProbes)
     try graft.Scratch.seal(parts.topk, parts.assigned).orderBy("q_id", "rnk")
     finally parts.dropIndex()
   }
@@ -776,9 +956,9 @@ object VectorOps {
     */
   private[graft] def annPqPlan(v: DataFrame, cells: Int, probes: Int, k: Int,
       lloydIters: Int, pqIters: Int,
-      nSub: Int, nCodes: Int): PqPlanParts = {
+      nSub: Int, nCodes: Int, superProbes: Int = 0): PqPlanParts = {
     val subDim = Dim / nSub
-    val assigned = cellAssignmentsOf(v, cells, probes, lloydIters)
+    val assigned = cellAssignmentsOf(v, cells, probes, lloydIters, superProbes)
     val base = assigned.filter(col("crnk") === 1)
     var cb = pqSeedsOf(base, subDim, nSub, nCodes)
     for (_ <- 0 until pqIters) cb = pqLloydStep(base, cb, nSub, subDim)
@@ -1161,6 +1341,7 @@ object VectorOps {
     "ann_index_append" -> (annIndexAppend _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_hier" -> (annIvfHier _),
     "ann_pq" -> (annPq _),
     "embed_stats" -> (embedStats _),
     "dedup_embed" -> (dedupEmbed _))
@@ -1172,6 +1353,7 @@ object VectorOps {
     "ann_index_append" -> annIndexAppendSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_ivf_hier" -> annIvfHierSql,
     "ann_pq" -> annPqSql,
     "embed_stats" -> embedStatsSql,
     "dedup_embed" -> dedupEmbedSql)
