@@ -58,6 +58,15 @@ object Bench {
     // (see the per-rep comment below); overridable so an A/B against
     // the production-sized 32 stays a one-env-var run
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt.max(1)
+    // state-store provider A/B (r12 verdict item 7): the 32-partition
+    // protocol point is dominated by per-trigger state-store commit
+    // fixed cost (TriggerProbe: ~8.5 s per extra micro-batch), so the
+    // provider choice is re-evaluated THERE, not at toy state sizes.
+    // SPARK_GRAFT_STREAM_STATESTORE=rocksdb switches the stream
+    // family's child sessions; unset keeps the HDFS-backed default.
+    val stateStore = sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").map(_.trim).filter(_.nonEmpty)
+    stateStore.foreach(s => require(s == "rocksdb",
+      s"SPARK_GRAFT_STREAM_STATESTORE supports only 'rocksdb', got '$s'"))
     // family by MEMBERSHIP, not name prefix: src_out_of_order is a
     // stateful streaming query whose name doesn't start with stream_,
     // and a prefix test silently left it at the 32-partition default
@@ -88,7 +97,12 @@ object Bench {
       Thread.sleep(150)
       val session = spark.newSession()
       functions.GraftFunctions.register(session)
-      if (streamQ) session.conf.set("spark.sql.shuffle.partitions", streamParts)
+      if (streamQ) {
+        session.conf.set("spark.sql.shuffle.partitions", streamParts)
+        if (stateStore.contains("rocksdb")) session.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      }
       val t0 = System.nanoTime()
       try {
         fn(session, sfDir).write.mode("overwrite").format("noop").save()

@@ -130,6 +130,22 @@ object ScaleKnobs {
         else recalls.map { case (t, r) => s"recall j≥$t: ${r2(r)}" }.mkString(" ")
       out += s"| simhash | bits=$bits bands=$bands d<=$d | ${r2(secs)} | $nCand | $qual |"
     }
+    // the sharded (block-combination) arm: same exact-recall pair set
+    // as (60,6,d<=5) — spec-pinned identical — so no recall column;
+    // what this row measures is the candidate-density trade (210 keys
+    // of 24 bits vs 6 of 10) that decides WHERE the banded arm's
+    // n²/2^10 verify stage re-dominates (PLANS.md crossover model)
+    if (want("simhash")) {
+      val (nPairs, secs) = timed {
+        val p = Scratch.cp(operators.TextOps
+          .dedupSimhashSharded(spark, sfDir)
+          .select("a_id", "b_id"))
+        val n = p.count()
+        Scratch.free(p)
+        n
+      }
+      out += s"| simhash | bits=60 blocks=10 t=4 d<=5 (sharded) | ${r2(secs)} | pairs=$nPairs | pair-identical to (60,6,5) |"
+    }
     Scratch.releaseAll()
 
     // ---------------- ANN: exact baseline once ----------------
@@ -195,15 +211,25 @@ object ScaleKnobs {
       val target = math.max(128.0, n / 156.0)
       math.pow(2, math.round(math.log(target) / math.log(2)).toDouble).toInt
     }
+    // geometry = (cells, probes, superProbes); superProbes=0 is the
+    // flat row-local scan, >0 the hierarchical router (round 13).
+    // timeOnly measures flat AND hier at production cells — the A/B
+    // that shows the assignment term no longer dominating; the sf1
+    // (recall) arm sweeps superProbes so the production setting is a
+    // MEASURED recall point, not a guess.
     val ivfGeoms =
-      if (timeOnly) Seq((cellsForCorpus(nQ), 8)) else Seq((16, 2), (128, 8))
-    if (want("ann_ivf")) for ((cells, probes) <- ivfGeoms) {
+      if (timeOnly) Seq((cellsForCorpus(nQ), 8, 0), (cellsForCorpus(nQ), 8, 4))
+      else Seq((16, 2, 0), (128, 8, 0), (128, 8, 2), (128, 8, 4), (128, 8, 6))
+    if (want("ann_ivf")) for ((cells, probes, superProbes) <- ivfGeoms) {
       val (rec, secs) = timed {
-        val topk = operators.VectorOps.annIvfWith(spark, sfDir, cells, probes)
+        val topk = operators.VectorOps.annIvfWith(spark, sfDir, cells, probes,
+          superProbes = superProbes)
         if (timeOnly) { noop(topk); -1.0 } else recallOf(topSets(topk))
       }
       val qual = if (timeOnly) "recall pinned at sf1" else s"recall@3 ${r2(rec)}"
-      out += s"| ann_ivf | cells=$cells probes=$probes | ${r2(secs)} | ~${nQ * probes / cells.max(1)}/query | $qual |"
+      val geo = s"cells=$cells probes=$probes" +
+        (if (superProbes > 0) s" superProbes=$superProbes (hier)" else " (flat)")
+      out += s"| ann_ivf | $geo | ${r2(secs)} | ~${nQ * probes / cells.max(1)}/query | $qual |"
       Scratch.releaseAll()
     }
 
@@ -212,17 +238,43 @@ object ScaleKnobs {
     // gate's 16 coarse cells put nQ/16×probes candidates on every
     // query, a small-corpus setting like LSH's 4-bit buckets.
     val pqGeoms =
-      if (timeOnly) Seq((256, cellsForCorpus(nQ), 8))
-      else Seq((16, 16, 2), (256, 16, 2))
-    if (want("ann_pq")) for ((nCodes, cells, probes) <- pqGeoms) {
+      if (timeOnly) Seq((256, cellsForCorpus(nQ), 8, 0), (256, cellsForCorpus(nQ), 8, 4))
+      else Seq((16, 16, 2, 0), (256, 16, 2, 0), (256, cellsForCorpus(nQ), 8, 4))
+    if (want("ann_pq")) for ((nCodes, cells, probes, superProbes) <- pqGeoms) {
       val (rec, secs) = timed {
         val topk = operators.VectorOps.annPqOf(
-          quant(), cells, probes, 3, 1, 1, nCodes = nCodes)
+          quant(), cells, probes, 3, 1, 1, nCodes = nCodes,
+          superProbes = superProbes)
         if (timeOnly) { noop(topk); -1.0 } else recallOf(topSets(topk))
       }
       val qual = if (timeOnly) "recall pinned at sf1" else s"recall@3 ${r2(rec)}"
-      out += s"| ann_pq | M=8 K=$nCodes cells=$cells probes=$probes | ${r2(secs)} | shortlist=${operators.VectorOps.PqRerank}/query | $qual |"
+      val geo = s"M=8 K=$nCodes cells=$cells probes=$probes" +
+        (if (superProbes > 0) s" superProbes=$superProbes (hier)" else " (flat)")
+      out += s"| ann_pq | $geo | ${r2(secs)} | shortlist=${operators.VectorOps.PqRerank}/query | $qual |"
       Scratch.releaseAll()
+    }
+
+    // ---------------- cluster_rep: stage attribution ----------------
+    // r12 verdict item 3: dedup_cluster_rep is the one superlinear
+    // non-ANN family (alpha 1.23; sf10 192 s vs dedup_components'
+    // 66.8). The operator is components ∘ quality-scan ∘ selectReps —
+    // time each stage so the exponent has an owner.
+    if (want("cluster_rep")) {
+      val (_, sComp) = timed {
+        noop(operators.Components.dedupComponents(spark, sfDir))
+      }
+      Scratch.releaseAll()
+      val (_, sQual) = timed {
+        noop(operators.Components.qualityRank(spark, sfDir))
+      }
+      Scratch.releaseAll()
+      val (_, sFull) = timed {
+        noop(operators.Components.dedupClusterRep(spark, sfDir))
+      }
+      Scratch.releaseAll()
+      out += s"| cluster_rep | stage: components | ${r2(sComp)} | - | attribution |"
+      out += s"| cluster_rep | stage: quality-scan | ${r2(sQual)} | - | attribution |"
+      out += s"| cluster_rep | full (components + quality + selectReps + sort) | ${r2(sFull)} | - | residual=${r2(sFull - sComp - sQual)} |"
     }
 
     // ---------------- components: contraction rounds ----------------

@@ -209,12 +209,20 @@ object Components {
     * at any skewless scale). No window over the corpus, no sort.
     */
   def dedupClusterRep(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
     val docs = Tables.documents(spark, dir).select("doc_id")
     val pairs = TextOps.minhashCandidates(spark, dir)
     val labels = connectedComponents(docs, pairs)
     graft.Scratch.free(pairs)
-    val quality = Tables.documents(spark, dir)
+    selectReps(labels.join(qualityRank(spark, dir), "doc_id")).orderBy("doc_id")
+  }
+
+  /** The representative-quality features (one text scan) — split out
+    * so ScaleKnobs can time this stage against the component build
+    * when attributing dedup_cluster_rep's scaling exponent.
+    */
+  private[graft] def qualityRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))
@@ -222,7 +230,6 @@ object Components {
         when(col("n_tokens").between(30, 400) &&
             expr("10000 * n_stop DIV n_tokens").between(100, 3000), 1L)
           .otherwise(0L).as("q_rank"))
-    selectReps(labels.join(quality, "doc_id")).orderBy("doc_id")
   }
 
   /** The quality-argmax pick over labeled members — split out so the

@@ -1341,6 +1341,82 @@ object TextOps {
     graft.Scratch.seal(pairs, sigs).orderBy("a_id", "b_id")
   }
 
+  /** The beyond-two-orders simhash arm: Manku-style block-combination
+    * keys (the "band-prefix sharding" PLANS.md queued after r12).
+    *
+    * Banded simhash stays n²/2^(bits/bands) asymptotically — at the
+    * production (60,6,d≤5) geometry each band key is only 10 bits, so
+    * RANDOM collisions grow quadratically and the candidate-verify
+    * stage re-dominates once n passes the low millions of docs
+    * (measured model in PLANS.md). This variant splits the signature
+    * into `blocks` blocks and keys each doc by every
+    * C(blocks, keyBlocks) concatenation of `keyBlocks` block values —
+    * e.g. (60 bits, 10×6-bit blocks, t=4) gives 210 keys of 24 bits:
+    * 2^14 lower random-collision density per key at 35× more keys,
+    * net ~467× fewer random candidates under the uniform model.
+    *
+    * Recall is EXACT like the banded arm, by the same pigeonhole
+    * argument one level up: a pair at Hamming distance ≤ d differs in
+    * ≤ d blocks, so ≥ blocks−d blocks agree; any keyBlocks-subset of
+    * those (exists iff keyBlocks ≤ blocks−d, required below) collides
+    * the pair. Output is therefore the IDENTICAL pair set — all pairs
+    * at distance ≤ d — which the parity spec pins against
+    * [[dedupSimhashWith]] row-for-row.
+    *
+    * Plan shape: ONE self-join on (key_idx, key_value) over an
+    * exploded n×C(blocks,keyBlocks) key table (the banded arm's
+    * per-band join chain with first-matching-band canonicalization
+    * would need C(m,t) joins with quadratic-length predicates here).
+    * A pair can emit once per shared subset, so the verified set is
+    * deduped with a distinct — cheap BY CONSTRUCTION at the scale
+    * this arm exists for: the distinct runs on the post-hamming-
+    * filter survivors (true near-dups, ~linear in n), never on the
+    * raw candidate stream.
+    */
+  private[graft] def dedupSimhashSharded(spark: SparkSession, dir: String,
+      bits: Int = 60, blocks: Int = 10, keyBlocks: Int = 4,
+      maxHamming: Int = 5): DataFrame =
+    dedupSimhashShardedOf(Tables.documents(spark, dir),
+      bits, blocks, keyBlocks, maxHamming)
+
+  private[graft] def dedupSimhashShardedOf(docs: DataFrame,
+      bits: Int, blocks: Int, keyBlocks: Int, maxHamming: Int): DataFrame = {
+    require(bits % blocks == 0,
+      s"dedup_simhash_sharded: bits=$bits must split evenly into blocks=$blocks")
+    require(keyBlocks >= 1 && keyBlocks <= blocks - maxHamming,
+      s"dedup_simhash_sharded: keyBlocks=$keyBlocks must be in [1, blocks-maxHamming=" +
+        s"${blocks - maxHamming}] or the pigeonhole recall guarantee is void")
+    val w = bits / blocks
+    val mask = (1L << w) - 1
+    GraftFunctions.register(docs.sparkSession)
+    val sigExpr =
+      if (bits == 32) s"graft_simhash32(${hxAll("split(text,' ')")})"
+      else s"graft_simhash(${hxAll("split(text,' ')")}, $bits)"
+    val subsets = (0 until blocks).combinations(keyBlocks).toSeq
+    val keyLits = subsets.zipWithIndex.map { case (ss, ki) =>
+      val kv = ss.zipWithIndex.map { case (blk, j) =>
+        s"((shiftright(sig, ${blk * w}) & $mask) << ${j * w})"
+      }.mkString("(", " | ", ")")
+      s"named_struct('ki', $ki, 'kv', $kv)"
+    }
+    // one materialization: (doc_id, sig, ki, kv) — n×C(blocks,t) rows,
+    // both sides of the self-join read it
+    val keyed = graft.Scratch.cp(docs
+      .select(col("doc_id"), expr(sigExpr).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(expr(keyLits.mkString("array(", ", ", ")"))).as("k"))
+      .select(col("doc_id"), col("sig"),
+        col("k.ki").as("ki"), col("k.kv").as("kv")))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.ki") === col("b.ki") && col("a.kv") === col("b.kv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.sig ^ b.sig)").cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    graft.Scratch.seal(pairs, keyed).orderBy("a_id", "b_id")
+  }
+
   def dedupSimhashSql: String = {
     val bandJoins = (0 until SimBands).map { b =>
       val shift = b * 8
