@@ -62,11 +62,14 @@ object Bench {
     // protocol point is dominated by per-trigger state-store commit
     // fixed cost (TriggerProbe: ~8.5 s per extra micro-batch), so the
     // provider choice is re-evaluated THERE, not at toy state sizes.
-    // SPARK_GRAFT_STREAM_STATESTORE=rocksdb switches the stream
-    // family's child sessions; unset keeps the HDFS-backed default.
+    // The GRAFT default (Graft.session) is RocksDB + changelog
+    // checkpointing — the 100 TB off-heap-state posture;
+    // SPARK_GRAFT_STREAM_STATESTORE=hdfs flips the stream family's
+    // child sessions to Spark's in-memory HDFSBackedStateStore for
+    // the A/B, =rocksdb pins the default explicitly.
     val stateStore = sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").map(_.trim).filter(_.nonEmpty)
-    stateStore.foreach(s => require(s == "rocksdb",
-      s"SPARK_GRAFT_STREAM_STATESTORE supports only 'rocksdb', got '$s'"))
+    stateStore.foreach(s => require(s == "rocksdb" || s == "hdfs",
+      s"SPARK_GRAFT_STREAM_STATESTORE supports 'rocksdb'|'hdfs', got '$s'"))
     // family by MEMBERSHIP, not name prefix: src_out_of_order is a
     // stateful streaming query whose name doesn't start with stream_,
     // and a prefix test silently left it at the 32-partition default
@@ -99,9 +102,14 @@ object Bench {
       functions.GraftFunctions.register(session)
       if (streamQ) {
         session.conf.set("spark.sql.shuffle.partitions", streamParts)
-        if (stateStore.contains("rocksdb")) session.conf.set(
-          "spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        stateStore.foreach {
+          case "hdfs" => session.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+          case _ => session.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        }
       }
       val t0 = System.nanoTime()
       try {

@@ -218,7 +218,7 @@ object ScaleKnobs {
     // (recall) arm sweeps superProbes so the production setting is a
     // MEASURED recall point, not a guess.
     val ivfGeoms =
-      if (timeOnly) Seq((cellsForCorpus(nQ), 8, 0), (cellsForCorpus(nQ), 8, 4))
+      if (timeOnly) Seq((cellsForCorpus(nQ), 8, 0), (cellsForCorpus(nQ), 8, 6))
       else Seq((16, 2, 0), (128, 8, 0), (128, 8, 2), (128, 8, 4), (128, 8, 6))
     if (want("ann_ivf")) for ((cells, probes, superProbes) <- ivfGeoms) {
       val (rec, secs) = timed {
@@ -238,8 +238,9 @@ object ScaleKnobs {
     // gate's 16 coarse cells put nQ/16×probes candidates on every
     // query, a small-corpus setting like LSH's 4-bit buckets.
     val pqGeoms =
-      if (timeOnly) Seq((256, cellsForCorpus(nQ), 8, 0), (256, cellsForCorpus(nQ), 8, 4))
-      else Seq((16, 16, 2, 0), (256, 16, 2, 0), (256, cellsForCorpus(nQ), 8, 4))
+      if (timeOnly) Seq((256, cellsForCorpus(nQ), 8, 0), (256, cellsForCorpus(nQ), 8, 6))
+      else Seq((16, 16, 2, 0), (256, 16, 2, 0),
+        (256, cellsForCorpus(nQ), 8, 0), (256, cellsForCorpus(nQ), 8, 6))
     if (want("ann_pq")) for ((nCodes, cells, probes, superProbes) <- pqGeoms) {
       val (rec, secs) = timed {
         val topk = operators.VectorOps.annPqOf(

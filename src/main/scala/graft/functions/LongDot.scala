@@ -171,6 +171,30 @@ object GraftFunctions {
     LshBuckets(children.head, bands, bits)
   }
 
+  /** Builder for `graft_simhash_keys(sig, blocks, keyBlocks, width)`
+    * — all three geometry arguments must be integer literals
+    * (block-combination geometry is plan-time, like lsh_buckets').
+    */
+  private[functions] def simhashKeysBuilder(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(children.length == 4,
+      "graft_simhash_keys(sig, blocks, keyBlocks, width) takes exactly 4 arguments")
+    def lit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash_keys: $what must be an integer literal, got $other")
+    }
+    val blocks = lit(children(1), "blocks")
+    val keyBlocks = lit(children(2), "keyBlocks")
+    val width = lit(children(3), "width")
+    require(blocks >= 1 && width >= 1 && blocks * width <= 63,
+      s"graft_simhash_keys: blocks=$blocks × width=$width must fit in a positive long")
+    require(keyBlocks >= 1 && keyBlocks <= blocks,
+      s"graft_simhash_keys: keyBlocks=$keyBlocks must be in [1, blocks=$blocks]")
+    SimhashKeys(children.head, blocks, keyBlocks, width)
+  }
+
   /** Builder for `graft_adc_dot(adc, codes, nCodes)` — nCodes must be
     * an integer literal (codebook geometry is plan-time, like
     * graft_winnow's window).
@@ -207,6 +231,7 @@ object GraftFunctions {
     ("graft_maxrun", classOf[MaxRun], c => MaxRun(c.head)),
     ("graft_winnow", classOf[WinnowMins], winnowBuilder _),
     ("graft_lsh_buckets", classOf[LshBuckets], lshBucketsBuilder _),
+    ("graft_simhash_keys", classOf[SimhashKeys], simhashKeysBuilder _),
     ("graft_adc_dot", classOf[AdcDot], adcDotBuilder _))
 
   /** Idempotent for OUR functions: a name already registered with

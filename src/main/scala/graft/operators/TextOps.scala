@@ -1387,26 +1387,22 @@ object TextOps {
       s"dedup_simhash_sharded: keyBlocks=$keyBlocks must be in [1, blocks-maxHamming=" +
         s"${blocks - maxHamming}] or the pigeonhole recall guarantee is void")
     val w = bits / blocks
-    val mask = (1L << w) - 1
     GraftFunctions.register(docs.sparkSession)
     val sigExpr =
       if (bits == 32) s"graft_simhash32(${hxAll("split(text,' ')")})"
       else s"graft_simhash(${hxAll("split(text,' ')")}, $bits)"
-    val subsets = (0 until blocks).combinations(keyBlocks).toSeq
-    val keyLits = subsets.zipWithIndex.map { case (ss, ki) =>
-      val kv = ss.zipWithIndex.map { case (blk, j) =>
-        s"((shiftright(sig, ${blk * w}) & $mask) << ${j * w})"
-      }.mkString("(", " | ", ")")
-      s"named_struct('ki', $ki, 'kv', $kv)"
-    }
-    // one materialization: (doc_id, sig, ki, kv) — n×C(blocks,t) rows,
-    // both sides of the self-join read it
+    // keys via the native graft_simhash_keys pass — the spelled-out
+    // array-of-named_structs literal at (10,4) is 210 structs × 4
+    // shift-or terms, which blows the 64 KB codegen method limit and
+    // drags the whole key-explode stage into interpreted mode; the
+    // native expression keeps the stage inside whole-stage codegen.
+    // One materialization: (doc_id, sig, ki, kv) — n×C(blocks,t) rows,
+    // both sides of the self-join read it.
     val keyed = graft.Scratch.cp(docs
       .select(col("doc_id"), expr(sigExpr).as("sig"))
       .select(col("doc_id"), col("sig"),
-        explode(expr(keyLits.mkString("array(", ", ", ")"))).as("k"))
-      .select(col("doc_id"), col("sig"),
-        col("k.ki").as("ki"), col("k.kv").as("kv")))
+        posexplode(expr(s"graft_simhash_keys(sig, $blocks, $keyBlocks, $w)"))
+          .as(Seq("ki", "kv"))))
     val pairs = keyed.as("a").join(keyed.as("b"),
         col("a.ki") === col("b.ki") && col("a.kv") === col("b.kv") &&
           col("a.doc_id") < col("b.doc_id"))

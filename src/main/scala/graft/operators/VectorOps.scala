@@ -589,7 +589,10 @@ object VectorOps {
     * n·cells dot products); > 0 = hierarchical, n·(√cells +
     * superProbes·√cells) — the PRODUCTION setting once cells grows
     * with the corpus (cells ∝ corpus makes flat assignment the n²
-    * term the r12 sf10 sweep measured at 1034 s).
+    * term the r12 sf10 sweep measured at 1034 s). PRODUCTION
+    * superProbes = 6: the smallest sf1-measured point holding the
+    * flat router's recall@3 = 1.00 (PLANS.md round-13 table;
+    * superProbes 2 and 4 read 0.99).
     */
   def annIvfWith(spark: SparkSession, dir: String,
       cells: Int, probes: Int, k: Int = 3, lloydIters: Int = 1,

@@ -42,6 +42,28 @@ class FunctionsPropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_simhash_keys matches the spelled-out shift/mask concatenation across geometries") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(733)
+    val sigs = Seq.fill(30)(rnd.nextLong() & ((1L << 60) - 1)) :+ 0L :+ ((1L << 60) - 1)
+    for ((blocks, t, w) <- Seq((10, 4, 6), (10, 5, 6), (6, 1, 10), (5, 2, 12))) {
+      // independent reference: lexicographic combinations, spelled out
+      // as SQL shift/mask/concat terms — not SimhashKeys.keys itself
+      val subsets = (0 until blocks).combinations(t).toSeq
+      sigs.foreach { sig =>
+        val want = subsets.map { ss =>
+          ss.zipWithIndex.map { case (blk, j) =>
+            s"((shiftright(${sig}L, ${blk * w}) & ${(1L << w) - 1}) << ${j * w})"
+          }.mkString("(", " | ", ")")
+        }.mkString("array(", ", ", ")")
+        val row = spark.sql(
+          s"SELECT graft_simhash_keys(${sig}L, $blocks, $t, $w) AS got, $want AS want").head()
+        assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+          s"simhash_keys mismatch at ($blocks,$t,$w) sig=$sig")
+      }
+    }
+  }
+
   test("graft_lsh_buckets matches the spelled-out long_dot formula across geometries") {
     // the pre-native bucketKeysPlan: bands*bits literal-plane dots,
     // bit_j = IF(dot >= 0, 1, 0), bucket_b = sum shiftleft(bit, k).

@@ -90,7 +90,7 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   note "bench sf10: done $(grep -o '"value":[0-9.]*' BENCH_sf10.json 2>/dev/null | head -1)"
   note "sf10 ANN production geometries (time-only knobs): start"
   SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_DRIVER_MEM=64g \
-    SPARK_GRAFT_KNOBS_FAMILY=ann_lsh,ann_ivf,ann_pq SPARK_GRAFT_KNOBS_TIME_ONLY=1 \
+    SPARK_GRAFT_KNOBS_FAMILY=ann_lsh,ann_ivf,ann_pq,simhash,cluster_rep SPARK_GRAFT_KNOBS_TIME_ONLY=1 \
     sbt -batch "runMain graft.ScaleKnobs" > /tmp/chain_knobs_sf10.log 2>&1
   # pattern matches '|---' separator rows too (r12 ADVICE: the
   # trailing-space variant dropped them, so the table didn't render)
