@@ -195,6 +195,29 @@ object GraftFunctions {
     SimhashKeys(children.head, blocks, keyBlocks, width)
   }
 
+  /** Builder for `graft_first_simhash_key(sigA, sigB, blocks,
+    * keyBlocks, width)` — geometry arguments must be integer literals.
+    */
+  private[functions] def firstSimhashKeyBuilder(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(children.length == 5,
+      "graft_first_simhash_key(sigA, sigB, blocks, keyBlocks, width) takes exactly 5 arguments")
+    def lit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_first_simhash_key: $what must be an integer literal, got $other")
+    }
+    val blocks = lit(children(2), "blocks")
+    val keyBlocks = lit(children(3), "keyBlocks")
+    val width = lit(children(4), "width")
+    require(blocks >= 1 && width >= 1 && blocks * width <= 63,
+      s"graft_first_simhash_key: blocks=$blocks × width=$width must fit in a positive long")
+    require(keyBlocks >= 1 && keyBlocks <= blocks,
+      s"graft_first_simhash_key: keyBlocks=$keyBlocks must be in [1, blocks=$blocks]")
+    FirstSimhashKey(children.head, children(1), blocks, keyBlocks, width)
+  }
+
   /** Builder for `graft_adc_dot(adc, codes, nCodes)` — nCodes must be
     * an integer literal (codebook geometry is plan-time, like
     * graft_winnow's window).
@@ -232,6 +255,7 @@ object GraftFunctions {
     ("graft_winnow", classOf[WinnowMins], winnowBuilder _),
     ("graft_lsh_buckets", classOf[LshBuckets], lshBucketsBuilder _),
     ("graft_simhash_keys", classOf[SimhashKeys], simhashKeysBuilder _),
+    ("graft_first_simhash_key", classOf[FirstSimhashKey], firstSimhashKeyBuilder _),
     ("graft_adc_dot", classOf[AdcDot], adcDotBuilder _))
 
   /** Idempotent for OUR functions: a name already registered with

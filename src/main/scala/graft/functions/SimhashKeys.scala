@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** All C(blocks, keyBlocks) block-combination keys of a simhash
   * signature in ONE native pass:
@@ -49,6 +49,49 @@ case class SimhashKeys(child: Expression,
   override def prettyName: String = "graft_simhash_keys"
 }
 
+/** `graft_first_simhash_key(sigA, sigB, blocks, keyBlocks, width)` —
+  * the index of the FIRST (lexicographic) block combination on which
+  * the two signatures agree, or -1 when none does. The sharded dedup
+  * join emits a pair only from its first shared key (the banded arm's
+  * first-matching-band canonicalization, one level up): without it,
+  * an exact-duplicate pair emits once per shared subset —
+  * C(blocks,keyBlocks) = 210 emissions at the production geometry —
+  * and a dup-heavy corpus (the very thing dedup runs on) quadruples
+  * into billions of pre-distinct join rows (observed: the first sf10
+  * sharded run ground >10 min in exactly that state).
+  *
+  * Row-local and cheap: one XOR gives a per-block equality bitmap,
+  * then the cached combination table is scanned for the first subset
+  * fully inside it.
+  */
+case class FirstSimhashKey(left: Expression, right: Expression,
+    blocks: Int, keyBlocks: Int, width: Int) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_first_simhash_key requires (bigint, bigint), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimhashKeys.firstSharedKey(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      blocks, keyBlocks, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SimhashKeys.firstSharedKey($a, $b, $blocks, $keyBlocks, $width);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstSimhashKey =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_first_simhash_key"
+}
+
 object SimhashKeys {
   /** Lexicographic combinations, cached per geometry — deterministic,
     * so the order is the one the parity spec and any SQL rendering
@@ -61,6 +104,30 @@ object SimhashKeys {
   private[functions] def subsets(blocks: Int, keyBlocks: Int): Array[Array[Int]] =
     subsetCache.computeIfAbsent((blocks, keyBlocks),
       _ => (0 until blocks).combinations(keyBlocks).map(_.toArray).toArray)
+
+  def firstSharedKey(sigA: Long, sigB: Long,
+      blocks: Int, keyBlocks: Int, width: Int): Int = {
+    val ss = subsets(blocks, keyBlocks)
+    val mask = (1L << width) - 1
+    val x = sigA ^ sigB
+    // per-block equality bitmap: bit b set iff block b identical
+    var eq = 0L
+    var b = 0
+    while (b < blocks) {
+      if (((x >>> (b * width)) & mask) == 0L) eq |= (1L << b)
+      b += 1
+    }
+    var i = 0
+    while (i < ss.length) {
+      val s = ss(i)
+      var ok = true
+      var j = 0
+      while (ok && j < s.length) { ok = ((eq >>> s(j)) & 1L) == 1L; j += 1 }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
 
   def keys(sig: Long, blocks: Int, keyBlocks: Int, width: Int): ArrayData = {
     val ss = subsets(blocks, keyBlocks)

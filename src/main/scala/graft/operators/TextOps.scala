@@ -1391,26 +1391,55 @@ object TextOps {
     val sigExpr =
       if (bits == 32) s"graft_simhash32(${hxAll("split(text,' ')")})"
       else s"graft_simhash(${hxAll("split(text,' ')")}, $bits)"
-    // keys via the native graft_simhash_keys pass — the spelled-out
-    // array-of-named_structs literal at (10,4) is 210 structs × 4
-    // shift-or terms, which blows the 64 KB codegen method limit and
-    // drags the whole key-explode stage into interpreted mode; the
-    // native expression keeps the stage inside whole-stage codegen.
-    // One materialization: (doc_id, sig, ki, kv) — n×C(blocks,t) rows,
-    // both sides of the self-join read it.
-    val keyed = graft.Scratch.cp(docs
-      .select(col("doc_id"), expr(sigExpr).as("sig"))
-      .select(col("doc_id"), col("sig"),
+    // EXACT-DUP PRE-COLLAPSE: the LSH join runs over DISTINCT
+    // signatures, one representative each — the standard production
+    // dedup shape. Identical docs share every one of the
+    // C(blocks,keyBlocks) keys, so joining raw docs makes every
+    // dup-cluster pay g²·C(m,t) within-cluster probe evaluations per
+    // shared key (the first sf10 attempt ground >10 min exactly
+    // there; the banded arm pays the same g² but only ×bands). After
+    // the collapse the within-cluster term vanishes from the join
+    // entirely and reappears only as OUTPUT (the intra-group
+    // hamming-0 expansion below) — which is the pair list itself,
+    // not wasted probing.
+    val sigs = graft.Scratch.cp(docs
+      .select(col("doc_id"), expr(sigExpr).as("sig")))
+    // keys via the native graft_simhash_keys pass (the spelled-out
+    // array literal at (10,4) is 210 structs × 4 shift-or terms —
+    // past the 64 KB codegen method limit; the native expression
+    // keeps the key-explode stage inside whole-stage codegen)
+    val keyed = graft.Scratch.cp(sigs
+      .groupBy("sig").agg(min("doc_id").as("rep_id"))
+      .select(col("sig"), col("rep_id"),
         posexplode(expr(s"graft_simhash_keys(sig, $blocks, $keyBlocks, $w)"))
           .as(Seq("ki", "kv"))))
-    val pairs = keyed.as("a").join(keyed.as("b"),
+    // distinct-signature candidate pairs, each emitted from its FIRST
+    // shared key only (the banded arm's first-matching-band
+    // canonicalization one level up, row-local over the two sigs) —
+    // emissions are unique by construction, no distinct anywhere
+    val repPairs = keyed.as("a").join(keyed.as("b"),
         col("a.ki") === col("b.ki") && col("a.kv") === col("b.kv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sig") < col("b.sig") &&
+          col("a.ki") === expr(
+            s"graft_first_simhash_key(a.sig, b.sig, $blocks, $keyBlocks, $w)"))
+      .select(col("a.sig").as("sa"), col("b.sig").as("sb"),
         expr("bit_count(a.sig ^ b.sig)").cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
-    graft.Scratch.seal(pairs, keyed).orderBy("a_id", "b_id")
+    // expansion back to doc pairs — output-sized work by definition:
+    // intra-group pairs are hamming 0 (identical sigs), inter-group
+    // pairs inherit their reps' hamming; least/greatest restores the
+    // a_id < b_id orientation (member ids of different groups
+    // interleave freely)
+    val intra = sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        lit(0L).as("hamming"))
+    val inter = repPairs
+      .join(sigs.select(col("sig").as("sa"), col("doc_id").as("xa")), "sa")
+      .join(sigs.select(col("sig").as("sb"), col("doc_id").as("xb")), "sb")
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("hamming"))
+    graft.Scratch.seal(intra.union(inter), sigs, keyed).orderBy("a_id", "b_id")
   }
 
   def dedupSimhashSql: String = {
