@@ -88,6 +88,9 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
     SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf10.json \
     sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf10.log 2>&1
   note "bench sf10: done $(grep -o '"value":[0-9.]*' BENCH_sf10.json 2>/dev/null | head -1)"
+  if [ "${CHAIN_KNOBS:-1}" = "0" ]; then
+    note "sf10 knobs: SKIPPED (CHAIN_KNOBS=0 — a same-HEAD sweep already produced KNOBS_sf10.md this round)"
+  else
   note "sf10 ANN production geometries (time-only knobs): start"
   SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_DRIVER_MEM=64g \
     SPARK_GRAFT_KNOBS_FAMILY=ann_lsh,ann_ivf,ann_pq,simhash,cluster_rep SPARK_GRAFT_KNOBS_TIME_ONLY=1 \
@@ -96,6 +99,7 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # trailing-space variant dropped them, so the table didn't render)
   grep -E '^(\[info\] )?\|' /tmp/chain_knobs_sf10.log | sed 's/^\[info\] //' > KNOBS_sf10.md 2>/dev/null
   note "sf10 ANN production: done ($(wc -l < KNOBS_sf10.md 2>/dev/null) rows -> KNOBS_sf10.md)"
+  fi
 fi
 
 note "chain: COMPLETE"
