@@ -517,11 +517,24 @@ object VectorOps {
     val cents = refinedCentroidsRouted(v, cells, lloydIters, superProbes)
     val bc = v.sparkSession.sparkContext
       .broadcast(graft.functions.IvfCoarseIndex.build(cents, Dim))
+    // RE-SPREAD before sealing — the stream_ann lesson, relearned on
+    // this very operator: the old rank window exchanged the frame to
+    // hashpartitioning(vec_id, 32), and the row-local route silently
+    // dropped that exchange (posexplode inherits the embeddings
+    // scan's 1-2 input splits at bench scale). Every downstream
+    // consumer then shuffled FROM 1-2 map tasks and the candidate
+    // stage's quadratic pair scoring near-serialized — ann_ivf read
+    // 131.7 s at sf1 vs 7.95 pre-change while ann_pq (whose index
+    // write re-spreads anyway) held. One n×probes-row exchange
+    // restores the pre-native plan shape; it is strictly smaller
+    // than the n×cells window exchange it replaces.
+    val parallelism = v.sparkSession.sessionState.conf.numShufflePartitions
     val routed = v.select(col("vec_id"), col("q"), col("n2"),
         posexplode(graft.functions.IvfRoute.column(col("q"), col("n2"), bc, probes, superProbes))
           .as(Seq("crnk0", "cent_id")))
       .select(col("vec_id"), col("q"), col("n2"), col("cent_id"),
         (col("crnk0") + 1).as("crnk"))
+      .repartition(parallelism, col("vec_id"))
     // subsumes the quantized frame (assignment rows carry q, n2);
     // seal materializes eagerly, so the broadcast can drop right after
     val out = graft.Scratch.seal(routed, v)
