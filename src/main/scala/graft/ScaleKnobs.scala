@@ -217,8 +217,14 @@ object ScaleKnobs {
     // that shows the assignment term no longer dominating; the sf1
     // (recall) arm sweeps superProbes so the production setting is a
     // MEASURED recall point, not a guess.
+    // the third time-only row probes at ann_lsh's CANDIDATE BUDGET
+    // (probes=2 at cells∝n ⇒ ~n²·2/cells pair scores ≈ the 8×16-bit
+    // LSH row's 442 M at sf10): with assignment killed, the remaining
+    // cost is the candidate stage, and cross-operator comparisons are
+    // only meaningful at matched candidate counts
     val ivfGeoms =
-      if (timeOnly) Seq((cellsForCorpus(nQ), 8, 0), (cellsForCorpus(nQ), 8, 6))
+      if (timeOnly) Seq((cellsForCorpus(nQ), 8, 0), (cellsForCorpus(nQ), 8, 6),
+        (cellsForCorpus(nQ), 2, 6))
       else Seq((16, 2, 0), (128, 8, 0), (128, 8, 2), (128, 8, 4), (128, 8, 6))
     if (want("ann_ivf")) for ((cells, probes, superProbes) <- ivfGeoms) {
       val (rec, secs) = timed {
