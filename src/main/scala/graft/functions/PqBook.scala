@@ -1,0 +1,322 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Driver-built product-quantization codebook for the IVF-PQ family —
+  * the round-13 verdict's one remaining ANN scale hole, fixed the same
+  * way [[IvfCoarseIndex]] fixed coarse assignment: the codebook ships
+  * as a BROADCAST consumed by native codegen expressions, not as plan
+  * literals. The literal formulation it replaces
+  * ([[graft.operators.VectorOps]] `pqArgminExpr` / `pqAdcExpr`, kept
+  * for the parity spec) spells all M×K codeword dot products into the
+  * SQL: at the production K=256 that is 5.3 MiB task binaries, blows
+  * the 64 KB whole-stage-codegen method limit, and drags the
+  * encode/ADC stages into interpreted mode — 1719 s at sf10 while the
+  * same plan's candidate join does ~145 s work. Here every stage is a
+  * tight primitive loop over flat arrays, K-independent in code size.
+  *
+  * Layout is flat primitive arrays (the [[IvfCoarseIndex]] pattern),
+  * O(M·K·subDim) longs — constants by construction, independent of
+  * corpus size (the classic PQ contract: the codebook fits in memory
+  * on every node). Broadcast ⇒ fetched once per executor, never once
+  * per task.
+  *
+  * Determinism contract: codes scan ascending and every argmin keeps
+  * the FIRST minimum — identical tie behavior to the literal
+  * `array_position(dists, array_min(dists))` over entries sorted by
+  * code id, which is what the DuckDB oracle's
+  * `ROW_NUMBER() OVER (ORDER BY dist, code)` pins. Dropped codes
+  * (Lloyd losers) are holes: never scanned by assign, zero in the ADC
+  * table — exactly the literal path's `byCode.get(k).getOrElse(0)`.
+  */
+final class PqBook(
+    val nSub: Int, val subDim: Int, val nCodes: Int,
+    /** (m·K + k) → codeword survives (seeded codes may drop in Lloyd) */
+    val present: Array[Boolean],
+    /** (m·K + k)·subDim row-major codeword components, holes zeroed */
+    val words: Array[Long],
+    /** (m·K + k) → exact integer ‖codeword‖², holes 0 */
+    val cn2: Array[Long]) extends Serializable {
+
+  /** argmin_k (‖c_k‖² − 2·⟨sv, c_k⟩) over PRESENT codes of subspace
+    * `m` — orders (and ties) identically to the oracle's full
+    * `ORDER BY dist, code` because ‖sv‖² is constant across codes.
+    * First minimum = lowest surviving code id.
+    */
+  def assign(m: Int, sv: ArrayData): Long = {
+    val d = math.min(sv.numElements(), subDim)
+    var best = -1L
+    var bestKey = Long.MaxValue
+    var k = 0
+    while (k < nCodes) {
+      val e = m * nCodes + k
+      if (present(e)) {
+        val base = e * subDim
+        var dot = 0L
+        var i = 0
+        while (i < d) { dot += sv.getLong(i) * words(base + i); i += 1 }
+        val key = cn2(e) - 2L * dot
+        if (key < bestKey) { bestKey = key; best = k.toLong }
+      }
+      k += 1
+    }
+    best
+  }
+
+  /** codes[M] for a full vector — row-local, no join, no literals. */
+  def encode(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](nSub)
+    var m = 0
+    while (m < nSub) {
+      val off = m * subDim
+      val d = math.max(0, math.min(n - off, subDim))
+      var best = -1L
+      var bestKey = Long.MaxValue
+      var k = 0
+      while (k < nCodes) {
+        val e = m * nCodes + k
+        if (present(e)) {
+          val base = e * subDim
+          var dot = 0L
+          var i = 0
+          while (i < d) { dot += vec.getLong(off + i) * words(base + i); i += 1 }
+          val key = cn2(e) - 2L * dot
+          if (key < bestKey) { bestKey = key; best = k.toLong }
+        }
+        k += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The query side's ADC table: adc[m·K + k] = ⟨q_m, c_k⟩, holes 0. */
+  def adcTable(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](nSub * nCodes)
+    var m = 0
+    while (m < nSub) {
+      val off = m * subDim
+      val d = math.max(0, math.min(n - off, subDim))
+      var k = 0
+      while (k < nCodes) {
+        val e = m * nCodes + k
+        if (present(e)) {
+          val base = e * subDim
+          var dot = 0L
+          var i = 0
+          while (i < d) { dot += vec.getLong(off + i) * words(base + i); i += 1 }
+          out(e) = dot
+        }
+        k += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ‖reconstruction‖² = Σ_m ‖c_{codes[m]}‖² exactly (the subspaces
+    * partition the dimensions) — the literal path's
+    * `graft_adc_dot(cn2Lit, codes, K)` gather against the flat cn2.
+    */
+  def rn2(codes: ArrayData): Long = {
+    val n = math.min(codes.numElements(), nSub)
+    var acc = 0L
+    var m = 0
+    while (m < n) {
+      val k = codes.getLong(m)
+      if (k >= 0 && k < nCodes) acc += cn2(m * nCodes + k.toInt)
+      m += 1
+    }
+    acc
+  }
+}
+
+object PqBook {
+  /** Build from the driver-trained codebook map (m → (code, codeword)
+    * ascending). Every subspace must keep ≥ 1 surviving code (Lloyd
+    * can drop codes, never a whole subspace — each subvector is
+    * assigned somewhere).
+    */
+  def build(cb: Map[Int, Seq[(Long, Seq[Long])]],
+      nSub: Int, subDim: Int, nCodes: Int): PqBook = {
+    val present = new Array[Boolean](nSub * nCodes)
+    val words = new Array[Long](nSub * nCodes * subDim)
+    val cn2 = new Array[Long](nSub * nCodes)
+    var m = 0
+    while (m < nSub) {
+      val entries = cb(m)
+      require(entries.nonEmpty, s"PqBook: subspace $m lost every code")
+      entries.foreach { case (code, cq) =>
+        require(code >= 0 && code < nCodes,
+          s"PqBook: code $code out of [0, $nCodes) in subspace $m")
+        val e = m * nCodes + code.toInt
+        present(e) = true
+        var i = 0
+        val d = math.min(cq.length, subDim)
+        while (i < d) { words(e * subDim + i) = cq(i); i += 1 }
+        cn2(e) = cq.map(x => x * x).sum
+      }
+      m += 1
+    }
+    new PqBook(nSub, subDim, nCodes, present, words, cn2)
+  }
+}
+
+/** Shared broadcast plumbing for the PQ expressions: resolve the
+  * broadcast VALUE once per task into constructor-time mutable state
+  * (the [[IvfRoute]] pattern) — a plan-literal codebook would re-ship
+  * O(M·K·subDim) with every task.
+  */
+private[functions] trait PqBookCodegen { self: Expression =>
+  def book: Broadcast[PqBook]
+  protected def bookVar(ctx: CodegenContext): String = {
+    val bcRef = ctx.addReferenceObj("pqBookBc", book,
+      classOf[Broadcast[PqBook]].getName)
+    val cls = classOf[PqBook].getName
+    ctx.addMutableState(cls, "pqBook", v => s"$v = ($cls) $bcRef.value();")
+  }
+}
+
+/** `pq_encode(q)` — array<bigint> of the M nearest sub-codewords for a
+  * quantized vector, against a broadcast [[PqBook]]. Not in the
+  * [[GraftFunctions]] SQL registry: constructed programmatically (it
+  * carries a Broadcast handle, which a SQL builder cannot).
+  */
+case class PqEncode(child: Expression, book: Broadcast[PqBook])
+  extends UnaryExpression with PqBookCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(q: Any): Any =
+    book.value.encode(q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = bookVar(ctx)
+    nullSafeCodeGen(ctx, ev, q => s"${ev.value} = $b.encode($q);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode"
+}
+
+/** `pq_adc_table(q)` — the flat M×K ADC lookup table for a query
+  * vector (adc[m·K + k] = ⟨q_m, c_k⟩), consumed by `graft_adc_dot`.
+  */
+case class PqAdcTable(child: Expression, book: Broadcast[PqBook])
+  extends UnaryExpression with PqBookCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_table requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(q: Any): Any =
+    book.value.adcTable(q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = bookVar(ctx)
+    nullSafeCodeGen(ctx, ev, q => s"${ev.value} = $b.adcTable($q);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_adc_table"
+}
+
+/** `pq_rn2(codes)` — exact ‖reconstruction‖² of an encoded vector. */
+case class PqRn2(child: Expression, book: Broadcast[PqBook])
+  extends UnaryExpression with PqBookCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_rn2 requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(codes: Any): Any =
+    book.value.rn2(codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = bookVar(ctx)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $b.rn2($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqRn2 =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_rn2"
+}
+
+/** `pq_sub_assign(m, sv)` — nearest sub-codeword for ONE exploded
+  * subvector: the Lloyd training step's assignment half, which runs
+  * over (vec, m) rows and therefore can't use [[PqEncode]]'s
+  * full-vector shape without changing the training plan's generator
+  * (the round-12/13 plan-shape lesson: keep the surrounding shape,
+  * swap only the expression).
+  */
+case class PqSubAssign(left: Expression, right: Expression,
+    book: Broadcast[PqBook]) extends BinaryExpression with PqBookCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_sub_assign requires (int, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(m: Any, sv: Any): Any =
+    book.value.assign(m.asInstanceOf[Int], sv.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = bookVar(ctx)
+    nullSafeCodeGen(ctx, ev, (m, sv) => s"${ev.value} = $b.assign($m, $sv);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqSubAssign =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_sub_assign"
+}
+
+object PqExprs {
+  import org.apache.spark.sql.GraftColumnBridge
+  /** Column-API constructors (the programmatic path around the SQL
+    * registry — these expressions carry a Broadcast handle).
+    */
+  def encode(q: Column, book: Broadcast[PqBook]): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(q), book))
+  def adcTable(q: Column, book: Broadcast[PqBook]): Column =
+    GraftColumnBridge.column(PqAdcTable(GraftColumnBridge.expression(q), book))
+  def rn2(codes: Column, book: Broadcast[PqBook]): Column =
+    GraftColumnBridge.column(PqRn2(GraftColumnBridge.expression(codes), book))
+  def subAssign(m: Column, sv: Column, book: Broadcast[PqBook]): Column =
+    GraftColumnBridge.column(PqSubAssign(
+      GraftColumnBridge.expression(m), GraftColumnBridge.expression(sv), book))
+}

@@ -832,7 +832,7 @@ object VectorOps {
     * identically to the oracle's full `ORDER BY dist, code`;
     * first-minimum position = lowest code id.
     */
-  private def pqArgminExpr(cb: PqCodebook, m: Int, sv: String): String = {
+  private[graft] def pqArgminExpr(cb: PqCodebook, m: Int, sv: String): String = {
     val entries = cb(m)
     val dists = entries.map { case (_, cq) =>
       val lit = cq.map(_ + "L").mkString("array(", ", ", ")")
@@ -843,8 +843,16 @@ object VectorOps {
     s"element_at($ids, CAST(array_position($dists, array_min($dists)) AS INT))"
   }
 
-  /** codes[M] for a corpus row — one row-local expression, no join. */
-  private def pqCodesExpr(cb: PqCodebook, nSub: Int, subDim: Int): String =
+  /** codes[M] for a corpus row — one row-local expression, no join.
+    *
+    * LITERAL formulation, retained for the parity spec only (the
+    * production path is the broadcast-codebook native
+    * [[graft.functions.PqEncode]]): spelling M×K codeword dot
+    * products into the SQL is K-quadratic in plan size — 5.3 MiB task
+    * binaries at the production K=256, past the 64 KB whole-stage-
+    * codegen method limit, 1719 s at sf10 (r13 verdict item 1).
+    */
+  private[graft] def pqCodesExpr(cb: PqCodebook, nSub: Int, subDim: Int): String =
     (0 until nSub)
       .map(m => pqArgminExpr(cb, m, s"slice(q, ${m * subDim + 1}, $subDim)"))
       .mkString("array(", ", ", ")")
@@ -857,21 +865,26 @@ object VectorOps {
     * mean-group does).
     */
   private def pqLloydStep(base: DataFrame, cb: PqCodebook,
-      nSub: Int, subDim: Int): PqCodebook = {
-    val assignCase = (0 until nSub)
-      .map(m => s"WHEN $m THEN ${pqArgminExpr(cb, m, "sq")}")
-      .mkString("CASE m ", " ", " END")
+      nSub: Int, subDim: Int, nCodes: Int): PqCodebook = {
+    // assignment is native against the broadcast codebook
+    // (pq_sub_assign — the IvfRoute pattern); the literal CASE-per-m
+    // argmin chain it replaces is kept in pqArgminExpr for the parity
+    // spec. Same generator, same downstream plan — only the
+    // expression changed (the r12/r13 plan-shape lesson).
+    val bc = base.sparkSession.sparkContext
+      .broadcast(graft.functions.PqBook.build(cb, nSub, subDim, nCodes))
     val rows = base
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${nSub - 1}, 1), m -> slice(q, m * $subDim + 1, $subDim))"))
         .as(Seq("m", "sq")))
-      .withColumn("code", expr(assignCase))
+      .withColumn("code", graft.functions.PqExprs.subAssign(col("m"), col("sq"), bc))
       .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("pos", "x")))
       .groupBy("m", "code", "pos")
       .agg(expr("CAST(FLOOR(SUM(x) / COUNT(*)) AS BIGINT)").as("cm"))
       .groupBy("m", "code")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), s -> s.cm)").as("cq"))
       .collect()
+    bc.destroy()
     rows.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
       .groupBy(_._1).view
       .mapValues(_.map(t => (t._2, t._3.toSeq)).sortBy(_._1).toSeq)
@@ -882,15 +895,18 @@ object VectorOps {
     * fill with 0 and are never dereferenced — encode only ever picks
     * surviving codes.
     */
-  private def pqFlatLit(cb: PqCodebook, nSub: Int, nCodes: Int)(
+  private[graft] def pqFlatLit(cb: PqCodebook, nSub: Int, nCodes: Int)(
       f: Seq[Long] => Long): String =
     (0 until nSub).flatMap { m =>
       val byCode = cb(m).toMap
       (0 until nCodes).map(k => byCode.get(k.toLong).map(f).getOrElse(0L))
     }.map(_ + "L").mkString("array(", ", ", ")")
 
-  /** The query side's ADC table: adc[m*K + k] = dot(q_m, codeword). */
-  private def pqAdcExpr(cb: PqCodebook, nSub: Int, subDim: Int, nCodes: Int): String =
+  /** The query side's ADC table: adc[m*K + k] = dot(q_m, codeword).
+    * LITERAL formulation, parity-spec-retained — production is the
+    * native [[graft.functions.PqAdcTable]] (see pqCodesExpr's note).
+    */
+  private[graft] def pqAdcExpr(cb: PqCodebook, nSub: Int, subDim: Int, nCodes: Int): String =
     (0 until nSub).flatMap { m =>
       val byCode = cb(m).toMap
       val sq = s"slice(q, ${m * subDim + 1}, $subDim)"
@@ -949,9 +965,15 @@ object VectorOps {
     * cleanup hook (call after the result is materialized).
     */
   private[graft] case class PqPlanParts(topk: DataFrame, assigned: DataFrame,
-      index: DataFrame, indexTable: String) {
-    def dropIndex(): Unit =
+      index: DataFrame, indexTable: String,
+      book: org.apache.spark.broadcast.Broadcast[graft.functions.PqBook]) {
+    def dropIndex(): Unit = {
       index.sparkSession.sql(s"DROP TABLE IF EXISTS $indexTable")
+      // the ADC side references the broadcast codebook until the topk
+      // frame materializes; callers drop the index (and with it the
+      // book) only after that point
+      book.destroy()
+    }
   }
 
   /** The un-sealed IVF-PQ plan — the spec asserts the index's
@@ -977,11 +999,17 @@ object VectorOps {
     val assigned = cellAssignmentsOf(v, cells, probes, lloydIters, superProbes)
     val base = assigned.filter(col("crnk") === 1)
     var cb = pqSeedsOf(base, subDim, nSub, nCodes)
-    for (_ <- 0 until pqIters) cb = pqLloydStep(base, cb, nSub, subDim)
-    val cn2Lit = pqFlatLit(cb, nSub, nCodes)(cq => cq.map(x => x * x).sum)
+    for (_ <- 0 until pqIters) cb = pqLloydStep(base, cb, nSub, subDim, nCodes)
+    // the trained codebook ships as ONE broadcast consumed by native
+    // codegen on both sides (encode/rn2 on the index write, ADC table
+    // on the probe side) — O(M·K·subDim) longs fetched once per
+    // executor, vs the literal-SQL formulation's 5.3 MiB task
+    // binaries and codegen fallback at K=256 (r13 verdict item 1)
+    val book = v.sparkSession.sparkContext
+      .broadcast(graft.functions.PqBook.build(cb, nSub, subDim, nCodes))
     val table = "graft_pqidx_" + java.util.UUID.randomUUID().toString.replace("-", "")
     graft.sources.BucketedTable.write(
-      pqIndexOf(base, cb, nSub, subDim, nCodes, cn2Lit), table, "cell", cells)
+      pqIndexOf(base, book), table, "cell", cells)
     val corpus = graft.sources.BucketedTable.read(v.sparkSession, table)
     // Probe-side shaping, doing two jobs with one small shuffle:
     //
@@ -1003,21 +1031,25 @@ object VectorOps {
     //    the repartition's real wins are the spread and the codegen
     //    stage isolation below, not exchange elimination.)
     //
-    // 2. STAGE-ISOLATE the ADC build: the repartition sits AFTER the
-    //    ADC projection so the M×K-literal expression (which blows
-    //    the 64 KB whole-stage-codegen method limit by construction)
-    //    fails codegen in its own probe-row-sized stage, NOT inside
-    //    the candidate stage — with them fused, the codegen fallback
-    //    dragged the whole per-candidate scoring loop into
-    //    interpreted mode (measured 10×: 2.8 → 28 s at sf0.1). The
-    //    shuffle carries one ADC table per probe row — query-batch-
-    //    sized by the ANN contract, never corpus-sized.
+    // 2. THIN the exchange: the ADC projection sits AFTER the
+    //    repartition, so the shuffle carries the Dim-long quantized
+    //    vector and each probe row builds its M×K table natively
+    //    (pq_adc_table, broadcast codebook, full codegen) on the far
+    //    side — at the production K=256 the table is 2048 longs vs
+    //    the vector's 64, a 32× exchange-width saving. (The literal-
+    //    expression era projected BEFORE the repartition to quarantine
+    //    its codegen fallback in a separate stage; the native
+    //    expression has no fallback to quarantine, so the projection
+    //    moves to the cheap side of the wire. Column pruning keeps
+    //    only (q_id, cell, q, qn2) below the exchange — spec-pinned.)
     val parallelism = v.sparkSession.sessionState.conf.numShufflePartitions
     val queriesSide = assigned
       .select(
         col("vec_id").as("q_id"), col("cent_id").as("cell"),
-        expr(pqAdcExpr(cb, nSub, subDim, nCodes)).as("adc"), col("n2").as("qn2"))
+        col("q"), col("n2").as("qn2"))
       .repartition(parallelism, col("q_id"))
+      .select(col("q_id"), col("cell"),
+        graft.functions.PqExprs.adcTable(col("q"), book).as("adc"), col("qn2"))
     // no distinct over the candidate set: each corpus vector lives in
     // exactly ONE cell (crnk = 1) and a query probes DISTINCT cells,
     // so a (q_id, n_id) pair can arise from at most one join row —
@@ -1044,18 +1076,21 @@ object VectorOps {
     val topk = rescored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
-    PqPlanParts(topk, assigned, corpus, table)
+    PqPlanParts(topk, assigned, corpus, table, book)
   }
 
   /** The PQ index frame: (cell, n_id, codes[M], rn2) — the ONLY corpus
     * columns the candidate join shuffles. rn2 = Σ_m ‖codeword_m‖² =
     * ‖reconstruction‖² exactly (subspaces partition the dims).
+    * Encode and rn2 are native against the broadcast codebook
+    * (pq_encode / pq_rn2) — parity with the literal pqCodesExpr /
+    * cn2-gather plan is spec-pinned.
     */
-  private[graft] def pqIndexOf(base: DataFrame, cb: PqCodebook,
-      nSub: Int, subDim: Int, nCodes: Int, cn2Lit: String): DataFrame =
+  private[graft] def pqIndexOf(base: DataFrame,
+      book: org.apache.spark.broadcast.Broadcast[graft.functions.PqBook]): DataFrame =
     base.select(col("vec_id").as("n_id"), col("cent_id").as("cell"),
-        expr(pqCodesExpr(cb, nSub, subDim)).as("codes"))
-      .withColumn("rn2", expr(s"graft_adc_dot($cn2Lit, codes, $nCodes)"))
+        graft.functions.PqExprs.encode(col("q"), book).as("codes"))
+      .withColumn("rn2", graft.functions.PqExprs.rn2(col("codes"), book))
       .filter(col("rn2") > 0)
 
   /** The oracle re-derives EVERYTHING — IVF cells, PQ codebook
