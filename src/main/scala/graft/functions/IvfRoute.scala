@@ -140,6 +140,17 @@ final class IvfCoarseIndex(
         while (m < end) { offer(memberIdx(m)); m += 1 }
         g += 1
       }
+      // degenerate-corpus guard: if EVERY probed group is empty (all
+      // centroids clustered under unprobed supers — possible with
+      // collinear-tied super seeds), fall back to the flat scan
+      // rather than emit an empty route. Downstream consumers take
+      // element_at(route, 1) / posexplode and would otherwise carry a
+      // null cent_id into the Lloyd aggregation or silently drop the
+      // vector from the final probe.
+      if (filled == 0) {
+        var ci = 0
+        while (ci < nC) { offer(ci); ci += 1 }
+      }
     }
 
     val out = new Array[Long](filled)

@@ -36,12 +36,21 @@ case class SimhashKeys(child: Expression,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any =
-    SimhashKeys.keys(input.asInstanceOf[Long], blocks, keyBlocks, width)
+  // combination table resolved once per expression instance / codegen
+  // operator (the IvfRoute mutable-state pattern) — the per-row path
+  // must never box a (Int, Int) tuple key into the ConcurrentHashMap
+  // from inside the very hot loop this expression exists to speed up
+  @transient private lazy val ss = SimhashKeys.subsets(blocks, keyBlocks)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(input: Any): Any =
+    SimhashKeys.keys(input.asInstanceOf[Long], ss, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ssVar = ctx.addMutableState("int[][]", "simhashSubsets",
+      v => s"$v = graft.functions.SimhashKeys.subsets($blocks, $keyBlocks);")
     defineCodeGen(ctx, ev,
-      s => s"graft.functions.SimhashKeys.keys($s, $blocks, $keyBlocks, $width)")
+      s => s"graft.functions.SimhashKeys.keys($s, $ssVar, $width)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimhashKeys =
     copy(child = newChild)
@@ -77,13 +86,18 @@ case class FirstSimhashKey(left: Expression, right: Expression,
 
   override def dataType: DataType = IntegerType
 
+  @transient private lazy val ss = SimhashKeys.subsets(blocks, keyBlocks)
+
   override def nullSafeEval(a: Any, b: Any): Any =
     SimhashKeys.firstSharedKey(a.asInstanceOf[Long], b.asInstanceOf[Long],
-      blocks, keyBlocks, width)
+      ss, blocks, width)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ssVar = ctx.addMutableState("int[][]", "simhashSubsets",
+      v => s"$v = graft.functions.SimhashKeys.subsets($blocks, $keyBlocks);")
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.SimhashKeys.firstSharedKey($a, $b, $blocks, $keyBlocks, $width);")
+      s"${ev.value} = graft.functions.SimhashKeys.firstSharedKey($a, $b, $ssVar, $blocks, $width);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FirstSimhashKey =
@@ -101,13 +115,17 @@ object SimhashKeys {
   private val subsetCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Int]]]()
 
-  private[functions] def subsets(blocks: Int, keyBlocks: Int): Array[Array[Int]] =
+  /** Resolved ONCE per operator (codegen mutable state) or expression
+    * instance (transient lazy val) — never from the per-row loop: the
+    * map lookup boxes a tuple key and hashes it, avoidable work in
+    * the exact stage the native expressions exist to speed up.
+    */
+  def subsets(blocks: Int, keyBlocks: Int): Array[Array[Int]] =
     subsetCache.computeIfAbsent((blocks, keyBlocks),
       _ => (0 until blocks).combinations(keyBlocks).map(_.toArray).toArray)
 
   def firstSharedKey(sigA: Long, sigB: Long,
-      blocks: Int, keyBlocks: Int, width: Int): Int = {
-    val ss = subsets(blocks, keyBlocks)
+      ss: Array[Array[Int]], blocks: Int, width: Int): Int = {
     val mask = (1L << width) - 1
     val x = sigA ^ sigB
     // per-block equality bitmap: bit b set iff block b identical
@@ -129,8 +147,7 @@ object SimhashKeys {
     -1
   }
 
-  def keys(sig: Long, blocks: Int, keyBlocks: Int, width: Int): ArrayData = {
-    val ss = subsets(blocks, keyBlocks)
+  def keys(sig: Long, ss: Array[Array[Int]], width: Int): ArrayData = {
     val mask = (1L << width) - 1
     val out = new Array[Long](ss.length)
     var i = 0

@@ -94,6 +94,34 @@ class IvfRouteSpec extends SparkSpec {
     }
   }
 
+  test("route: all-probed-groups-empty degenerates to the flat scan, never an empty route") {
+    // hand-built index: 4 centroids ALL grouped under super 1; a query
+    // whose best super is 0 with superProbes=1 probes only the empty
+    // group. The guard must fall back to the flat scan — an empty
+    // route would flow a null cent_id into the Lloyd aggregation
+    // (element_at(route, 1)) or silently drop the vector (posexplode).
+    val d = 4
+    val centIds = Array(0L, 1L, 2L, 3L)
+    val centFlat = Array[Long](
+      1, 0, 0, 0,
+      0, 1, 0, 0,
+      0, 1, 1, 0,
+      0, 1, 0, 1).map(_ * 100L)
+    val centN2 = Array.tabulate(4)(i =>
+      refDot(centFlat.slice(i * d, i * d + d), centFlat.slice(i * d, i * d + d)))
+    val idx = new IvfCoarseIndex(d, centIds, centFlat, centN2,
+      superSeedIdx = Array(0, 1),
+      memberIdx = Array(0, 1, 2, 3),
+      memberStart = Array(0, 0, 4)) // super 0 owns NOTHING
+    val vec = Array[Long](100, 1, 0, 0) // best super = 0 (the empty one)
+    val n2 = refDot(vec, vec)
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(vec)
+    val got = idx.route(arr, n2, 2, 1).toLongArray().toSeq
+    val flat = idx.route(arr, n2, 2, 0).toLongArray().toSeq
+    assert(got.nonEmpty, "route returned empty on the degenerate grouping")
+    assert(got == flat, s"fallback should equal the flat scan: $got vs $flat")
+  }
+
   test("routed flat assignment is row-identical to the declarative crossJoin+window plan") {
     def rows(df: DataFrame): Seq[(Long, Long, Int)] =
       df.select(col("vec_id"), col("cent_id"), col("crnk").cast("int"))

@@ -20,7 +20,7 @@ STATUS=/tmp/chain.status
 note() { echo "$(date +%T) $*" >> "$STATUS"; }
 : > "$STATUS"
 
-ROUND="${CHAIN_ROUND:-13}"
+ROUND="${CHAIN_ROUND:-14}"
 note "tests: start"
 T0=$(date +%s)
 if sbt -batch test > /tmp/chain_test.log 2>&1; then
@@ -81,7 +81,12 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # density and OOM'd an 8g heap at sf10 on the first chain run; the
   # production-geometry arm below measures those families at the
   # settings that would actually run on a big corpus.
-  SLOW="mm_pipeline,ann_ivf,ann_bruteforce,dedup_minhash,dedup_simhash,dedup_ngram,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
+  # dedup_simhash (32-bit gate geometry) left the list in r14: it is
+  # n²/2⁹ BY DESIGN and measured flat across rounds (1342 s at sf10 in
+  # r12 AND r13) — the dedup_simhash_prod gate entry times the (60, 6,
+  # d≤5) plan a big corpus actually runs (~73 s at sf10 in r13's knob
+  # sweep), so the headline row now carries the production plan.
+  SLOW="mm_pipeline,ann_ivf,ann_bruteforce,dedup_minhash,dedup_simhash_prod,dedup_ngram,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
   note "bench sf10 (slow families): start"
   SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_GRAFT_BENCH_REPS=1 \
     SPARK_GRAFT_BENCH_ONLY="$SLOW" SPARK_DRIVER_MEM=64g \
