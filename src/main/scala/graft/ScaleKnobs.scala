@@ -35,8 +35,8 @@ object ScaleKnobs {
     val out = Seq.newBuilder[String]
     out += "| family | geometry | secs | candidates | quality |"
     out += "|---|---|---|---|---|"
-    // family filter (comma list of minhash|ann_lsh|ann_ivf|ann_pq|
-    // components): a single-knob re-measure — e.g. after an LSH
+    // family filter (comma list of minhash|simhash|simhash_xover|
+    // ann_lsh|ann_ivf|ann_pq|cluster_rep): a single-knob re-measure — e.g. after an LSH
     // hashing change — must not pay the whole 400+ s sweep (whose
     // machine load then pollutes any concurrent bench, as r11's
     // driver artifact showed). Unset = everything.
@@ -148,6 +148,42 @@ object ScaleKnobs {
     }
     Scratch.releaseAll()
 
+    // ---------------- simhash banded-vs-sharded crossover ----------
+    // The "sharded for ≥10⁶ DIVERSE docs" decision rested on a
+    // uniform-collision model (PLANS.md); this family turns the
+    // crossover into a measurement (r13 verdict item 8). The bench
+    // corpora can't probe it — sf10 is exact-dup-heavy (~100 copies
+    // per doc, collapsed by both arms' signature pre-collapse) — so
+    // this generates a synthetic corpus of n near-distinct
+    // signatures: 8 tokens per doc drawn hash-randomly from a 10⁶
+    // vocab. Banded (60,6) pays ~6·n²/2¹¹ random candidate
+    // verifications; sharded pays 210 keys/doc up front but its
+    // 24-bit keys shed random collisions 2¹⁴ harder. Expect banded to
+    // win the small point and lose the 10⁶ one.
+    if (want("simhash_xover")) {
+      for (nDocs <- Seq(300000L, 1000000L)) {
+        val docs = Scratch.cp(spark.range(nDocs).toDF("doc_id")
+          .withColumn("text", expr(
+            "array_join(transform(sequence(0, 7), i -> " +
+              "concat('w', pmod(hash(doc_id * 8 + i), 1000000))), ' ')")))
+        def arm(label: String)(body: => DataFrame): Unit = {
+          val (nPairs, secs) = timed {
+            val p = Scratch.cp(body.select("a_id", "b_id"))
+            val n = p.count()
+            Scratch.free(p)
+            n
+          }
+          out += s"| simhash_xover | $label n=$nDocs | ${r2(secs)} | pairs=$nPairs | diverse synthetic corpus |"
+        }
+        arm("banded (60,6,d<=5)")(
+          operators.TextOps.dedupSimhashOf(docs, 60, 6, 5))
+        arm("sharded (60,10x6,t=4,d<=5)")(
+          operators.TextOps.dedupSimhashShardedOf(docs, 60, 10, 4, 5))
+        Scratch.free(docs)
+        Scratch.releaseAll()
+      }
+    }
+
     // ---------------- ANN: exact baseline once ----------------
     val wantAnn = want("ann_lsh") || want("ann_ivf") || want("ann_pq")
     def quant(): DataFrame =
@@ -248,16 +284,35 @@ object ScaleKnobs {
       else Seq((16, 16, 2, 0), (256, 16, 2, 0),
         (256, cellsForCorpus(nQ), 8, 0), (256, cellsForCorpus(nQ), 8, 6))
     if (want("ann_pq")) for ((nCodes, cells, probes, superProbes) <- pqGeoms) {
-      val (rec, secs) = timed {
-        val topk = operators.VectorOps.annPqOf(
-          quant(), cells, probes, 3, 1, 1, nCodes = nCodes,
-          superProbes = superProbes)
-        if (timeOnly) { noop(topk); -1.0 } else recallOf(topSets(topk))
-      }
-      val qual = if (timeOnly) "recall pinned at sf1" else s"recall@3 ${r2(rec)}"
       val geo = s"M=8 K=$nCodes cells=$cells probes=$probes" +
         (if (superProbes > 0) s" superProbes=$superProbes (hier)" else " (flat)")
-      out += s"| ann_pq | $geo | ${r2(secs)} | shortlist=${operators.VectorOps.PqRerank}/query | $qual |"
+      if (timeOnly) {
+        // stage A/B in the same single run (the cluster_rep
+        // treatment): BUILD = assignment + codebook training + the
+        // bucketed index write (all eager inside annPqPlan); PROBE =
+        // ADC candidate join + shortlist + exact re-rank + output
+        // sort. Attribution tells the next round whether ann_pq is
+        // candidate-bound (probe ≈ ann_ivf's residual) or still
+        // paying an index-side term.
+        val (parts, buildSecs) = timed {
+          operators.VectorOps.annPqPlan(quant(), cells, probes, 3, 1, 1,
+            operators.VectorOps.PqSub, nCodes, superProbes)
+        }
+        val (_, probeSecs) = timed {
+          noop(parts.topk.orderBy("q_id", "rnk"))
+        }
+        Scratch.free(parts.assigned)
+        parts.dropIndex()
+        out += s"| ann_pq | $geo | ${r2(buildSecs + probeSecs)} | shortlist=${operators.VectorOps.PqRerank}/query | recall pinned at sf1 (build=${r2(buildSecs)} probe=${r2(probeSecs)}) |"
+      } else {
+        val (rec, secs) = timed {
+          val topk = operators.VectorOps.annPqOf(
+            quant(), cells, probes, 3, 1, 1, nCodes = nCodes,
+            superProbes = superProbes)
+          recallOf(topSets(topk))
+        }
+        out += s"| ann_pq | $geo | ${r2(secs)} | shortlist=${operators.VectorOps.PqRerank}/query | recall@3 ${r2(rec)} |"
+      }
       Scratch.releaseAll()
     }
 

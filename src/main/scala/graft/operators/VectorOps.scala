@@ -1011,7 +1011,7 @@ object VectorOps {
     graft.sources.BucketedTable.write(
       pqIndexOf(base, book), table, "cell", cells)
     val corpus = graft.sources.BucketedTable.read(v.sparkSession, table)
-    // Probe-side shaping, doing two jobs with one small shuffle:
+    // Probe-side shaping, doing THREE jobs with one small shuffle:
     //
     // 1. SPREAD: the materialized assignment frame arrives
     //    AQE-coalesced to a handful of partitions (it is tiny — that
@@ -1023,31 +1023,41 @@ object VectorOps {
     //    whose exchange had been providing the spread by accident —
     //    was removed). A pinned-count hash repartition is the
     //    cheapest possible shuffle here and AQE keeps user-specified
-    //    counts. (The join itself re-keys this side to cell — the
-    //    exchange-count spec pins hashpartitioning(cell) on the probe
-    //    side — so the join output is CELL-distributed and the
+    //    counts. (This repartition IS the join's cell exchange — see
+    //    job 3 — so the join output is CELL-distributed and the
     //    shortlist's q_id window costs one candidate-set exchange;
-    //    that exchange carries the rank-limit-pre-trimmed set, and
-    //    the repartition's real wins are the spread and the codegen
-    //    stage isolation below, not exchange elimination.)
+    //    that exchange carries the rank-limit-pre-trimmed set.)
     //
     // 2. THIN the exchange: the ADC projection sits AFTER the
     //    repartition, so the shuffle carries the Dim-long quantized
     //    vector and each probe row builds its M×K table natively
     //    (pq_adc_table, broadcast codebook, full codegen) on the far
     //    side — at the production K=256 the table is 2048 longs vs
-    //    the vector's 64, a 32× exchange-width saving. (The literal-
-    //    expression era projected BEFORE the repartition to quarantine
-    //    its codegen fallback in a separate stage; the native
-    //    expression has no fallback to quarantine, so the projection
-    //    moves to the cheap side of the wire. Column pruning keeps
-    //    only (q_id, cell, q, qn2) below the exchange — spec-pinned.)
-    val parallelism = v.sparkSession.sessionState.conf.numShufflePartitions
+    //    the vector's 64, a 32× exchange-width saving (n×probes ×
+    //    16 KB ≈ 64 GB of shuffle at sf10 that simply stops
+    //    existing). (The literal-expression era projected BEFORE the
+    //    repartition to quarantine its codegen fallback in a separate
+    //    stage; the native expression has no fallback to quarantine,
+    //    so the projection moves to the cheap side of the wire.
+    //    Column pruning keeps only (q_id, cell, q, qn2) below the
+    //    exchange — spec-pinned.)
+    //
+    // 3. BE the join's exchange: the repartition keys on CELL at the
+    //    index's bucket count, which is exactly the
+    //    HashPartitioning(cell, cells) the sort-merge join against
+    //    the bucketed index requires — EnsureRequirements adds no
+    //    further exchange, so the ADC table (built above this
+    //    shuffle) never crosses ANY wire. The first native cut keyed
+    //    this repartition on q_id instead, and the join then
+    //    re-exchanged the projected table by cell: 493/578 s at sf10
+    //    production geometry with that 64 GB shuffle, vs the literal
+    //    plan's 1753/1719. Parallelism is cell-bounded either way
+    //    (one posting list per cell is the serving-IVF layout).
     val queriesSide = assigned
       .select(
         col("vec_id").as("q_id"), col("cent_id").as("cell"),
         col("q"), col("n2").as("qn2"))
-      .repartition(parallelism, col("q_id"))
+      .repartition(cells, col("cell"))
       .select(col("q_id"), col("cell"),
         graft.functions.PqExprs.adcTable(col("q"), book).as("adc"), col("qn2"))
     // no distinct over the candidate set: each corpus vector lives in

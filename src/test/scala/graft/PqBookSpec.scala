@@ -133,12 +133,14 @@ class PqBookSpec extends SparkSpec {
     }
   }
 
-  test("ann_pq probe-side exchange carries the vector, not the ADC table") {
-    // the rewire moved the ADC projection to the far side of the
-    // repartition: the exchange under the candidate join's query side
-    // must shuffle (q_id, cell, q, qn2) — if `adc` ever appears below
-    // that exchange, the shuffle re-widened by K/subDim (32× at
-    // production K=256)
+  test("ann_pq: no exchange ever carries the ADC table") {
+    // the rewire keys the probe-side repartition on CELL at the
+    // index's bucket count (= the join's required distribution) and
+    // builds the M×K table beyond it: the cell exchange must shuffle
+    // (q_id, cell, q, qn2), the join must add no further exchange on
+    // this side, and the table must never appear below ANY exchange —
+    // at production K=256 a table-carrying shuffle is n×probes ×
+    // 16 KB ≈ 64 GB at sf10 (measured 493/578 s vs the fixed plan)
     graft.functions.GraftFunctions.register(spark)
     val parts = VectorOps.annPqPlan(quantized(), 4, 1, 3,
       lloydIters = 1, pqIters = 1, nSub = VectorOps.PqSub, nCodes = VectorOps.PqCodes)
@@ -146,14 +148,20 @@ class PqBookSpec extends SparkSpec {
       parts.topk.collect()
       val plan = parts.topk.queryExecution.executedPlan.toString.split("Initial Plan")(0)
       // tree strings print parents above children: the pq_adc_table
-      // projection must appear ABOVE (= at a smaller offset than) the
-      // q_id spread exchange it consumes
+      // projection must sit ABOVE (smaller offset than) the one cell
+      // exchange, with no q_id exchange between them (the only q_id
+      // exchange is the shortlist window's, above the join)
       val idxAdc = plan.indexOf("pq_adc_table")
-      val idxExch = plan.indexOf("Exchange hashpartitioning(q_id")
+      val idxCell = plan.indexOf("Exchange hashpartitioning(cell")
       assert(idxAdc >= 0, s"expected the native ADC projection in the plan:\n$plan")
-      assert(idxExch >= 0, s"expected the q_id spread exchange:\n$plan")
-      assert(idxAdc < idxExch,
-        s"ADC table built below the probe-side exchange (shuffle re-widened):\n$plan")
+      assert(idxCell >= 0, s"expected the probe-side cell exchange:\n$plan")
+      assert(idxAdc < idxCell,
+        s"ADC table built below the cell exchange (shuffle re-widened):\n$plan")
+      assert("Exchange hashpartitioning\\(cell".r.findAllIn(plan).length == 1,
+        s"the join re-exchanged the probe side (ADC table crossed a wire):\n$plan")
+      val between = plan.substring(idxAdc, idxCell)
+      assert(!between.contains("Exchange"),
+        s"an exchange sits between the ADC projection and its cell shuffle:\n$between")
     } finally {
       Scratch.free(parts.assigned)
       parts.dropIndex()
