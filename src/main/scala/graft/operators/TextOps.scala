@@ -1431,8 +1431,17 @@ object TextOps {
     // distinct-signature candidate pairs, each emitted from its FIRST
     // shared key only (the banded arm's first-matching-band
     // canonicalization one level up, row-local over the two sigs) —
-    // emissions are unique by construction, no distinct anywhere
-    val repPairs = keyed.as("a").join(keyed.as("b"),
+    // emissions are unique by construction, no distinct anywhere.
+    // The merge hint is a SCALE guard (r14, caught by the crossover
+    // probe): `keyed` is a posexplode — C(blocks,keyBlocks)=210 rows
+    // per signature — and Generate's size estimate ignores the
+    // multiplier, an underestimate the checkpointed LogicalRDD then
+    // inherits; on a diverse corpus (≈n distinct sigs — the exact
+    // regime this arm exists for) static planning flipped this join
+    // to a BroadcastHashJoin over the 210×-bigger-than-estimated
+    // frame and died building a multi-GB broadcast at n=300k. The
+    // key join must ALWAYS be shuffle-family; spec-pinned.
+    val repPairs = keyed.as("a").hint("merge").join(keyed.as("b"),
         col("a.ki") === col("b.ki") && col("a.kv") === col("b.kv") &&
           col("a.sig") < col("b.sig") &&
           col("a.ki") === expr(

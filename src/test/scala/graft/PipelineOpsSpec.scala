@@ -480,6 +480,21 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.dedupSimhashShardedOf(Tables.documents(spark, sfDir), 60, 10, 6, 5)
     }
+    // SCALE guard (r14): the key self-join must plan shuffle-family,
+    // never a broadcast of `keyed` — the posexplode's 210×
+    // row-multiplier is invisible to Generate's size estimate (the
+    // checkpointed LogicalRDD inherits the underestimate), and on a
+    // diverse corpus (the regime this arm exists for) the resulting
+    // BroadcastHashJoin died building a multi-GB broadcast at n=300k
+    val plan = TextOps.dedupSimhashSharded(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val joins = "BroadcastHashJoin".r.findAllIn(plan).length
+    // the intra/inter expansion joins MAY broadcast (their build
+    // sides are output-sized); the key join itself is identifiable by
+    // the first-shared-key canonical predicate
+    assert(!plan.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("graft_first_simhash_key")),
+      s"the sharded key join planned as a broadcast ($joins BHJs):\n$plan")
     Scratch.releaseAll()
   }
 
