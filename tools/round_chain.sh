@@ -42,6 +42,14 @@ printf '{"round":%s,"git_sha":"%s","passed":%s,"suites":%s,"tests_run":%s,"faile
   > "TESTS_r${ROUND}.json"
 note "tests: evidence -> TESTS_r${ROUND}.json"
 
+# plan audit: static broadcasts over Generate subtrees (the r14
+# sharded-simhash trap, generalized) — pre-execution plans only, so
+# this is cheap next to the benches; findings land in the log for
+# adjudication in PLANS.md
+note "broadcast audit: start"
+sbt -batch "runMain graft.BroadcastAudit /root/testdata/sf0.01" > /tmp/chain_audit.log 2>&1
+note "broadcast audit: $(grep -o 'findings=[0-9]* errors=[0-9]*' /tmp/chain_audit.log | tail -1)"
+
 # BENCH_sf0.1.json is the BUILDER-owned committed record of this point;
 # the default BENCH_full.json name is driver-owned (re-run after round
 # close, gitignored) — see README "Round artifacts"
