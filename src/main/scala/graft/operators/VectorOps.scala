@@ -1042,22 +1042,35 @@ object VectorOps {
     //    Column pruning keeps only (q_id, cell, q, qn2) below the
     //    exchange — spec-pinned.)
     //
-    // 3. BE the join's exchange: the repartition keys on CELL at the
-    //    index's bucket count, which is exactly the
-    //    HashPartitioning(cell, cells) the sort-merge join against
-    //    the bucketed index requires — EnsureRequirements adds no
-    //    further exchange, so the ADC table (built above this
+    // 3. BE the join's exchange — when the geometry can afford it.
+    //    Keying the repartition on CELL at the index's bucket count
+    //    is exactly the HashPartitioning(cell, cells) the sort-merge
+    //    join against the bucketed index requires: EnsureRequirements
+    //    adds no further exchange and the ADC table (built above this
     //    shuffle) never crosses ANY wire. The first native cut keyed
-    //    this repartition on q_id instead, and the join then
-    //    re-exchanged the projected table by cell: 493/578 s at sf10
-    //    production geometry with that 64 GB shuffle, vs the literal
-    //    plan's 1753/1719. Parallelism is cell-bounded either way
-    //    (one posting list per cell is the serving-IVF layout).
-    val queriesSide = assigned
+    //    on q_id and the join re-exchanged the projected table by
+    //    cell — 493/578 s at sf10/K=256 with that ~64 GB shuffle vs
+    //    316/284 keyed on cell. BUT cell keying also caps the
+    //    heaviest stage (ADC build + sort + candidate scoring) at
+    //    `cells` tasks, which at the small GATE geometry starves the
+    //    machine: cells=16 on 32 cores measured 38-41 s at sf1 vs
+    //    12-15 s with the q_id spread (isolated 2-rep A/B, r14). So
+    //    the keying is geometry-dependent: cells >= parallelism
+    //    (every production sizing — cells ∝ √corpus) takes the
+    //    exchange-free cell path; smaller gate geometries keep the
+    //    full-parallelism q_id spread and let the join add its own
+    //    cell exchange — whose ADC payload is bounded there by the
+    //    same small geometry (K=16 tables are 128 longs, and small
+    //    cells only occur with small corpora/codebooks).
+    val parallelism = v.sparkSession.sessionState.conf.numShufflePartitions
+    val spreadKeyed = assigned
       .select(
         col("vec_id").as("q_id"), col("cent_id").as("cell"),
         col("q"), col("n2").as("qn2"))
-      .repartition(cells, col("cell"))
+    val spread =
+      if (cells >= parallelism) spreadKeyed.repartition(cells, col("cell"))
+      else spreadKeyed.repartition(parallelism, col("q_id"))
+    val queriesSide = spread
       .select(col("q_id"), col("cell"),
         graft.functions.PqExprs.adcTable(col("q"), book).as("adc"), col("qn2"))
     // no distinct over the candidate set: each corpus vector lives in

@@ -167,4 +167,35 @@ class PqBookSpec extends SparkSpec {
       parts.dropIndex()
     }
   }
+
+  test("ann_pq small-cells branch keeps the full-parallelism q_id spread") {
+    // when cells < shuffle parallelism (gate geometries), the cell
+    // keying would cap the heaviest stage at `cells` tasks — measured
+    // 38-41 s vs 12-15 s at sf1/cells=16 on 32 cores (r14 A/B). The
+    // branch keys the spread on q_id at full parallelism and lets the
+    // join add its own cell exchange; its ADC payload is bounded by
+    // the same small geometry. Tree order: the join's cell exchange
+    // sits ABOVE the ADC projection, which sits ABOVE the q_id spread.
+    graft.functions.GraftFunctions.register(spark)
+    val parts = VectorOps.annPqPlan(quantized(), 2, 1, 3,
+      lloydIters = 1, pqIters = 1, nSub = VectorOps.PqSub, nCodes = VectorOps.PqCodes)
+    try {
+      parts.topk.collect()
+      val plan = parts.topk.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      // the q_id spread must survive (user-specified counts are kept
+      // by AQE) with the ADC projection ABOVE it; the join's own cell
+      // exchange is AQE's business at this scale (it may broadcast
+      // the tiny corpus side instead — either way the probe side ran
+      // at full parallelism, which is the property this branch buys)
+      val idxAdc = plan.indexOf("pq_adc_table")
+      val idxQid = plan.lastIndexOf("Exchange hashpartitioning(q_id")
+      assert(idxAdc >= 0 && idxQid >= 0,
+        s"expected the ADC projection and the q_id spread exchange:\n$plan")
+      assert(idxAdc < idxQid,
+        s"small-cells branch shape broken (adc@$idxAdc q_id@$idxQid):\n$plan")
+    } finally {
+      Scratch.free(parts.assigned)
+      parts.dropIndex()
+    }
+  }
 }
