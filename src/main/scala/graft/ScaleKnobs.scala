@@ -218,8 +218,12 @@ object ScaleKnobs {
     // ---------------- ann_lsh: bands × bits ----------------
     // time-only drops the 4-bit gate row: its bucket density is
     // by-design quadratic on big corpora (small-corpus setting).
+    // time-only SWEEP ORDER: the production 8×16 row runs FIRST —
+    // r14's chain drew it at 220.8 s directly after the 8×8 row's
+    // 7.1 G-candidate thrash vs 50.7 s solo on the same HEAD; the row
+    // the headline quotes must not inherit the dense row's residue
     val lshGeoms =
-      if (timeOnly) Seq((8, 8), (8, 16)) else Seq((4, 4), (8, 8), (8, 16))
+      if (timeOnly) Seq((8, 16), (8, 8)) else Seq((4, 4), (8, 8), (8, 16))
     if (want("ann_lsh")) for ((bands, bits) <- lshGeoms) {
       val ((nCand, rec), secs) = timed {
         val b = Scratch.cp(operators.VectorOps.bucketed(spark, sfDir, bands, bits,

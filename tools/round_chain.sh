@@ -20,7 +20,13 @@ STATUS=/tmp/chain.status
 note() { echo "$(date +%T) $*" >> "$STATUS"; }
 : > "$STATUS"
 
-ROUND="${CHAIN_ROUND:-14}"
+ROUND="${CHAIN_ROUND:-15}"
+# the sha every artifact this chain stamps claims to describe; the
+# end-of-chain guard re-checks it (r14 regression: TESTS_r14 was
+# stamped, then a later commit changed VectorOps behavior and only the
+# benches re-ran — the judge had to re-prove the suite by hand)
+SHA0=$(git rev-parse HEAD)
+note "chain: stamping sha $SHA0"
 note "tests: start"
 T0=$(date +%s)
 if sbt -batch test > /tmp/chain_test.log 2>&1; then
@@ -47,8 +53,15 @@ note "tests: evidence -> TESTS_r${ROUND}.json"
 # this is cheap next to the benches; findings land in the log for
 # adjudication in PLANS.md
 note "broadcast audit: start"
-sbt -batch "runMain graft.BroadcastAudit /root/testdata/sf0.01" > /tmp/chain_audit.log 2>&1
-note "broadcast audit: $(grep -o 'findings=[0-9]* errors=[0-9]*' /tmp/chain_audit.log | tail -1)"
+# the audit must VISIBLY fail, not silently log an empty note: a
+# crashed runMain used to leave the chain proceeding as if the sweep
+# ran (r14 ADVICE) — check sbt's exit AND that the summary line exists
+if sbt -batch "runMain graft.BroadcastAudit /root/testdata/sf0.01" > /tmp/chain_audit.log 2>&1 \
+    && grep -q 'findings=[0-9]* errors=[0-9]*' /tmp/chain_audit.log; then
+  note "broadcast audit: $(grep -o 'findings=[0-9]* errors=[0-9]*' /tmp/chain_audit.log | tail -1)"
+else
+  note "broadcast audit: FAILED (runMain crashed or no summary line — see /tmp/chain_audit.log)"
+fi
 
 # BENCH_sf0.1.json is the BUILDER-owned committed record of this point;
 # the default BENCH_full.json name is driver-owned (re-run after round
@@ -96,7 +109,12 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # sweep), so the headline row now carries the production plan.
   SLOW="mm_pipeline,ann_ivf,ann_bruteforce,dedup_minhash,dedup_simhash_prod,dedup_ngram,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
   note "bench sf10 (slow families): start"
+  # dedup_cluster_rep/_components flap up to 3x between same-HEAD
+  # sf10 draws (page cache); 2 same-sweep reps with the LOWER median
+  # reported keep the committed record inside the family's honest
+  # band (r14 verdict item 7)
   SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_GRAFT_BENCH_REPS=1 \
+    SPARK_GRAFT_BENCH_REPS_OVERRIDE="dedup_cluster_rep=2,dedup_components=2" \
     SPARK_GRAFT_BENCH_ONLY="$SLOW" SPARK_DRIVER_MEM=64g \
     SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf10.json \
     sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf10.log 2>&1
@@ -111,8 +129,39 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # pattern matches '|---' separator rows too (r12 ADVICE: the
   # trailing-space variant dropped them, so the table didn't render)
   grep -E '^(\[info\] )?\|' /tmp/chain_knobs_sf10.log | sed 's/^\[info\] //' > KNOBS_sf10.md 2>/dev/null
+  # per-file provenance INLINE (r14 verdict item 6: the table once
+  # quoted a number its own trailing note disclaimed as sweep residue)
+  { echo ""
+    echo "Provenance: every row above is ONE chain sweep at HEAD $(git rev-parse --short HEAD)"
+    echo "(time-only mode, recall pinned at sf1), rows in sweep order. The ann_lsh"
+    echo "production row (8 bands x 16 bits) runs BEFORE the dense 8x8 row so it"
+    echo "cannot inherit that row's multi-G-candidate thrash (the r14 220.8 s vs"
+    echo "50.7 s solo residue)."
+  } >> KNOBS_sf10.md
   note "sf10 ANN production: done ($(wc -l < KNOBS_sf10.md 2>/dev/null) rows -> KNOBS_sf10.md)"
   fi
+fi
+
+# ---- end-of-chain stamp guard (r14 verdict item 4) -----------------
+# every artifact above claims to describe SHA0; if source moved while
+# the chain ran (or the worktree is dirty), the stamps are stale —
+# mark them so a later reader can't mistake them for final-HEAD proof
+SHA1=$(git rev-parse HEAD)
+SRC_MOVED=0
+if [ "$SHA1" != "$SHA0" ] && ! git diff --quiet "$SHA0" "$SHA1" -- src/ build.sbt 2>/dev/null; then
+  SRC_MOVED=1
+fi
+if ! git diff --quiet -- src/ build.sbt 2>/dev/null; then
+  SRC_MOVED=1
+fi
+if [ "$SRC_MOVED" = "1" ]; then
+  note "chain: STALE STAMPS — src/ changed after $SHA0 (now $SHA1 / dirty tree)"
+  for f in "TESTS_r${ROUND}.json" BENCH_sf0.1.json BENCH_stream32.json BENCH_sf1.json BENCH_sf10.json; do
+    [ -f "$f" ] && sed -i 's/^{/{"stale_src":true,/' "$f" && note "chain: marked $f stale_src"
+  done
+  note "chain: re-run the suite (and affected benches) at the new HEAD before committing artifacts"
+else
+  note "chain: stamps clean (src unchanged since $SHA0)"
 fi
 
 note "chain: COMPLETE"
