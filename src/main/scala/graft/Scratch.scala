@@ -88,6 +88,19 @@ object Scratch {
   private val live = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[Handle, java.lang.Boolean]())
 
+  /** Audit hook: when set, [[cp]] invokes it with (input, output) for
+    * every materialization — the input frame's plan is the PRE-SEAL
+    * segment an end-of-operator plan walk can never see (after seal
+    * the consumer reads a LogicalRDD stub and every upstream static
+    * decision, including the Generate-underestimate broadcast trap,
+    * is invisible). [[graft.BroadcastAudit]] registers itself here;
+    * nothing else should. The hook runs on the materializing (driver)
+    * thread and must not throw — a probe that can fail wraps its own
+    * body.
+    */
+  private[graft] val planProbe =
+    new java.util.concurrent.atomic.AtomicReference[(DataFrame, DataFrame) => Unit](null)
+
   /** Innermost [[scoped]] sets per thread (materialization is
     * driver-side, so the creating thread is the scoping thread).
     */
@@ -179,6 +192,8 @@ object Scratch {
     }
     handles.foreach(live.add)
     scopes.get.headOption.foreach(s => handles.foreach(s.add))
+    val probe = planProbe.get()
+    if (probe != null) probe(df, out)
     out
   }
 
