@@ -591,6 +591,33 @@ object VectorOps {
   def annIvfHier(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(spark, dir, IvfCells, IvfProbes, superProbes = IvfSuperProbes)
 
+  /** Production IVF geometry, gate-carried (round-15 verdict item 1,
+    * the `dedup_simhash_prod` precedent): cells = ⌈√n⌉ over the
+    * zero-norm-filtered corpus — the sizing rule that keeps per-cell
+    * posting lists AND the broadcast coarse index both O(√n), so
+    * neither side outgrows an executor as the corpus scales — with
+    * probes = 2 and superProbes = 6 (the smallest sf1-measured point
+    * holding the flat router's recall@3 = 1.00, PLANS.md r13 table).
+    * The sf10 headline row times THIS plan; the fixed-16-cell
+    * `ann_ivf` gate entry stays for the dense-geometry oracle but is
+    * retired from the sf10 sweep (its 900+ s rows were measuring the
+    * intentionally-quadratic small-corpus setting, r14 verdict).
+    * Both engines derive cells from the same COUNT: ⌈√n⌉ is exact in
+    * IEEE for any corpus size in range.
+    */
+  private[graft] val ProdIvfProbes = 2
+  private[graft] val ProdIvfSuperProbes = 6
+
+  def annIvfProd(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val cells = math.ceil(math.sqrt(v.count().toDouble)).toInt
+    annIvfOf(v, cells, ProdIvfProbes, 3, 1, ProdIvfSuperProbes)
+  }
+
+  def annIvfProdSql: String = annIvfHierSqlWith(
+    "(SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM qv)",
+    ProdIvfProbes, ProdIvfSuperProbes)
+
   /** ann_ivf with explicit cell/probe counts — the scale knob (cells
     * grows with corpus size so each cell's slice stays
     * executor-sized; recall tunes with probes and Lloyd iterations).
@@ -696,16 +723,25 @@ object VectorOps {
   /** The hierarchical oracle re-derives the ENTIRE routed pipeline in
     * SQL — super seeds (first ⌈√C⌉ centroids by cent_id), each
     * centroid's group (rank-1 against the super seeds), per-vector
-    * super routing (top-`IvfSuperProbes`), and the within-route cell
+    * super routing (top-`superProbes`), and the within-route cell
     * ranking — at BOTH stages (the Lloyd assignment and the final
     * probe), exactly what [[graft.functions.IvfCoarseIndex.route]]
     * computes row-locally. Every ranking is (score_e6 DESC, cent_id
     * ASC), every score the shared fixed-point cosine.
+    *
+    * PARAMETRIC (round 15, the dedup_simhash_prod precedent): one
+    * template renders the gate geometry (`ann_ivf_hier`) AND the
+    * production geometry (`ann_ivf_prod`) — `cellsSql` is any scalar
+    * SQL expression, so the production arm's cells ∝ √corpus rule
+    * renders as a subquery over the corpus itself.
     */
   def annIvfHierSql: String =
+    annIvfHierSqlWith(IvfCells.toString, IvfProbes, IvfSuperProbes)
+
+  def annIvfHierSqlWith(cellsSql: String, probes: Int, superProbes: Int): String =
     s"""WITH $quantizedDuckCte,
        |seeds AS (
-       |  SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM qv WHERE vec_id < $IvfCells),
+       |  SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM qv WHERE vec_id < $cellsSql),
        |sseed AS (
        |  SELECT cent_id, cq, cn2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (ORDER BY cent_id) AS rs FROM seeds) t
@@ -721,7 +757,7 @@ object VectorOps {
        |    SELECT v.vec_id, s.cent_id AS sid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${scoreE6(dotDuck("v.q", "s.cq"), "v.n2", "s.cn2")} DESC, s.cent_id) AS r
-       |    FROM qv v CROSS JOIN sseed s) t WHERE r <= $IvfSuperProbes),
+       |    FROM qv v CROSS JOIN sseed s) t WHERE r <= $superProbes),
        |sassign AS (
        |  SELECT vec_id, q, cent_id FROM (
        |    SELECT v.vec_id, v.q, c.cent_id,
@@ -757,7 +793,7 @@ object VectorOps {
        |    SELECT v.vec_id, s.cent_id AS sid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${scoreE6(dotDuck("v.q", "s.cq"), "v.n2", "s.cn2")} DESC, s.cent_id) AS r
-       |    FROM qv v CROSS JOIN csseed s) t WHERE r <= $IvfSuperProbes),
+       |    FROM qv v CROSS JOIN csseed s) t WHERE r <= $superProbes),
        |assign AS (
        |  SELECT v.vec_id, v.q, v.n2, c.cent_id,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -770,7 +806,7 @@ object VectorOps {
        |  FROM assign WHERE crnk = 1),
        |queries AS (
        |  SELECT vec_id AS q_id, q AS qq, n2 AS qn2, cent_id AS cell
-       |  FROM assign WHERE crnk <= $IvfProbes),
+       |  FROM assign WHERE crnk <= $probes),
        |cands AS (
        |  SELECT DISTINCT q_id, n_id,
        |    ${scoreE6(dotDuck("qq", "nq"), "qn2", "nn2")} AS score_e6
@@ -1416,6 +1452,7 @@ object VectorOps {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_hier" -> (annIvfHier _),
+    "ann_ivf_prod" -> (annIvfProd _),
     "ann_pq" -> (annPq _),
     "embed_stats" -> (embedStats _),
     "dedup_embed" -> (dedupEmbed _))
@@ -1428,6 +1465,7 @@ object VectorOps {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_hier" -> annIvfHierSql,
+    "ann_ivf_prod" -> annIvfProdSql,
     "ann_pq" -> annPqSql,
     "embed_stats" -> embedStatsSql,
     "dedup_embed" -> dedupEmbedSql)

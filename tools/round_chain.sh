@@ -107,7 +107,14 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # r12 AND r13) — the dedup_simhash_prod gate entry times the (60, 6,
   # d≤5) plan a big corpus actually runs (~73 s at sf10 in r13's knob
   # sweep), so the headline row now carries the production plan.
-  SLOW="mm_pipeline,ann_ivf,ann_bruteforce,dedup_minhash,dedup_simhash_prod,dedup_ngram,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
+  # ann_ivf (fixed 16 cells — the dense gate geometry the oracle pins)
+  # was retired from this sweep in r15: its 900+ s sf10 rows measured
+  # the intentionally-quadratic small-corpus setting while the family's
+  # production plan does ~120 s. ann_ivf_prod (cells=⌈√n⌉, probes=2,
+  # superProbes=6) is the same gate-carried operator at the geometry a
+  # big corpus actually runs — the simhash_prod precedent, r14 verdict
+  # item 1.
+  SLOW="mm_pipeline,ann_ivf_prod,ann_bruteforce,dedup_minhash,dedup_simhash_prod,dedup_ngram,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
   note "bench sf10 (slow families): start"
   # dedup_cluster_rep/_components flap up to 3x between same-HEAD
   # sf10 draws (page cache); 2 same-sweep reps with the LOWER median
