@@ -640,7 +640,16 @@ object TextOps {
         explode(expr(s"array_distinct(${shinglesOfExpr(SubstringW, "toks")})")).as("s"))
       .select(col("doc_id"), expr(hx("s")).as("h"))
     val firstSeen = wins.groupBy("h").agg(min("doc_id").as("first_doc"))
-    wins.join(firstSeen, "h")
+    // MERGE-pinned (r14 verdict item 5): firstSeen's size ESTIMATE
+    // descends from the window explode, whose row multiplier Catalyst
+    // ignores — at intermediate corpus sizes the estimate can sit just
+    // under the broadcast threshold while the true distinct-window
+    // table is corpus-scaled (the sharded-simhash incident, one hop
+    // removed). The hint pins the sort-merge join the scaladoc above
+    // already promises (reusing the aggregate's hash partitioning);
+    // results are row-identical (PassageGuardSpec) and AQE preserves
+    // join hints, so no runtime conversion can re-open the window.
+    wins.join(firstSeen.hint("merge"), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_windows"),
         sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as("n_dup_windows"),
@@ -748,7 +757,10 @@ object TextOps {
     GraftFunctions.register(spark)
     val fps = winnowFps(Tables.documents(spark, dir))
     val firstSeen = fps.groupBy("fp").agg(min("doc_id").as("first_doc"))
-    fps.join(firstSeen, "fp")
+    // MERGE-pinned for the same Generate-underestimate window as
+    // dedupSubstringOf (the winnowed index is ~40% of the rows but
+    // corpus-scaled all the same)
+    fps.join(firstSeen.hint("merge"), "fp")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_fps"),
         sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as("n_dup_fps"),
@@ -777,7 +789,7 @@ object TextOps {
     * common selected fingerprint exists). Plan shape and
     * delta-broadcast guard are [[dedupSubstringIncWith]]'s: corpus
     * scanned once, never shuffles raw fingerprint rows, delta rides a
-    * size-guarded broadcast, hint-free AQE fallback past the ceiling.
+    * size-guarded broadcast, merge-pinned fallback past the ceiling.
     */
   def dedupWinnowInc(spark: SparkSession, dir: String): DataFrame =
     dedupWinnowIncWith(spark, dir, MaxDeltaBroadcastDocs)
@@ -791,7 +803,12 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     val deltaFits = fitsBound(
       docs.filter(col("doc_id") % 10 === 7).select("doc_id"), maxBroadcastDocs)
-    def hinted(df: DataFrame): DataFrame = if (deltaFits) broadcast(df) else df
+    // over-ceiling fallback pins MERGE instead of going hint-free: a
+    // hint-free join would let the STATIC planner re-broadcast from
+    // the Generate-descended underestimate (AQE only promotes, never
+    // demotes) — the exact window the ceiling exists to close
+    def hinted(df: DataFrame): DataFrame =
+      if (deltaFits) broadcast(df) else df.hint("merge")
     val fps = winnowFps(docs)
     val delta = fps.filter(col("doc_id") % 10 === 7)
     val corpus = fps.filter(col("doc_id") % 10 =!= 7)
@@ -896,7 +913,10 @@ object TextOps {
     // contract on ingest size, checked before any window explode runs
     val deltaFits = fitsBound(
       docs.filter(col("doc_id") % 10 === 7).select("doc_id"), maxBroadcastDocs)
-    def hinted(df: DataFrame): DataFrame = if (deltaFits) broadcast(df) else df
+    // over-ceiling fallback pins MERGE, not hint-free — see
+    // dedupWinnowIncWith (the static Generate-underestimate window)
+    def hinted(df: DataFrame): DataFrame =
+      if (deltaFits) broadcast(df) else df.hint("merge")
     val wins = substringWindows(docs)
     val delta = wins.filter(col("doc_id") % 10 === 7)
     val corpus = wins.filter(col("doc_id") % 10 =!= 7)

@@ -612,27 +612,39 @@ class PipelineOpsSpec extends SparkSpec {
   test("delta-broadcast guard: oversized delta drops the hints, fallback row-identical") {
     import graft.operators.TextOps
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, SHUFFLE_MERGE}
     graft.functions.GraftFunctions.register(spark)
-    def forcedHints(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+    def hintsWith(df: org.apache.spark.sql.DataFrame,
+        strategy: org.apache.spark.sql.catalyst.plans.logical.JoinStrategyHint): Seq[Any] =
       df.queryExecution.optimizedPlan.collect {
-        case j: LJoin if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
+        case j: LJoin if Seq(j.hint.leftHint, j.hint.rightHint).flatten
+          .exists(_.strategy.contains(strategy)) => j.hint
       }
     // substring detector: default ceiling keeps the forced broadcasts…
     val small = TextOps.dedupSubstringInc(spark, sfDir)
-    assert(forcedHints(small).nonEmpty,
+    assert(hintsWith(small, BROADCAST).nonEmpty,
       "small-delta plan lost its broadcast hints — the fast path regressed")
-    // …a ceiling of 0 (every delta oversized) must drop EVERY forced
-    // hint (AQE then plans from runtime sizes) and answer identically
+    // …a ceiling of 0 (every delta oversized) must swap EVERY forced
+    // broadcast for a MERGE pin (hint-free would leave the static
+    // planner free to re-broadcast from the Generate-descended
+    // underestimate — the r14 sharded-simhash trap) and answer
+    // identically
     val guarded = TextOps.dedupSubstringIncWith(spark, sfDir, 0L)
-    assert(forcedHints(guarded).isEmpty,
+    assert(hintsWith(guarded, BROADCAST).isEmpty,
       "guard did not fire: a delta-scaled frame is still forced-broadcast")
+    assert(hintsWith(guarded, SHUFFLE_MERGE).nonEmpty,
+      "over-ceiling fallback lost its merge pin — the static broadcast window re-opened")
     assert(guarded.collect().toSeq == small.collect().toSeq,
-      "hint-free fallback diverged from the broadcast plan")
-    // minhash incremental detector: same contract
+      "merge-pinned fallback diverged from the broadcast plan")
+    // minhash incremental detector: same contract (its fallback stays
+    // hint-free: the banded-signature explode multiplies rows by the
+    // CONSTANT band count, so the Generate underestimate is a bounded
+    // small factor — not the corpus-scaled window-explode the passage
+    // detectors pin with merge)
     val (pSmall, s1) = TextOps.dedupIncrementalUnsealed(spark, sfDir)
-    assert(forcedHints(pSmall).nonEmpty)
+    assert(hintsWith(pSmall, BROADCAST).nonEmpty)
     val (pGuard, s2) = TextOps.dedupIncrementalUnsealed(spark, sfDir, maxBroadcastDocs = 0L)
-    assert(forcedHints(pGuard).isEmpty,
+    assert(hintsWith(pGuard, BROADCAST).isEmpty,
       "guard did not fire on the banded-signature broadcast")
     val a = pSmall.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val b = pGuard.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -640,6 +652,43 @@ class PipelineOpsSpec extends SparkSpec {
     graft.Scratch.seal(pGuard.limit(1), s2).collect()
     assert(a == b, s"fallback pairs diverged: broadcast=${a.size} fallback=${b.size}")
     assert(a.nonEmpty, "no cross-slice pairs at spec scale — vacuous")
+  }
+
+  test("passage detectors: the fingerprint→owner join is merge-pinned, row-identical to the unpinned plan") {
+    // r14 verdict item 5: firstSeen's size estimate descends from the
+    // window explode (whose multiplier Catalyst ignores), so at
+    // intermediate corpus sizes a static BroadcastHashJoin could ride
+    // an estimate many× too low. The merge pin must (a) keep results
+    // byte-identical to the unpinned formulation and (b) leave no
+    // broadcast join anywhere in the executed plan.
+    import graft.operators.TextOps
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    def ownerAgg(rows: org.apache.spark.sql.DataFrame, key: String,
+        nCol: String, dupCol: String): org.apache.spark.sql.DataFrame = {
+      val firstSeen = rows.groupBy(key).agg(min("doc_id").as("first_doc"))
+      rows.join(firstSeen, key) // UNPINNED — the pre-r15 shape
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as(nCol),
+          sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as(dupCol),
+          max(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as("is_dup"))
+        .select(col("doc_id"), col(nCol), col(dupCol), col("is_dup"))
+        .orderBy("doc_id")
+    }
+    for ((name, pinned, unpinned) <- Seq(
+      ("dedup_substring", TextOps.dedupSubstring(spark, sfDir),
+        ownerAgg(TextOps.substringWindows(docs), "h", "n_windows", "n_dup_windows")),
+      ("dedup_winnow", TextOps.dedupWinnow(spark, sfDir),
+        ownerAgg(TextOps.winnowFps(docs), "fp", "n_fps", "n_dup_fps")))) {
+      val got = pinned.collect().toSeq
+      assert(got.nonEmpty && got == unpinned.collect().toSeq,
+        s"$name: merge pin changed the answer")
+      val plan = pinned.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$name: the owner join still rides a broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"$name: expected the merge-pinned join:\n$plan")
+    }
   }
 
   test("dedup_substring plan: three hash shuffles, no join ever enumerates doc pairs") {

@@ -34,7 +34,7 @@ class WinnowSpec extends SparkSpec {
     assert((fps(1L) & fps(2L)).isEmpty)
   }
 
-  test("dedup_winnow_inc: guarded-broadcast plan and hint-free fallback are row-identical") {
+  test("dedup_winnow_inc: guarded-broadcast plan and merge-pinned fallback are row-identical") {
     graft.functions.GraftFunctions.register(spark)
     val guarded = TextOps.dedupWinnowInc(spark, sfDir).collect().toSeq
     val fallback = TextOps.dedupWinnowIncWith(spark, sfDir, 0L).collect().toSeq
