@@ -305,9 +305,35 @@ object ScaleKnobs {
         val (_, probeSecs) = timed {
           noop(parts.topk.orderBy("q_id", "rnk"))
         }
+        out += s"| ann_pq | $geo rep=${operators.VectorOps.PqDefaultScoreRep} | ${r2(buildSecs + probeSecs)} | shortlist=${operators.VectorOps.PqRerank}/query | recall pinned at sf1 (build=${r2(buildSecs)} probe=${r2(probeSecs)}) |"
+        if (superProbes > 0) {
+          // PROBE-STAGE attribution against the ONE build above (r14
+          // verdict item 2): join-only streams the candidate join with
+          // the scoring pruned away; the score rows force every
+          // candidate through each ADC representation and collapse to
+          // one aggregate (no window); the shortlist row adds the
+          // rank-limit window; the full-probe rows add the exact
+          // re-rank + output sort — both representations, same index.
+          def frames(rep: String) = operators.VectorOps.annPqProbeFrames(
+            parts.assigned, parts.index, parts.book, cells, probes, 3,
+            operators.VectorOps.PqSub, nCodes, rep)
+          val (cA, sA, tA) = frames("adc")
+          val (cD, _, tD) = frames("direct")
+          val (_, joinSecs) = timed { cA.select("q_id", "n_id").count() }
+          val (_, scoreASecs) = timed { cA.agg(sum("adc_e6")).collect() }
+          val (_, scoreDSecs) = timed { cD.agg(sum("adc_e6")).collect() }
+          val (_, shortSecs) = timed { sA.count() }
+          val (_, fullASecs) = timed { noop(tA.orderBy("q_id", "rnk")) }
+          val (_, fullDSecs) = timed { noop(tD.orderBy("q_id", "rnk")) }
+          out += s"| ann_pq | $geo stage probe:join-only (scoring pruned) | ${r2(joinSecs)} | - | attribution |"
+          out += s"| ann_pq | $geo stage probe:score rep=adc (M×K table/row) | ${r2(scoreASecs)} | - | attribution |"
+          out += s"| ann_pq | $geo stage probe:score rep=direct (no table) | ${r2(scoreDSecs)} | - | attribution |"
+          out += s"| ann_pq | $geo stage probe:+shortlist window rep=adc | ${r2(shortSecs)} | - | attribution |"
+          out += s"| ann_pq | $geo full probe rep=adc | ${r2(fullASecs)} | shortlist=${operators.VectorOps.PqRerank}/query | A/B |"
+          out += s"| ann_pq | $geo full probe rep=direct | ${r2(fullDSecs)} | shortlist=${operators.VectorOps.PqRerank}/query | A/B |"
+        }
         Scratch.free(parts.assigned)
         parts.dropIndex()
-        out += s"| ann_pq | $geo | ${r2(buildSecs + probeSecs)} | shortlist=${operators.VectorOps.PqRerank}/query | recall pinned at sf1 (build=${r2(buildSecs)} probe=${r2(probeSecs)}) |"
       } else {
         val (rec, secs) = timed {
           val topk = operators.VectorOps.annPqOf(

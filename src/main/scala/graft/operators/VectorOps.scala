@@ -1030,7 +1030,8 @@ object VectorOps {
     */
   private[graft] def annPqPlan(v: DataFrame, cells: Int, probes: Int, k: Int,
       lloydIters: Int, pqIters: Int,
-      nSub: Int, nCodes: Int, superProbes: Int = 0): PqPlanParts = {
+      nSub: Int, nCodes: Int, superProbes: Int = 0,
+      scoreRep: String = PqDefaultScoreRep): PqPlanParts = {
     val subDim = Dim / nSub
     val assigned = cellAssignmentsOf(v, cells, probes, lloydIters, superProbes)
     val base = assigned.filter(col("crnk") === 1)
@@ -1047,6 +1048,35 @@ object VectorOps {
     graft.sources.BucketedTable.write(
       pqIndexOf(base, book), table, "cell", cells)
     val corpus = graft.sources.BucketedTable.read(v.sparkSession, table)
+    val (_, _, topk) = annPqProbeFrames(assigned, corpus, book,
+      cells, probes, k, nSub, nCodes, scoreRep)
+    PqPlanParts(topk, assigned, corpus, table, book)
+  }
+
+  /** Default ADC-scoring representation: DIRECT per-candidate dots
+    * against the broadcast codebook (no per-probe-row M×K table) —
+    * chosen by the r15 stage A/B, which confirmed the r14 verdict's
+    * suspect: at sf1 production geometry (K=256, cells=128, hier) the
+    * probe stage measured join-only 1.8 s / direct-scored 2.1 s /
+    * table-scored 99.4 s — the M×K-per-row table build plus its
+    * 16 KB/row payload through the join sort WAS the probe stage
+    * (full probe 3.0 s direct vs 95.7 s table). The classic table
+    * amortizes its M·K·subDim build over a cell's posting list, which
+    * only pays when posting lists ≫ K; every sizing this library
+    * ships (cells ∝ √corpus, K=256) keeps posting lists of the same
+    * order as K. "adc" stays for the parity spec.
+    */
+  private[graft] val PqDefaultScoreRep = "direct"
+
+  /** The probe half of the IVF-PQ plan over a prebuilt (assigned,
+    * bucketed-index, codebook) triple — rep-parametric so the stage
+    * A/B (ScaleKnobs) times both scoring representations against ONE
+    * build. Returns (cands, shortlist, topk), all unsealed.
+    */
+  private[graft] def annPqProbeFrames(assigned: DataFrame, corpus: DataFrame,
+      book: org.apache.spark.broadcast.Broadcast[graft.functions.PqBook],
+      cells: Int, probes: Int, k: Int, nSub: Int, nCodes: Int,
+      scoreRep: String): (DataFrame, DataFrame, DataFrame) = {
     // Probe-side shaping, doing THREE jobs with one small shuffle:
     //
     // 1. SPREAD: the materialized assignment frame arrives
@@ -1064,41 +1094,44 @@ object VectorOps {
     //    shortlist's q_id window costs one candidate-set exchange;
     //    that exchange carries the rank-limit-pre-trimmed set.)
     //
-    // 2. THIN the exchange: the ADC projection sits AFTER the
-    //    repartition, so the shuffle carries the Dim-long quantized
-    //    vector and each probe row builds its M×K table natively
-    //    (pq_adc_table, broadcast codebook, full codegen) on the far
-    //    side — at the production K=256 the table is 2048 longs vs
-    //    the vector's 64, a 32× exchange-width saving (n×probes ×
-    //    16 KB ≈ 64 GB of shuffle at sf10 that simply stops
-    //    existing). (The literal-expression era projected BEFORE the
-    //    repartition to quarantine its codegen fallback in a separate
-    //    stage; the native expression has no fallback to quarantine,
-    //    so the projection moves to the cheap side of the wire.
-    //    Column pruning keeps only (q_id, cell, q, qn2) below the
-    //    exchange — spec-pinned.)
+    // 2. THIN wire, THIN sort: under the default DIRECT scoring rep
+    //    the probe side carries only (q_id, cell, q, qn2) — the
+    //    Dim-long vector, 64 longs — through the exchange AND the
+    //    join's sort; every candidate row scores as pq_dot(q, codes)
+    //    against the executor-hot broadcast codebook. The classic ADC
+    //    table rep ("adc", parity-retained) pre-builds an M×K lookup
+    //    table per probe row instead: at the production K=256 that is
+    //    2048 longs (16 KB) per row materialized through the
+    //    probe-side sort, and its M·K·subDim build multiplies only
+    //    amortize when posting lists are ≫ K — at the sf10 production
+    //    geometry (≈195 candidates/probe-row < K=256) the table costs
+    //    MORE multiplies than direct scoring before counting the
+    //    n×probes × 16 KB of array traffic (r15 stage A/B at
+    //    sf1/cells=128/hier: full probe 3.0 s direct vs 95.7 s table;
+    //    KNOBS_sf10.md carries the sf10 split). Either rep scores the
+    //    identical integer, parity spec-pinned.
     //
     // 3. BE the join's exchange — when the geometry can afford it.
     //    Keying the repartition on CELL at the index's bucket count
     //    is exactly the HashPartitioning(cell, cells) the sort-merge
     //    join against the bucketed index requires: EnsureRequirements
-    //    adds no further exchange and the ADC table (built above this
-    //    shuffle) never crosses ANY wire. The first native cut keyed
-    //    on q_id and the join re-exchanged the projected table by
-    //    cell — 493/578 s at sf10/K=256 with that ~64 GB shuffle vs
-    //    316/284 keyed on cell. BUT cell keying also caps the
-    //    heaviest stage (ADC build + sort + candidate scoring) at
-    //    `cells` tasks, which at the small GATE geometry starves the
-    //    machine: cells=16 on 32 cores measured 38-41 s at sf1 vs
-    //    12-15 s with the q_id spread (isolated 2-rep A/B, r14). So
-    //    the keying is geometry-dependent: cells >= parallelism
-    //    (every production sizing — cells ∝ √corpus) takes the
-    //    exchange-free cell path; smaller gate geometries keep the
-    //    full-parallelism q_id spread and let the join add its own
-    //    cell exchange — whose ADC payload is bounded there by the
-    //    same small geometry (K=16 tables are 128 longs, and small
-    //    cells only occur with small corpora/codebooks).
-    val parallelism = v.sparkSession.sessionState.conf.numShufflePartitions
+    //    adds no further exchange. The first native cut keyed on q_id
+    //    and the join re-exchanged the (then 16 KB/row ADC-table) rows
+    //    by cell — 493/578 s at sf10/K=256 vs 316/284 keyed on cell.
+    //    BUT cell keying also caps the heaviest stage (sort +
+    //    candidate scoring) at `cells` tasks, which at the small GATE
+    //    geometry starves the machine: cells=16 on 32 cores measured
+    //    38-41 s at sf1 vs 12-15 s with the q_id spread (isolated
+    //    2-rep A/B, r14). So the keying is geometry-dependent:
+    //    cells >= parallelism (every production sizing — cells ∝
+    //    √corpus) takes the exchange-free cell path; smaller gate
+    //    geometries keep the full-parallelism q_id spread and let the
+    //    join add its own cell exchange — under the direct rep that
+    //    exchange carries the same thin (q_id, cell, q, qn2) rows, so
+    //    nothing K-scaled ever crosses a wire on EITHER branch (the
+    //    r14 q_id-branch caveat — ADC tables riding the join's cell
+    //    exchange — is gone with the table itself).
+    val parallelism = assigned.sparkSession.sessionState.conf.numShufflePartitions
     val spreadKeyed = assigned
       .select(
         col("vec_id").as("q_id"), col("cent_id").as("cell"),
@@ -1106,18 +1139,33 @@ object VectorOps {
     val spread =
       if (cells >= parallelism) spreadKeyed.repartition(cells, col("cell"))
       else spreadKeyed.repartition(parallelism, col("q_id"))
-    val queriesSide = spread
-      .select(col("q_id"), col("cell"),
-        graft.functions.PqExprs.adcTable(col("q"), book).as("adc"), col("qn2"))
     // no distinct over the candidate set: each corpus vector lives in
     // exactly ONE cell (crnk = 1) and a query probes DISTINCT cells,
     // so a (q_id, n_id) pair can arise from at most one join row —
     // uniqueness holds by construction (spec-pinned), and a distinct
-    // here would re-shuffle the full candidate set for nothing
-    val cands = queriesSide.join(corpus, "cell")
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        expr(scoreE6(pqAdcDot("adc", "codes", nSub, nCodes), "qn2", "rn2")).as("adc_e6"))
+    // here would re-shuffle the full candidate set for nothing.
+    // Both reps project the scored value through the SAME scoreE6
+    // template over an integer dot that is bit-identical (parity
+    // spec-pinned), so the rep choice can never move a gate hash.
+    val cands = scoreRep match {
+      case "direct" =>
+        spread.join(corpus, "cell")
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), col("qn2"), col("rn2"),
+            graft.functions.PqExprs.dot(col("q"), col("codes"), book).as("_dot"))
+          .select(col("q_id"), col("n_id"),
+            expr(scoreE6("_dot", "qn2", "rn2")).as("adc_e6"))
+      case "adc" =>
+        spread
+          .select(col("q_id"), col("cell"),
+            graft.functions.PqExprs.adcTable(col("q"), book).as("adc"), col("qn2"))
+          .join(corpus, "cell")
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            expr(scoreE6(pqAdcDot("adc", "codes", nSub, nCodes), "qn2", "rn2")).as("adc_e6"))
+      case other => throw new IllegalArgumentException(
+        s"ann_pq scoreRep must be 'direct' or 'adc', got '$other'")
+    }
     // exact re-rank of the ADC top-R shortlist (the production IVF-PQ
     // shape): true vectors are fetched for R ids per query only — the
     // output scores are EXACT cosine; PQ is purely the pruner.
@@ -1125,7 +1173,8 @@ object VectorOps {
     val shortlist = cands.withColumn("srnk", row_number().over(ws))
       .filter(col("srnk") <= PqRerank)
       .select("q_id", "n_id")
-    val exactQ = base.select(col("vec_id"), col("q"), col("n2"))
+    val exactQ = assigned.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("q"), col("n2"))
     val rescored = shortlist
       .join(exactQ.select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2")), "q_id")
       .join(exactQ.select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2")), "n_id")
@@ -1135,7 +1184,7 @@ object VectorOps {
     val topk = rescored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
-    PqPlanParts(topk, assigned, corpus, table, book)
+    (cands, shortlist, topk)
   }
 
   /** The PQ index frame: (cell, n_id, codes[M], rn2) — the ONLY corpus

@@ -44,17 +44,22 @@ class PqBookSpec extends SparkSpec {
       val v = quantized()
       try {
         val cn2Lit = VectorOps.pqFlatLit(cb, nSub, nCodes)(cq => cq.map(x => x * x).sum)
-        val both = v.select(col("vec_id"),
+        val both = v.select(col("vec_id"), col("q"),
             expr(VectorOps.pqCodesExpr(cb, nSub, subDim)).as("lit_codes"),
             PqExprs.encode(col("q"), bc).as("nat_codes"),
             expr(VectorOps.pqAdcExpr(cb, nSub, subDim, nCodes)).as("lit_adc"),
             PqExprs.adcTable(col("q"), bc).as("nat_adc"))
           .withColumn("lit_rn2", expr(s"graft_adc_dot($cn2Lit, lit_codes, $nCodes)"))
           .withColumn("nat_rn2", PqExprs.rn2(col("nat_codes"), bc))
+          // the two ADC scoring representations must gather/compute the
+          // IDENTICAL integer: table-lookup vs direct against the book
+          .withColumn("gather_dot", expr(s"graft_adc_dot(nat_adc, nat_codes, $nCodes)"))
+          .withColumn("direct_dot", PqExprs.dot(col("q"), col("nat_codes"), bc))
         val bad = both.filter(
           col("lit_codes") =!= col("nat_codes") ||
             col("lit_adc") =!= col("nat_adc") ||
-            col("lit_rn2") =!= col("nat_rn2"))
+            col("lit_rn2") =!= col("nat_rn2") ||
+            col("gather_dot") =!= col("direct_dot"))
         assert(both.count() > 0, "empty parity frame")
         assert(bad.count() == 0,
           s"native/literal divergence at M=$nSub K=$nCodes:\n" +
@@ -97,6 +102,7 @@ class PqBookSpec extends SparkSpec {
             PqExprs.encode(col("q"), bc).as("codes"),
             PqExprs.adcTable(col("q"), bc).as("adc"))
           .withColumn("rn2", PqExprs.rn2(col("codes"), bc))
+          .withColumn("ddot", PqExprs.dot(col("q"), col("codes"), bc))
           .collect()
         assert(got.nonEmpty)
         got.foreach { r =>
@@ -119,6 +125,9 @@ class PqBookSpec extends SparkSpec {
           assert(r.getSeq[Long](2) == expCodes, s"codes diverged at vec ${r.getLong(0)}")
           assert(r.getSeq[Long](3) == expAdc, s"adc diverged at vec ${r.getLong(0)}")
           assert(r.getLong(4) == expRn2, s"rn2 diverged at vec ${r.getLong(0)}")
+          val expDot = expCodes.zipWithIndex.map { case (c, m) =>
+            dot(subv(m), cb(m).toMap.apply(c).toArray) }.sum
+          assert(r.getLong(5) == expDot, s"pq_dot diverged at vec ${r.getLong(0)}")
         }
       } finally Scratch.free(v)
     } finally bc.destroy()
@@ -133,35 +142,29 @@ class PqBookSpec extends SparkSpec {
     }
   }
 
-  test("ann_pq: no exchange ever carries the ADC table") {
-    // the rewire keys the probe-side repartition on CELL at the
-    // index's bucket count (= the join's required distribution) and
-    // builds the M×K table beyond it: the cell exchange must shuffle
-    // (q_id, cell, q, qn2), the join must add no further exchange on
-    // this side, and the table must never appear below ANY exchange —
-    // at production K=256 a table-carrying shuffle is n×probes ×
-    // 16 KB ≈ 64 GB at sf10 (measured 493/578 s vs the fixed plan)
+  test("ann_pq cell-keyed branch: one cell exchange, direct scoring, no per-row ADC table") {
+    // cells >= parallelism (every production sizing): the probe-side
+    // repartition on CELL at the index's bucket count IS the
+    // sort-merge join's required distribution — the join must add no
+    // further exchange on this side — and under the direct scoring
+    // rep nothing K-scaled exists at all: the wire and the join sort
+    // carry the Dim-long vector, every candidate scores via pq_dot
+    // against the broadcast codebook, and pq_adc_table must not
+    // appear anywhere (at production K=256 a table-carrying plan
+    // paid 16 KB/row through the sort — the r14-r15 probe-stage term)
     graft.functions.GraftFunctions.register(spark)
     val parts = VectorOps.annPqPlan(quantized(), 4, 1, 3,
       lloydIters = 1, pqIters = 1, nSub = VectorOps.PqSub, nCodes = VectorOps.PqCodes)
     try {
       parts.topk.collect()
       val plan = parts.topk.queryExecution.executedPlan.toString.split("Initial Plan")(0)
-      // tree strings print parents above children: the pq_adc_table
-      // projection must sit ABOVE (smaller offset than) the one cell
-      // exchange, with no q_id exchange between them (the only q_id
-      // exchange is the shortlist window's, above the join)
-      val idxAdc = plan.indexOf("pq_adc_table")
-      val idxCell = plan.indexOf("Exchange hashpartitioning(cell")
-      assert(idxAdc >= 0, s"expected the native ADC projection in the plan:\n$plan")
-      assert(idxCell >= 0, s"expected the probe-side cell exchange:\n$plan")
-      assert(idxAdc < idxCell,
-        s"ADC table built below the cell exchange (shuffle re-widened):\n$plan")
+      assert(plan.contains("pq_dot"),
+        s"expected the direct ADC scoring expression in the plan:\n$plan")
+      assert(!plan.contains("pq_adc_table"),
+        s"the per-probe-row M×K table is back on the production path:\n$plan")
       assert("Exchange hashpartitioning\\(cell".r.findAllIn(plan).length == 1,
-        s"the join re-exchanged the probe side (ADC table crossed a wire):\n$plan")
-      val between = plan.substring(idxAdc, idxCell)
-      assert(!between.contains("Exchange"),
-        s"an exchange sits between the ADC projection and its cell shuffle:\n$between")
+        s"the join re-exchanged the probe side (expected the spread repartition " +
+          s"to BE the join's cell exchange):\n$plan")
     } finally {
       Scratch.free(parts.assigned)
       parts.dropIndex()
@@ -173,9 +176,10 @@ class PqBookSpec extends SparkSpec {
     // keying would cap the heaviest stage at `cells` tasks — measured
     // 38-41 s vs 12-15 s at sf1/cells=16 on 32 cores (r14 A/B). The
     // branch keys the spread on q_id at full parallelism and lets the
-    // join add its own cell exchange; its ADC payload is bounded by
-    // the same small geometry. Tree order: the join's cell exchange
-    // sits ABOVE the ADC projection, which sits ABOVE the q_id spread.
+    // join add its own cell exchange; under the direct rep that
+    // exchange carries the same thin (q_id, cell, q, qn2) rows, so
+    // the r14 caveat (ADC tables riding the join's cell exchange on
+    // this branch) is structurally gone.
     graft.functions.GraftFunctions.register(spark)
     val parts = VectorOps.annPqPlan(quantized(), 2, 1, 3,
       lloydIters = 1, pqIters = 1, nSub = VectorOps.PqSub, nCodes = VectorOps.PqCodes)
@@ -183,16 +187,15 @@ class PqBookSpec extends SparkSpec {
       parts.topk.collect()
       val plan = parts.topk.queryExecution.executedPlan.toString.split("Initial Plan")(0)
       // the q_id spread must survive (user-specified counts are kept
-      // by AQE) with the ADC projection ABOVE it; the join's own cell
-      // exchange is AQE's business at this scale (it may broadcast
-      // the tiny corpus side instead — either way the probe side ran
-      // at full parallelism, which is the property this branch buys)
-      val idxAdc = plan.indexOf("pq_adc_table")
+      // by AQE); the join's own cell exchange is AQE's business at
+      // this scale (it may broadcast the tiny corpus side instead —
+      // either way the probe side ran at full parallelism, which is
+      // the property this branch buys)
       val idxQid = plan.lastIndexOf("Exchange hashpartitioning(q_id")
-      assert(idxAdc >= 0 && idxQid >= 0,
-        s"expected the ADC projection and the q_id spread exchange:\n$plan")
-      assert(idxAdc < idxQid,
-        s"small-cells branch shape broken (adc@$idxAdc q_id@$idxQid):\n$plan")
+      assert(idxQid >= 0,
+        s"expected the q_id spread exchange:\n$plan")
+      assert(plan.contains("pq_dot") && !plan.contains("pq_adc_table"),
+        s"expected direct scoring with no per-row ADC table:\n$plan")
     } finally {
       Scratch.free(parts.assigned)
       parts.dropIndex()
