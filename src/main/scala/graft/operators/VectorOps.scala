@@ -479,7 +479,7 @@ object VectorOps {
     * partition, and the refined table collected back is the same
     * ≤ cells rows the old DataFrame path broadcast.
     */
-  private def refinedCentroidsRouted(v: DataFrame, cells: Int, iters: Int,
+  private[graft] def refinedCentroidsRouted(v: DataFrame, cells: Int, iters: Int,
       superProbes: Int): Array[(Long, Array[Long], Long)] = {
     val sc = v.sparkSession.sparkContext
     var cents = collectCents(

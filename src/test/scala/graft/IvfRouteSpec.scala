@@ -202,4 +202,55 @@ class IvfRouteSpec extends SparkSpec {
     assert(hierRecall >= 0.80, s"hier recall floor: $hierRecall")
     Scratch.releaseAll()
   }
+
+  test("gate corpora never hit the routed flat-scan fallback") {
+    // IvfCoarseIndex.route falls back to a flat scan when EVERY probed
+    // super group is empty (possible only with colinear-tied super
+    // seeds). The DuckDB oracles render the STRICT two-stage route, so
+    // a corpus hitting the fallback would silently diverge from the
+    // oracle instead of surfacing the dropped-vector bug the fallback
+    // fixes (r14 ADVICE). This pins the degeneracy AWAY on the
+    // oracle-pinned corpora, both routing stages (seed index at Lloyd
+    // assignment, refined index at the final probe), both gated
+    // geometries (ann_ivf_hier's 16/2, ann_ivf_prod's ⌈√n⌉/6) — via an
+    // independent re-spelling of the stage-1 super ranking over the
+    // index's own arrays.
+    graft.functions.GraftFunctions.register(spark)
+    def scoreE6(dot: Long, a: Long, b: Long): Long =
+      math.floor(dot.toDouble /
+        (math.sqrt(a.toDouble) * math.sqrt(b.toDouble)) * 1000000.0 + 0.5).toLong
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+        if new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      val v = Scratch.cp(VectorOps.quantizePlan(Tables.embeddings(spark, dir)))
+      try {
+        val rows = v.select("q", "n2").collect()
+          .map(r => (r.getSeq[Long](0).toArray, r.getLong(1)))
+        val geoms = Seq(
+          (16, 2, "ann_ivf_hier"),
+          (math.ceil(math.sqrt(rows.length.toDouble)).toInt, 6, "ann_ivf_prod"))
+        for ((cells, superProbes, label) <- geoms; iters <- Seq(0, 1)) {
+          val cents = VectorOps.refinedCentroidsRouted(v, cells, iters, superProbes)
+          val idx = graft.functions.IvfCoarseIndex.build(cents, 64)
+          val nS = idx.superSeedIdx.length
+          val kS = math.min(superProbes, nS)
+          rows.foreach { case (q, n2) =>
+            def sup(si: Int): (Long, Long) = { // (score, seed cent_id)
+              val ci = idx.superSeedIdx(si)
+              var acc = 0L
+              var i = 0
+              val d = math.min(q.length, idx.dim)
+              while (i < d) { acc += q(i) * idx.centFlat(ci * idx.dim + i); i += 1 }
+              (scoreE6(acc, n2, idx.centN2(ci)), idx.centIds(ci))
+            }
+            val probed = (0 until nS).map(si => (si, sup(si)))
+              .sortBy { case (_, (s, id)) => (-s, id) }.take(kS).map(_._1)
+            assert(probed.exists(si => idx.memberStart(si + 1) > idx.memberStart(si)),
+              s"$label@$dir iters=$iters: every probed super group empty — " +
+                "the native fallback would fire and diverge from the oracle")
+          }
+        }
+      } finally Scratch.free(v)
+    }
+    Scratch.releaseAll()
+  }
 }
