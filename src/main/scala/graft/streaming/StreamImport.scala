@@ -2141,6 +2141,45 @@ object StreamImport {
         "amount", "last_click_value", "status", "n_events")
       .orderBy("transfer_key")
 
+  /** Gate entry for the SOURCE surface itself (`src_queue` — promoted
+    * from spec-only in round 15, r14 verdict item 8): the corpus's raw
+    * export JSON published onto a graft-queue subject in bounded
+    * chunks (one driver-held partition at a time, the import_loop
+    * harness shape), streamed back through the DSv2 micro-batch
+    * source, and parsed by the SAME [[graft.sources.RawIngest.parse]]
+    * projection the batch path uses — answering the batch
+    * imp_raw_ingest oracle, so subject offsets, micro-batching, and
+    * the parse pipeline are hash-pinned end-to-end, not just
+    * spec-compared. Reference: the NATS subject feed NatsConsumer
+    * listens on (NatsConsumer.java:39-47).
+    */
+  def runSrcQueueToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val subject = s"zeebe-export-src-${System.nanoTime()}"
+    val msgIt = graft.sources.RawIngest.rawRecords(spark, dir)
+      .as[String](Encoders.STRING)
+      .toLocalIterator()
+    import scala.jdk.CollectionConverters._
+    msgIt.asScala.grouped(65536)
+      .foreach(chunk => graft.sources.QueueHub.publish(subject, chunk))
+    val work = java.nio.file.Files.createTempDirectory("graft_srcq_").toString
+    val result = try {
+      val stream = spark.readStream.format("graft-queue")
+        .option("subject", subject).load()
+      val parsed = graft.sources.RawIngest.parse(stream)
+      val sinkDir = s"$work/sink"
+      val q = parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/chk")
+        .format("parquet").option("path", sinkDir)
+        .start()
+      try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
+      finally graft.sources.QueueHub.clear(subject)
+      // eager cp before the temp dir is removed (both scratch backends
+      // materialize on the spot)
+      graft.Scratch.cp(spark.read.schema(parsed.schema).parquet(sinkDir))
+    } finally rmTree(new java.io.File(work))
+    result.orderBy("record_id")
+  }
+
   /** Gate entry for the COMPOSED loop — the reference consumer
     * end-to-end (NatsConsumer.listen:39-106): the corpus's events
     * rendered as raw JSON strings onto a graft-queue subject (the
@@ -2218,6 +2257,7 @@ object StreamImport {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_import" -> (runToCompletion _),
     "import_loop" -> (runImportLoopToCompletion _),
+    "src_queue" -> (runSrcQueueToCompletion _),
     "stream_txnreq" -> (runTxnreqToCompletion _),
     "stream_batches" -> (runBatchesToCompletion _),
     "stream_wide" -> (runWideToCompletion _),
@@ -2245,6 +2285,9 @@ object StreamImport {
     // the composed loop materializes the same transfers entity — the
     // reference's whole consumer answers the batch entity oracle
     "import_loop" -> graft.operators.ImporterCore.impEntityTransfersSql,
+    // the source surface answers the batch parse oracle: what leaves
+    // the subject equals what the batch path extracts
+    "src_queue" -> graft.sources.RawIngest.impRawIngestSql,
     "stream_txnreq" -> graft.operators.ImporterCore.impEntityTxnreqSql,
     "stream_batches" -> graft.operators.ImporterCore.impEntityBatchesSql,
     "stream_wide" -> graft.operators.ImporterCore.impEntityWideSql,
