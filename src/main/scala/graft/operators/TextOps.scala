@@ -498,7 +498,12 @@ object TextOps {
     val nDocs = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
     val dfT = tf.groupBy("t").agg(count(lit(1)).cast(LongType).as("df"))
       .crossJoin(broadcast(nDocs)) // one row
-    val scored = tf.join(dfT, "t")
+    // MERGE-pinned (r15 audit): the scaladoc's "df table is NOT
+    // broadcast" contract was only conventionally true — at small
+    // stats the static planner broadcast the token-scaled tf frame
+    // (its checkpoint inherits the pre-explode estimate). The pin
+    // makes the vocabulary-join contract structural.
+    val scored = tf.join(dfT.hint("merge"), "t")
       .withColumn("score_e6",
         expr("(tf * 1000000 * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
     val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("t"))
@@ -1016,7 +1021,15 @@ object TextOps {
   def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     val capped = cappedShingles(spark, dir)
     val counts = capped.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_sh"))
-    val shared = capped.as("a").join(capped.as("b"),
+    // MERGE-pinned (r15 audit): both sides are the corpus's SHINGLE
+    // frame — ~hundreds of rows per document — whose checkpoint
+    // inherits a document-bytes-scaled estimate that misses the
+    // explode multiplier entirely; at small/intermediate stats the
+    // static planner chose to broadcast one side (seen at sf0.01),
+    // and a just-under-threshold estimate would broadcast ~100× the
+    // planned bytes. The h-keyed SMJ also reuses the df-cap window's
+    // hash(h) exchange, which is this operator's documented shape.
+    val shared = capped.as("a").join(capped.as("b").hint("merge"),
       col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).cast(LongType).as("shared"))
