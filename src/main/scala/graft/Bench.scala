@@ -58,11 +58,21 @@ object Bench {
     // sf10 families (dedup_cluster_rep flapped 53↔131 s between
     // same-HEAD single draws) get 2 tight same-sweep reps while the
     // rest of the sweep stays at the scale point's default
+    // malformed entries ("name=", "name=x", a stray comma) are DROPPED
+    // with a named warning instead of throwing — a typo'd override
+    // must not kill an hour-long sweep at startup (r15 ADVICE)
     val repsOverride: Map[String, Int] =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_OVERRIDE", "").split(",")
-        .map(_.trim).filter(_.contains("="))
-        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v.toInt.max(1) }
-        .toMap
+        .map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) if k.trim.nonEmpty && v.trim.toIntOption.isDefined =>
+              Some(k.trim -> v.trim.toIntOption.get.max(1))
+            case _ =>
+              System.err.println("[bench] WARNING: ignoring malformed " +
+                s"SPARK_GRAFT_BENCH_REPS_OVERRIDE entry '$kv' (want name=int)")
+              None
+          }
+        }.toMap
     // bench-scale state/shuffle partitioning for the streaming family
     // (see the per-rep comment below); overridable so an A/B against
     // the production-sized 32 stays a one-env-var run
@@ -252,10 +262,18 @@ object Bench {
     val midJson = mids
       .map { case (at, s, l) => s"""{"at":$at,"secs":${r3(s)},"load":${r3(l)}}""" }
       .mkString("[", ",", "]")
+    // self-describing rep protocol (r15 ADVICE): without this a
+    // best-of-2 number (lower median at even rep counts) was
+    // indistinguishable from a single draw in the committed artifact
+    val overridesJson = repsOverride.toSeq.sorted
+      .filter { case (n, _) => results.exists(_._1 == n) }
+      .map { case (n, v) => s"\"$n\":$v" }.mkString("{", ",", "}")
+    val repsJson =
+      s""""reps":{"default":$reps,"policy":"lower_median","overrides":$overridesJson}"""
     val guardJson =
       s""""canary":{"name":"$canaryName","start":${r3(canaryStart)},"end":${r3(canaryEnd)},"mid":$midJson,"ratio":${r3(canaryRatio)},"mid_drift":$midDrift},""" +
         s""""loadavg":[${r3(loadStart)},${r3(loadEnd)}],""" +
-        s""""rep_spread_gt1p5_frac":${r3(spreadFrac)},"contended":$contended"""
+        s""""rep_spread_gt1p5_frac":${r3(spreadFrac)},"contended":$contended,$repsJson"""
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,$guardJson,"sf":"$sfDir"}"""
     // The driver's BENCH_rN artifact keeps only a ~2000-char TAIL of

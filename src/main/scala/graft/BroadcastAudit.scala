@@ -130,6 +130,15 @@ object BroadcastAudit {
           Scratch.releaseAll()
         }
     } finally Scratch.planProbe.set(null)
+    // the KNOWN-WINDOW class adjudicates itself (r15 verdict item 5):
+    // every banded/salt-replicated frame flows through KnownWindow
+    // .guard, so max_factor ≤ ceiling here PROVES the residual
+    // broadcast-over-Generate findings above are the bounded class —
+    // a past-ceiling geometry would show pinned>0 (and its join would
+    // not appear as a finding at all, being merge-pinned)
+    val (kwFrames, kwMax, kwPins) = operators.KnownWindow.stats
+    println(s"[audit] known-window: frames=$kwFrames max_factor=$kwMax " +
+      s"ceiling=${operators.KnownWindow.MaxReplicationFactor} pinned=$kwPins")
     println(s"[audit] findings=$findings errors=$errors")
   }
 

@@ -311,9 +311,11 @@ object ScaleKnobs {
           // verdict item 2): join-only streams the candidate join with
           // the scoring pruned away; the score rows force every
           // candidate through each ADC representation and collapse to
-          // one aggregate (no window); the shortlist row adds the
-          // rank-limit window; the full-probe rows add the exact
-          // re-rank + output sort — both representations, same index.
+          // one aggregate (no shortlist); the shortlist row adds the
+          // bounded top-k-by-key aggregate (graft_topk — the r16
+          // window replacement, so this row now times the SHIPPED
+          // plan); the full-probe rows add the exact re-rank + output
+          // sort — both representations, same index.
           def frames(rep: String) = operators.VectorOps.annPqProbeFrames(
             parts.assigned, parts.index, parts.book, cells, probes, 3,
             operators.VectorOps.PqSub, nCodes, rep)
@@ -328,7 +330,7 @@ object ScaleKnobs {
           out += s"| ann_pq | $geo stage probe:join-only (scoring pruned) | ${r2(joinSecs)} | - | attribution |"
           out += s"| ann_pq | $geo stage probe:score rep=adc (M×K table/row) | ${r2(scoreASecs)} | - | attribution |"
           out += s"| ann_pq | $geo stage probe:score rep=direct (no table) | ${r2(scoreDSecs)} | - | attribution |"
-          out += s"| ann_pq | $geo stage probe:+shortlist window rep=adc | ${r2(shortSecs)} | - | attribution |"
+          out += s"| ann_pq | $geo stage probe:+shortlist topk-agg rep=adc | ${r2(shortSecs)} | - | attribution |"
           out += s"| ann_pq | $geo full probe rep=adc | ${r2(fullASecs)} | shortlist=${operators.VectorOps.PqRerank}/query | A/B |"
           out += s"| ann_pq | $geo full probe rep=direct | ${r2(fullDSecs)} | shortlist=${operators.VectorOps.PqRerank}/query | A/B |"
         }

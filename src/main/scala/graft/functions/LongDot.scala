@@ -236,6 +236,24 @@ object GraftFunctions {
     AdcDot(children.head, children(1), n)
   }
 
+  /** Builder for `graft_topk(score, id, k)` — k must be an integer
+    * literal (shortlist width is plan-time geometry, like minhash k).
+    * Returns the bare AggregateFunction; the analyzer wraps it in an
+    * AggregateExpression as it does for any registered aggregate.
+    */
+  private[functions] def topkBuilder(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(children.length == 3,
+      "graft_topk(score, id, k) takes exactly 3 arguments")
+    val k = children(2) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_topk(score, id, k): k must be an integer literal, got $other")
+    }
+    TopKPairs(children.head, children(1), k)
+  }
+
   /** THE canonical function table — one list drives BOTH registration
     * paths (the programmatic [[register]] and the
     * `spark.sql.extensions` hook in [[GraftExtensions]]), so the two
@@ -256,7 +274,8 @@ object GraftFunctions {
     ("graft_lsh_buckets", classOf[LshBuckets], lshBucketsBuilder _),
     ("graft_simhash_keys", classOf[SimhashKeys], simhashKeysBuilder _),
     ("graft_first_simhash_key", classOf[FirstSimhashKey], firstSimhashKeyBuilder _),
-    ("graft_adc_dot", classOf[AdcDot], adcDotBuilder _))
+    ("graft_adc_dot", classOf[AdcDot], adcDotBuilder _),
+    ("graft_topk", classOf[TopKPairs], topkBuilder _))
 
   /** Idempotent for OUR functions: a name already registered with
     * graft's expression class (an earlier register() call, or the

@@ -45,3 +45,56 @@ object Salting {
       .groupBy(col(key))
       .agg(finalAgg.head, finalAgg.tail: _*)
 }
+
+/** The KNOWN-WINDOW broadcast guard (r15 verdict item 5).
+  *
+  * The banded-signature / salt-replicated candidate frames (LSH bands,
+  * minhash bands, IVF probe replicas) reach the join planner with
+  * Generate-UNDERESTIMATED stats: explode's size estimate stays at the
+  * child's, so the true frame is `factor`× (bands × salts × probes)
+  * larger than what the static planner compares against the broadcast
+  * threshold. At every SHIPPED geometry the factor is ≤
+  * [[KnownWindow.MaxReplicationFactor]] and the worst
+  * just-under-threshold broadcast is a bounded ~40-80 MB (the r15
+  * PLANS adjudication — acceptable, and those joins are measured-hot,
+  * so their planning is deliberately untouched). The guard exists for
+  * the FUTURE geometry bump: a caller raising bands/salts past the
+  * adjudicated bound would silently scale the broadcast error with it
+  * — the exact mechanism of the r14 sharded-simhash Generate-broadcast
+  * failure. Past the ceiling the replicated side is merge-pinned:
+  * row-identical by join semantics (spec-pinned in KnownWindowSpec),
+  * never planner-eligible for a size-blind broadcast.
+  */
+object KnownWindow {
+
+  /** The adjudicated replication-factor bound: the largest shipped
+    * geometry (ann_lsh production 8 bands × salt 4; minhash salt-split
+    * 4 bands × salt 8) lands exactly here, so every existing plan is
+    * untouched and the first geometry past it gets the pin.
+    */
+  val MaxReplicationFactor = 32L
+
+  /** `df` whose true row count is `factor`× its planner estimate
+    * (Generate replication): merge-pinned past the ceiling, untouched
+    * at adjudicated geometries.
+    */
+  def guard(df: DataFrame, factor: Long): DataFrame = {
+    frames.incrementAndGet()
+    maxFactor.updateAndGet(m => math.max(m, factor))
+    if (factor > MaxReplicationFactor) { pins.incrementAndGet(); df.hint("merge") }
+    else df
+  }
+
+  // audit counters (BroadcastAudit prints them in its summary): every
+  // Generate-underestimated frame that flowed through the guard this
+  // JVM, the largest factor seen, and how many got the past-ceiling
+  // pin — so an audit run's residual broadcast-over-Generate findings
+  // are self-describing as adjudicated-bounded (≤ the ceiling) rather
+  // than unexamined
+  private val frames = new java.util.concurrent.atomic.AtomicLong(0)
+  private val maxFactor = new java.util.concurrent.atomic.AtomicLong(0)
+  private val pins = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** (guarded frames, max factor seen, past-ceiling pins) since JVM start. */
+  def stats: (Long, Long, Long) = (frames.get, maxFactor.get, pins.get)
+}

@@ -1118,7 +1118,12 @@ object TextOps {
     // sigs + bands materialize once — the self-join consumes this
     // frame on both sides
     val exploded = graft.Scratch.cp(bandedFrame(spark, dir, k, bandRows))
-    val cand = exploded.as("a").join(exploded.as("b"),
+    // KNOWN-WINDOW guard: the banded frame is nBands× its Generate
+    // estimate (k/bandRows bands per doc) — untouched at adjudicated
+    // geometries, merge-pinned past the ceiling (r15 verdict item 5)
+    val nBands = (k / bandRows).toLong
+    val cand = KnownWindow.guard(exploded, nBands).as("a")
+      .join(KnownWindow.guard(exploded, nBands).as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -1149,10 +1154,16 @@ object TextOps {
       saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1, s"graft-minhash: saltFactor $saltFactor must be >= 1")
     val exploded = graft.Scratch.cp(bandedFrame(spark, dir, MinhashK, 2))
-    val salted = exploded
-      .withColumn("salt", pmod(hash(col("doc_id")), lit(saltFactor)))
-    val replicated = exploded
-      .withColumn("salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
+    // KNOWN-WINDOW guard: banded ×(k/2) bands, replicated further
+    // ×saltFactor — the shipped 4×8 sits exactly at the adjudicated
+    // ceiling; a raised saltFactor merge-pins (r15 verdict item 5)
+    val nBands = (MinhashK / 2).toLong
+    val salted = KnownWindow.guard(
+      exploded.withColumn("salt", pmod(hash(col("doc_id")), lit(saltFactor))),
+      nBands)
+    val replicated = KnownWindow.guard(
+      exploded.withColumn("salt", explode(expr(s"sequence(0, ${saltFactor - 1})"))),
+      nBands * saltFactor)
     val cand = salted.as("a").join(replicated.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&

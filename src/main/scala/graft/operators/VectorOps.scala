@@ -238,6 +238,37 @@ object VectorOps {
        |  $bandSelects)""".stripMargin
   }
 
+  /** Bounded top-k-per-query shortlist over a candidate frame — the
+    * shared consumer of [[graft.functions.TopKPairs]] (round 16,
+    * verdict item 1). Replaces every `row_number() OVER (PARTITION BY
+    * q_id ORDER BY score DESC, n_id) <= k` rank window in the ANN
+    * family: same rows, same rank order (pinned by TopKSpec), but the
+    * plan is HashAggregate(partial top-k per key, map-side) →
+    * Exchange(keys) → HashAggregate(final) → generate — NO sort of
+    * the candidate set anywhere. The window's per-partition sort of
+    * the full candidate frame was the measured sf10 scale term
+    * (505.5 s window vs 9.7 s hash-aggregate floor over the identical
+    * 312 M-row ann_pq candidate set, PLANS.md r15 addendum); the
+    * exchange now carries at most k slots per (key, map task).
+    *
+    * Downstream partitioning (the r13 respread lesson): the window's
+    * q_id exchange is replaced by the groupBy's OWN hashpartitioning
+    * over the same keys, so consumers that joined on q_id (the ann_pq
+    * re-rank) inherit the same distribution they always did.
+    *
+    * Output: keys..., rnk (1-based bigint), n_id, <scoreName> — the
+    * exact column set the windows produced.
+    */
+  private def topkPerQuery(cands: DataFrame, scoreName: String, k: Int,
+      keys: Seq[String] = Seq("q_id")): DataFrame =
+    cands.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKPairs.column(col(scoreName), col("n_id"), k).as("_tk"))
+      .select(keys.map(col) :+ posexplode(col("_tk")).as(Seq("_r", "_s")): _*)
+      .select(keys.map(col) ++ Seq(
+        (col("_r") + 1).cast(LongType).as("rnk"),
+        col("_s.id").as("n_id"),
+        col("_s.score").as(scoreName)): _*)
+
   /** The brute-force contract: query side must be BOUNDED (the corpus
     * side streams). Enforced, not just documented — `annBruteforceFor`
     * refuses a query side above this ceiling instead of silently
@@ -267,10 +298,7 @@ object VectorOps {
     val joined = queries.as("a").join(corpus.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
-    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
-    joined.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
+    topkPerQuery(joined, "score_e6", k)
   }
 
   /** The gate's bounded probe set: `vec_id < ProbeCutoff` is a
@@ -360,9 +388,16 @@ object VectorOps {
     * dedup pair stream (dedupEmbed) builds its own one-way join.
     */
   private def lshCandidateJoin(b: DataFrame, bands: Int): DataFrame = {
-    val salted = b.withColumn("salt", pmod(hash(col("vec_id")), lit(LshSaltFactor)))
-    val replicated = b.withColumn("salt",
-      explode(expr(s"sequence(0, ${LshSaltFactor - 1})")))
+    // KNOWN-WINDOW guard: the banded frame is bands× its Generate
+    // estimate, the replicated side bands×salt× — adjudicated-bounded
+    // at shipped geometries, merge-pinned past the ceiling so a
+    // future bands/salt bump cannot resurrect a size-blind broadcast
+    val salted = KnownWindow.guard(
+      b.withColumn("salt", pmod(hash(col("vec_id")), lit(LshSaltFactor))),
+      bands.toLong)
+    val replicated = KnownWindow.guard(
+      b.withColumn("salt", explode(expr(s"sequence(0, ${LshSaltFactor - 1})"))),
+      bands.toLong * LshSaltFactor)
     replicated.as("a").join(salted.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.bucket") === col("b.bucket") &&
@@ -378,15 +413,18 @@ object VectorOps {
     lshCandidateJoin(b, bands)
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
 
-  private def lshTopkFrom(b: DataFrame, bands: Int, k: Int): DataFrame = {
+  private def lshTopkFrom(b: DataFrame, bands: Int, k: Int): DataFrame =
+    graft.Scratch.seal(lshTopkPlan(b, bands, k), b).orderBy("q_id", "rnk")
+
+  /** The UNSEALED shortlist plan — also the spec hook for the
+    * plan-shape pin (TopKSpec asserts: HashAggregate with a map-side
+    * partial, no Window, no sort keyed on the score).
+    */
+  private[graft] def lshTopkPlan(b: DataFrame, bands: Int, k: Int): DataFrame = {
     val cands = lshCandidateJoin(b, bands)
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
-    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
-    val topk = cands.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
-    graft.Scratch.seal(topk, b).orderBy("q_id", "rnk")
+    topkPerQuery(cands, "score_e6", k)
   }
 
   /** Embedding-cosine near-dup: LSH-bucket candidates, exact
@@ -657,10 +695,12 @@ object VectorOps {
       .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
         col("cent_id").as("cell"))
       .withColumn("salt", pmod(hash(col("n_id")), lit(LshSaltFactor)))
-    val queriesSide = assigned
-      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"),
-        col("cent_id").as("cell"))
-      .withColumn("salt", explode(expr(s"sequence(0, ${LshSaltFactor - 1})")))
+    val queriesSide = KnownWindow.guard(
+      assigned
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"),
+          col("cent_id").as("cell"))
+        .withColumn("salt", explode(expr(s"sequence(0, ${LshSaltFactor - 1})"))),
+      LshSaltFactor.toLong * probes)
     // no distinct: each n_id lives in exactly one cell (crnk = 1) and
     // a query probes distinct cells, so (q_id, n_id) pairs are unique
     // by construction — a distinct would re-shuffle the full
@@ -669,11 +709,8 @@ object VectorOps {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         expr(scoreE6(dotExpr("qq", "nq"), "qn2", "nn2")).as("score_e6"))
-    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
-    val topk = cands.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
-    graft.Scratch.seal(topk, assigned).orderBy("q_id", "rnk")
+    graft.Scratch.seal(topkPerQuery(cands, "score_e6", k), assigned)
+      .orderBy("q_id", "rnk")
   }
 
   def annIvfSql: String =
@@ -1065,6 +1102,17 @@ object VectorOps {
     * only pays when posting lists ≫ K; every sizing this library
     * ships (cells ∝ √corpus, K=256) keeps posting lists of the same
     * order as K. "adc" stays for the parity spec.
+    *
+    * The sf10 record does NOT repeat the sf1 margin (r15 ADVICE): the
+    * r15 KNOBS_sf10.md A/B at the swept production geometry read full
+    * probe 221.5 s (adc) vs 260.1 s (direct) — the reps within each
+    * other's documented ±40-75% sweep-residue band, and BOTH numbers
+    * dominated by the shortlist rank window (236.9 s of the probe),
+    * not by scoring. Direct keeps the default on the sf1-scale win
+    * plus its structurally thinner memory (no 16 KB/row tables through
+    * the exchange); with the r16 window→aggregate fix the scoring term
+    * is the probe again, so the r16 chain re-draws the rep A/B against
+    * the new plan before this note is allowed to claim an sf10 winner.
     */
   private[graft] val PqDefaultScoreRep = "direct"
 
@@ -1169,9 +1217,12 @@ object VectorOps {
     // exact re-rank of the ADC top-R shortlist (the production IVF-PQ
     // shape): true vectors are fetched for R ids per query only — the
     // output scores are EXACT cosine; PQ is purely the pruner.
-    val ws = Window.partitionBy("q_id").orderBy(col("adc_e6").desc, col("n_id"))
-    val shortlist = cands.withColumn("srnk", row_number().over(ws))
-      .filter(col("srnk") <= PqRerank)
+    // The top-R selection is the bounded aggregate (topkPerQuery),
+    // NOT a rank window — at sf10 the window's per-partition sort of
+    // the 312 M-row candidate set WAS the probe (236.9 s of a ~255 s
+    // probe, KNOBS_sf10.md r15); the aggregate's exchange carries
+    // ≤ R slots per (q_id, map task) and sorts nothing.
+    val shortlist = topkPerQuery(cands, "adc_e6", PqRerank)
       .select("q_id", "n_id")
     val exactQ = assigned.filter(col("crnk") === 1)
       .select(col("vec_id"), col("q"), col("n2"))
@@ -1180,10 +1231,7 @@ object VectorOps {
       .join(exactQ.select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2")), "n_id")
       .select(col("q_id"), col("n_id"),
         expr(scoreE6(dotExpr("qq", "nq"), "qn2", "nn2")).as("score_e6"))
-    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
-    val topk = rescored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("score_e6"))
+    val topk = topkPerQuery(rescored, "score_e6", k)
     (cands, shortlist, topk)
   }
 
@@ -1404,6 +1452,92 @@ object VectorOps {
        |SELECT vec_id, CAST(band_idx AS BIGINT) AS band_idx, bucket
        |FROM buckets ORDER BY vec_id, band_idx""".stripMargin
 
+  /** Row-local coarse routing of a quantized frame against a FROZEN
+    * broadcast coarse index — (vec_id, cell), cell = the rank-1
+    * centroid. The building block [[appendIvfIndex]] shares with the
+    * full build.
+    */
+  private def ivfRouteOf(v: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.IvfCoarseIndex]): DataFrame =
+    v.select(col("vec_id"),
+      element_at(graft.functions.IvfRoute.column(col("q"), col("n2"), bc, 1, 0), 1)
+        .as("cell"))
+
+  /** Daily IVF-index maintenance (r15 verdict item 3 — the
+    * [[appendBucketIndex]] / TextOps.appendWindowIndex shape for the
+    * coarse-quantized family): APPEND an accepted delta's vectors
+    * into the posting lists under the EXISTING centroids — no
+    * retrain, no corpus re-route. Routing under a frozen coarse index
+    * is a pure per-row function of the vector (the broadcast carries
+    * the whole quantizer), so the append is a bare UNION of the
+    * delta's routed rows: no shuffle, linear in the delta, and
+    * merge ≡ recompute holds BY CONTRACT — "recompute" for a serving
+    * IVF index means re-routing every vector under the same
+    * corpus-trained centroids (centroid drift is a retrain, a
+    * different operation with different semantics), which is exactly
+    * what the gate oracle re-derives from scratch in SQL.
+    */
+  def appendIvfIndex(index: DataFrame, newVecs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.IvfCoarseIndex]): DataFrame =
+    index.unionByName(ivfRouteOf(quantizePlan(newVecs), bc))
+
+  /** Gate entry: the post-append posting-list table (corpus =
+    * vec_id % 10 ≠ 7, delta = the % 10 = 7 arrivals — stream_ann's
+    * split). Centroids train on the CORPUS ONLY (one Lloyd step, flat
+    * gate geometry — annIvfSql's exact recipe restricted to the
+    * corpus rows); the delta then routes under them frozen. The
+    * oracle recomputes the whole table from scratch — corpus-trained
+    * centroids re-derived in SQL, every vector re-routed — so the
+    * gate itself proves append ≡ recompute, the bar
+    * imp_entity_incremental / ann_index_append set.
+    */
+  def annIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, dir)
+    val corpus = graft.Scratch.cp(quantizePlan(all.filter(col("vec_id") % 10 =!= 7)))
+    val cents = refinedCentroidsRouted(corpus, IvfCells, 1, 0)
+    val bc = spark.sparkContext
+      .broadcast(graft.functions.IvfCoarseIndex.build(cents, Dim))
+    val index = ivfRouteOf(corpus, bc)
+    val appended = appendIvfIndex(index, all.filter(col("vec_id") % 10 === 7), bc)
+    // seal materializes eagerly, so the broadcast can drop right after
+    val out = graft.Scratch.seal(appended, corpus)
+    bc.destroy()
+    out.orderBy("vec_id")
+  }
+
+  def annIvfAppendSql: String =
+    s"""WITH $quantizedDuckCte,
+       |corpus_v AS (
+       |  SELECT * FROM qv WHERE vec_id % 10 <> 7),
+       |seeds AS (
+       |  SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM corpus_v WHERE vec_id < $IvfCells),
+       |sassign AS (
+       |  SELECT vec_id, q, cent_id FROM (
+       |    SELECT v.vec_id, v.q, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |    FROM corpus_v v CROSS JOIN seeds c) t
+       |  WHERE crnk = 1),
+       |rm AS (
+       |  SELECT cent_id, p.pos AS pos,
+       |    CAST(FLOOR(SUM(q[p.pos + 1]) / COUNT(*)) AS BIGINT) AS m
+       |  FROM sassign, range(0, $Dim) p(pos)
+       |  GROUP BY cent_id, p.pos),
+       |cents0 AS (
+       |  SELECT cent_id, list(m ORDER BY pos) AS cq FROM rm GROUP BY cent_id),
+       |cents AS (
+       |  SELECT * FROM (
+       |    SELECT cent_id, cq, ${dotDuck("cq", "cq")} AS cn2 FROM cents0) t
+       |  WHERE cn2 > 0),
+       |assign AS (
+       |  SELECT v.vec_id, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |  FROM qv v CROSS JOIN cents c)
+       |SELECT vec_id, cent_id AS cell FROM assign WHERE crnk = 1
+       |ORDER BY vec_id""".stripMargin
+
   /** Metadata-filtered exact search ("search within my own
     * category"): each bounded probe's neighbor set is restricted to
     * corpus rows sharing its `label`. The filter is NOT a post-filter
@@ -1429,11 +1563,9 @@ object VectorOps {
       .select(col("a.vec_id").as("q_id"), col("a.label").as("label"),
         col("b.vec_id").as("n_id"),
         expr(scoreE6(dotExpr("a.q", "b.q"), "a.n2", "b.n2")).as("score_e6"))
-    val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("n_id"))
-    val topk = joined.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("q_id"), col("label"), col("rnk").cast(LongType).as("rnk"),
-        col("n_id"), col("score_e6"))
+    // label is functionally determined by q_id, so grouping on both
+    // carries it through the aggregate without a join-back
+    val topk = topkPerQuery(joined, "score_e6", 3, keys = Seq("q_id", "label"))
     graft.Scratch.seal(topk, v).orderBy("q_id", "rnk")
   }
 
@@ -1498,6 +1630,7 @@ object VectorOps {
     "embed_quantize" -> (embedQuantize _),
     "ann_filtered" -> (annFiltered _),
     "ann_index_append" -> (annIndexAppend _),
+    "ann_ivf_append" -> (annIvfAppend _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_hier" -> (annIvfHier _),
@@ -1511,6 +1644,7 @@ object VectorOps {
     "embed_quantize" -> embedQuantizeSql,
     "ann_filtered" -> annFilteredSql,
     "ann_index_append" -> annIndexAppendSql,
+    "ann_ivf_append" -> annIvfAppendSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_hier" -> annIvfHierSql,

@@ -253,4 +253,33 @@ class IvfRouteSpec extends SparkSpec {
     }
     Scratch.releaseAll()
   }
+
+  test("ann_ivf_append ≡ frozen-centroid recompute at full index schema") {
+    // the daily-maintenance bar (r15 verdict item 3, the
+    // imp_entity_incremental precedent): appending the delta's routed
+    // rows under the EXISTING corpus-trained centroids must be
+    // row-identical to routing EVERY vector under those same frozen
+    // centroids — re-derived here independently of the operator
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, sfDir)
+    val corpus = Scratch.cp(
+      VectorOps.quantizePlan(all.filter(col("vec_id") % 10 =!= 7)))
+    try {
+      val cents = VectorOps.refinedCentroidsRouted(corpus, 16, 1, 0)
+      val bc = spark.sparkContext.broadcast(IvfCoarseIndex.build(cents, dim))
+      try {
+        val recompute = VectorOps.quantizePlan(all)
+          .select(col("vec_id"),
+            element_at(IvfRoute.column(col("q"), col("n2"), bc, 1, 0), 1).as("cell"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val appended = VectorOps.annIvfAppend(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        assert(appended.nonEmpty, "empty appended index")
+        assert(appended.toSeq == recompute.toSeq,
+          "append diverged from the frozen-centroid recompute")
+        // the delta really is in the index (the % 10 = 7 arrivals)
+        assert(appended.exists(_._1 % 10 == 7), "delta rows missing from the index")
+      } finally bc.destroy()
+    } finally Scratch.free(corpus)
+  }
 }

@@ -20,7 +20,11 @@ STATUS=/tmp/chain.status
 note() { echo "$(date +%T) $*" >> "$STATUS"; }
 : > "$STATUS"
 
-ROUND="${CHAIN_ROUND:-15}"
+ROUND="${CHAIN_ROUND:-16}"
+# artifacts THIS run actually wrote — the stale-stamp guard marks only
+# these (r15 ADVICE: marking the whole fixed list mislabeled committed
+# records from earlier runs, e.g. BENCH_sf10.json under CHAIN_SF10=0)
+WROTE=""
 # the sha every artifact this chain stamps claims to describe; the
 # end-of-chain guard re-checks it (r14 regression: TESTS_r14 was
 # stamped, then a later commit changed VectorOps behavior and only the
@@ -47,6 +51,7 @@ printf '{"round":%s,"git_sha":"%s","passed":%s,"suites":%s,"tests_run":%s,"faile
   "$ROUND" "$(git rev-parse HEAD)" "$TESTS_OK" "${N_SUITES:-0}" "${N_TESTS:-0}" "${N_FAILED:--1}" "$((T1 - T0))" \
   > "TESTS_r${ROUND}.json"
 note "tests: evidence -> TESTS_r${ROUND}.json"
+WROTE="$WROTE TESTS_r${ROUND}.json"
 
 # plan audit: static broadcasts over Generate subtrees (the r14
 # sharded-simhash trap, generalized) — pre-execution plans only, so
@@ -71,6 +76,7 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf0.1.json \
   sbt -batch "runMain graft.Bench" > /tmp/chain_bench01.log 2>&1
 note "bench sf0.1: done $(grep -o '"value":[0-9.]*' BENCH_sf0.1.json 2>/dev/null | head -1)"
+WROTE="$WROTE BENCH_sf0.1.json"
 
 note "stream A/B @32 parts: start"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
@@ -78,6 +84,7 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_BENCH_ARTIFACT=BENCH_stream32.json \
   sbt -batch "runMain graft.Bench" > /tmp/chain_stream32.log 2>&1
 note "stream A/B: done $(grep -o '"value":[0-9.]*' BENCH_stream32.json 2>/dev/null | head -1)"
+WROTE="$WROTE BENCH_stream32.json"
 
 if [ ! -f testdata/sf1/lineitem.parquet ]; then
   note "sf1 corpus: regenerating (it is gitignored and vanishes between rounds)"
@@ -87,6 +94,7 @@ note "bench sf1: start"
 SPARK_GRAFT_SF_DIR="$PWD/testdata/sf1" SPARK_GRAFT_BENCH_REPS=1 \
   sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf1.log 2>&1
 note "bench sf1: done $(grep -o '"value":[0-9.]*' BENCH_sf1.json 2>/dev/null | head -1)"
+WROTE="$WROTE BENCH_sf1.json"
 
 if [ "${CHAIN_SF10:-0}" = "1" ]; then
   if [ ! -f testdata/sf10/lineitem.parquet ]; then
@@ -126,24 +134,41 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
     SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf10.json \
     sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf10.log 2>&1
   note "bench sf10: done $(grep -o '"value":[0-9.]*' BENCH_sf10.json 2>/dev/null | head -1)"
+  WROTE="$WROTE BENCH_sf10.json"
   if [ "${CHAIN_KNOBS:-1}" = "0" ]; then
     note "sf10 knobs: SKIPPED (CHAIN_KNOBS=0 — a same-HEAD sweep already produced KNOBS_sf10.md this round)"
   else
   note "sf10 ANN production geometries (time-only knobs): start"
-  SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_DRIVER_MEM=64g \
-    SPARK_GRAFT_KNOBS_FAMILY=ann_lsh,ann_ivf,ann_pq,simhash,cluster_rep SPARK_GRAFT_KNOBS_TIME_ONLY=1 \
-    sbt -batch "runMain graft.ScaleKnobs" > /tmp/chain_knobs_sf10.log 2>&1
-  # pattern matches '|---' separator rows too (r12 ADVICE: the
-  # trailing-space variant dropped them, so the table didn't render)
-  grep -E '^(\[info\] )?\|' /tmp/chain_knobs_sf10.log | sed 's/^\[info\] //' > KNOBS_sf10.md 2>/dev/null
+  # ONE FRESH JVM PER FAMILY (r15 verdict item 2: the ann_lsh
+  # 189-vs-50.7 s residue showed knob rows inherit page/heap state
+  # across families AND across mains within one JVM; run/fork is on,
+  # so each sbt runMain below is its own JVM and each family's rows
+  # start from a cold executor heap)
+  : > KNOBS_sf10.md
+  for FAM in ann_lsh ann_ivf ann_pq simhash cluster_rep; do
+    note "sf10 knobs [$FAM]: start (fresh JVM)"
+    SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_DRIVER_MEM=64g \
+      SPARK_GRAFT_KNOBS_FAMILY="$FAM" SPARK_GRAFT_KNOBS_TIME_ONLY=1 \
+      sbt -batch "runMain graft.ScaleKnobs" > "/tmp/chain_knobs_sf10_${FAM}.log" 2>&1
+    # pattern matches '|---' separator rows too (r12 ADVICE: the
+    # trailing-space variant dropped them, so the table didn't render);
+    # header lines only from the FIRST family's table
+    if [ -s KNOBS_sf10.md ]; then
+      { grep -E '^(\[info\] )?\|' "/tmp/chain_knobs_sf10_${FAM}.log" | sed 's/^\[info\] //' \
+        | grep -vE '^\| family \||^\|---' || true; } >> KNOBS_sf10.md
+    else
+      grep -E '^(\[info\] )?\|' "/tmp/chain_knobs_sf10_${FAM}.log" | sed 's/^\[info\] //' > KNOBS_sf10.md 2>/dev/null
+    fi
+    note "sf10 knobs [$FAM]: done"
+  done
   # per-file provenance INLINE (r14 verdict item 6: the table once
   # quoted a number its own trailing note disclaimed as sweep residue)
   { echo ""
-    echo "Provenance: every row above is ONE chain sweep at HEAD $(git rev-parse --short HEAD)"
-    echo "(time-only mode, recall pinned at sf1), rows in sweep order. The ann_lsh"
-    echo "production row (8 bands x 16 bits) runs BEFORE the dense 8x8 row so it"
-    echo "cannot inherit that row's multi-G-candidate thrash (the r14 220.8 s vs"
-    echo "50.7 s solo residue)."
+    echo "Provenance: rows grouped by family, ONE FRESH JVM PER FAMILY at HEAD"
+    echo "$(git rev-parse --short HEAD) (time-only mode, recall pinned at sf1),"
+    echo "rows in sweep order within a family. Fresh JVMs retire the cross-main"
+    echo "sweep-adjacency residue (ann_lsh 189 s post-sweep vs 50.7 s solo, r15);"
+    echo "within a family the production row still runs before denser rows."
   } >> KNOBS_sf10.md
   note "sf10 ANN production: done ($(wc -l < KNOBS_sf10.md 2>/dev/null) rows -> KNOBS_sf10.md)"
   fi
@@ -163,8 +188,13 @@ if ! git diff --quiet -- src/ build.sbt 2>/dev/null; then
 fi
 if [ "$SRC_MOVED" = "1" ]; then
   note "chain: STALE STAMPS — src/ changed after $SHA0 (now $SHA1 / dirty tree)"
-  for f in "TESTS_r${ROUND}.json" BENCH_sf0.1.json BENCH_stream32.json BENCH_sf1.json BENCH_sf10.json; do
-    [ -f "$f" ] && sed -i 's/^{/{"stale_src":true,/' "$f" && note "chain: marked $f stale_src"
+  # only artifacts THIS run wrote, and only once each — a prior run's
+  # committed record must not be mislabeled, and a re-run on a
+  # still-dirty tree must not prepend a duplicate key (r15 ADVICE)
+  for f in $WROTE; do
+    if [ -f "$f" ] && ! grep -q '"stale_src"' "$f"; then
+      sed -i 's/^{/{"stale_src":true,/' "$f" && note "chain: marked $f stale_src"
+    fi
   done
   note "chain: re-run the suite (and affected benches) at the new HEAD before committing artifacts"
 else
