@@ -39,9 +39,15 @@ import org.apache.spark.sql.types._
   *     mutable width keeps [[org.apache.spark.sql.execution.aggregate.HashAggregateExec]]
   *     eligible: map-side partial top-k per key, UnsafeRow hash map
   *     with its own spill-to-sort-MERGE path (keys only, never the
-  *     candidate rows' scores), and the stage stays inside
-  *     whole-stage codegen (imperative update()s are invoked by
-  *     reference from generated code, as HLL++'s are).
+  *     candidate rows' scores). Note the stage does NOT stay in
+  *     whole-stage codegen: `AggregateCodegenSupport.supportCodegen`
+  *     excludes every ImperativeAggregate (HLL++ included), so the
+  *     HashAggregateExec containing graft_topk — and the scoring
+  *     projection fused into that stage — runs interpreted. That
+  *     trade was measured and accepted (r16 bench re-draw: the
+  *     bounded-buffer hash aggregate still beats the codegen'd
+  *     window plan 3-6× at sf10) — the wins come from deleting the
+  *     candidate-set sort and bounding the exchange, not codegen.
   *
   * The exchange then carries at most k slots per (key, map task) —
   * the same volume the WindowGroupLimit partial rank gave — and NO

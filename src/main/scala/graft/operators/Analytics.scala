@@ -537,6 +537,34 @@ object Analytics {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Salted skewed equi-join (SURVEY §2 `skew_salting`, gate-promoted
+    * r17 — spec-only since r9): events ⋈ customer on user_id through
+    * [[Salting.saltedJoin]]. The corpus is genuinely skewed for this
+    * key — every event lands on the first 10% of customer keys (sf0.01:
+    * 10k events over custkeys 0-149 of 1500) — so the unsalted join
+    * funnels all probe work through 150 reducer keys while the salted
+    * plan spreads each hot key over 8 salt reducers. The oracle is the
+    * PLAIN unsalted join: salting must be row-identical (the aggregate
+    * totals would shift on any dropped/duplicated pair), which is
+    * exactly the contract SaltingSpec pins structurally.
+    */
+  def skewSalting(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Salting.saltedJoin(Tables.events(spark, dir), cust, "user_id",
+        discriminator = col("event_id"), salts = 8)
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        moneyStr(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  def skewSaltingSql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Set operators over key sets: engaged users = clickers ∩
     * purchasers, minus anyone with a HIGH-SEVERITY error (value > 90 —
     * a plain "ever errored" arm is vacuous on this corpus, where every
@@ -1368,6 +1396,7 @@ object Analytics {
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_lateral" -> (qLateral _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "skew_salting" -> (skewSalting _),
     "q_set_ops" -> (qSetOps _),
     "q_moving_window" -> (qMovingWindow _),
     "q_window_topn" -> (qWindowTopN _),
@@ -1409,6 +1438,7 @@ object Analytics {
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_lateral" -> qLateralSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "skew_salting" -> skewSaltingSql,
     "q_set_ops" -> qSetOpsSql,
     "q_moving_window" -> qMovingWindowSql,
     "q_window_topn" -> qWindowTopNSql,

@@ -695,12 +695,17 @@ object VectorOps {
       .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
         col("cent_id").as("cell"))
       .withColumn("salt", pmod(hash(col("n_id")), lit(LshSaltFactor)))
+    // guard factor = the salt explode ONLY: `assigned` is sealed
+    // (checkpointed), so its probes-fold replication is already in
+    // the planner's real stats — including probes here overstated the
+    // underestimate probes× and would merge-pin unrepresentative
+    // geometries in a probes-swept run (r16 ADVICE)
     val queriesSide = KnownWindow.guard(
       assigned
         .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"),
           col("cent_id").as("cell"))
         .withColumn("salt", explode(expr(s"sequence(0, ${LshSaltFactor - 1})"))),
-      LshSaltFactor.toLong * probes)
+      LshSaltFactor.toLong)
     // no distinct: each n_id lives in exactly one cell (crnk = 1) and
     // a query probes distinct cells, so (q_id, n_id) pairs are unique
     // by construction — a distinct would re-shuffle the full

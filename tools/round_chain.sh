@@ -19,6 +19,11 @@ cd "$(dirname "$0")/.."
 STATUS=/tmp/chain.status
 note() { echo "$(date +%T) $*" >> "$STATUS"; }
 : > "$STATUS"
+# keep-best record guard (r16 verdict item 1): save_prev before each
+# committed-record bench, keep_best after — a contended / anchor-slow
+# draw never replaces a clean committed record (tools/keep_best.sh;
+# tested by tools/test_keep_best.sh)
+. tools/keep_best.sh
 
 ROUND="${CHAIN_ROUND:-16}"
 # artifacts THIS run actually wrote — the stale-stamp guard marks only
@@ -72,29 +77,35 @@ fi
 # the default BENCH_full.json name is driver-owned (re-run after round
 # close, gitignored) — see README "Round artifacts"
 note "bench sf0.1: start"
+save_prev BENCH_sf0.1.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf0.1.json \
   sbt -batch "runMain graft.Bench" > /tmp/chain_bench01.log 2>&1
+if keep_best BENCH_sf0.1.json; then KB_KEPT=1; else KB_KEPT=0; fi
 note "bench sf0.1: done $(grep -o '"value":[0-9.]*' BENCH_sf0.1.json 2>/dev/null | head -1)"
-WROTE="$WROTE BENCH_sf0.1.json"
+[ "$KB_KEPT" = 1 ] && WROTE="$WROTE BENCH_sf0.1.json"
 
 note "stream A/B @32 parts: start"
+save_prev BENCH_stream32.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_BENCH_FAMILY=stream SPARK_GRAFT_STREAM_SHUFFLE=32 \
   SPARK_GRAFT_BENCH_ARTIFACT=BENCH_stream32.json \
   sbt -batch "runMain graft.Bench" > /tmp/chain_stream32.log 2>&1
+if keep_best BENCH_stream32.json; then KB_KEPT=1; else KB_KEPT=0; fi
 note "stream A/B: done $(grep -o '"value":[0-9.]*' BENCH_stream32.json 2>/dev/null | head -1)"
-WROTE="$WROTE BENCH_stream32.json"
+[ "$KB_KEPT" = 1 ] && WROTE="$WROTE BENCH_stream32.json"
 
 if [ ! -f testdata/sf1/lineitem.parquet ]; then
   note "sf1 corpus: regenerating (it is gitignored and vanishes between rounds)"
   python3 tools/make_sf1.py /root/testdata/sf0.1 testdata/sf1 10 > /tmp/chain_sf1gen.log 2>&1
 fi
 note "bench sf1: start"
+save_prev BENCH_sf1.json
 SPARK_GRAFT_SF_DIR="$PWD/testdata/sf1" SPARK_GRAFT_BENCH_REPS=1 \
   sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf1.log 2>&1
+if keep_best BENCH_sf1.json; then KB_KEPT=1; else KB_KEPT=0; fi
 note "bench sf1: done $(grep -o '"value":[0-9.]*' BENCH_sf1.json 2>/dev/null | head -1)"
-WROTE="$WROTE BENCH_sf1.json"
+[ "$KB_KEPT" = 1 ] && WROTE="$WROTE BENCH_sf1.json"
 
 if [ "${CHAIN_SF10:-0}" = "1" ]; then
   if [ ! -f testdata/sf10/lineitem.parquet ]; then
@@ -124,6 +135,7 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # item 1.
   SLOW="mm_pipeline,ann_ivf_prod,ann_bruteforce,dedup_minhash,dedup_simhash_prod,dedup_ngram,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
   note "bench sf10 (slow families): start"
+  save_prev BENCH_sf10.json
   # dedup_cluster_rep/_components flap up to 3x between same-HEAD
   # sf10 draws (page cache); 2 same-sweep reps with the LOWER median
   # reported keep the committed record inside the family's honest
@@ -133,8 +145,9 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
     SPARK_GRAFT_BENCH_ONLY="$SLOW" SPARK_DRIVER_MEM=64g \
     SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf10.json \
     sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf10.log 2>&1
+  if keep_best BENCH_sf10.json; then KB_KEPT=1; else KB_KEPT=0; fi
   note "bench sf10: done $(grep -o '"value":[0-9.]*' BENCH_sf10.json 2>/dev/null | head -1)"
-  WROTE="$WROTE BENCH_sf10.json"
+  [ "$KB_KEPT" = 1 ] && WROTE="$WROTE BENCH_sf10.json"
   if [ "${CHAIN_KNOBS:-1}" = "0" ]; then
     note "sf10 knobs: SKIPPED (CHAIN_KNOBS=0 — a same-HEAD sweep already produced KNOBS_sf10.md this round)"
   else

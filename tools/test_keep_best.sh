@@ -1,0 +1,57 @@
+#!/usr/bin/env bash
+# Shell test for tools/keep_best.sh (r16 verdict item 1: "a
+# spec-or-shell test of the guard"). Run: bash tools/test_keep_best.sh
+set -u
+cd "$(dirname "$0")"
+. ./keep_best.sh
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+FAILS=0
+chk() { # $1 desc, $2 cond (already evaluated: 0 ok)
+  if [ "$2" = 0 ]; then echo "ok   - $1"; else echo "FAIL - $1"; FAILS=$((FAILS+1)); fi
+}
+clean='{"metric":"total","value":100.0,"anchor":{"start":1.0,"end":1.1,"expected":[0.55,2.2],"class":"ok"},"contended":false}'
+contended='{"metric":"total","value":300.0,"anchor":{"start":1.0,"end":5.0,"expected":[0.55,2.2],"class":"ok"},"contended":true}'
+anchorslow='{"metric":"total","value":280.0,"anchor":{"start":3.9,"end":4.1,"expected":[0.55,2.2],"class":"slow"},"contended":false}'
+clean2='{"metric":"total","value":95.0,"anchor":{"start":0.9,"end":1.0,"expected":[0.55,2.2],"class":"ok"},"contended":false}'
+
+# 1. contended draw must NOT replace a clean record
+f="$TMP/a.json"; echo "$clean" > "$f"; save_prev "$f"; echo "$contended" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 1 ] && grep -q '"value":100.0' "$f" && grep -q '"value":300.0' "$TMP/a.contended.json"
+chk "contended draw rejected, clean restored, draw parked" $?
+
+# 2. anchor-slow (stable but slow host) draw must NOT replace a clean record
+f="$TMP/b.json"; echo "$clean" > "$f"; save_prev "$f"; echo "$anchorslow" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 1 ] && grep -q '"value":100.0' "$f" && grep -q '"value":280.0' "$TMP/b.contended.json"
+chk "anchor-slow draw rejected even with contended:false" $?
+
+# 3. clean draw replaces clean record (normal path)
+f="$TMP/c.json"; echo "$clean" > "$f"; save_prev "$f"; echo "$clean2" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 0 ] && grep -q '"value":95.0' "$f" && [ ! -f "$f.prev" ]
+chk "clean draw kept, prev cleaned up" $?
+
+# 4. clean draw replaces a POLLUTED standing record (recovery path —
+#    exactly what the r17 clean re-draw must be allowed to do)
+f="$TMP/d.json"; echo "$contended" > "$f"; save_prev "$f"; echo "$clean" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 0 ] && grep -q '"value":100.0' "$f"
+chk "clean draw replaces polluted standing record" $?
+
+# 5. contended draw with NO standing record is kept (first record —
+#    a stamped-polluted number beats no number; the stamp tells)
+f="$TMP/e.json"; save_prev "$f"; echo "$contended" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 0 ] && grep -q '"value":300.0' "$f"
+chk "polluted first record kept (no clean record to protect)" $?
+
+# 6. bench produced no file: prev is cleaned, no crash
+f="$TMP/g.json"; echo "$clean" > "$f"; save_prev "$f"; rm -f "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 0 ] && [ ! -f "$f.prev" ]
+chk "missing artifact handled" $?
+
+echo
+if [ "$FAILS" = 0 ]; then echo "keep_best: ALL PASS"; else echo "keep_best: $FAILS FAILED"; exit 1; fi
