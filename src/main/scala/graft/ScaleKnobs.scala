@@ -371,6 +371,54 @@ object ScaleKnobs {
       out += s"| cluster_rep | full (components + quality + selectReps + sort) | ${r2(sFull)} | - | residual=${r2(sFull - sComp - sQual)} |"
     }
 
+    // ---------------- mm: stage attribution + subsampled resize ----
+    // r16 verdict item 4: mm_pipeline is the slowest sf10 row and the
+    // posture claim is "codec-bound, linear". These rows measure the
+    // claim per stage — demux (container parse + sample slicing) vs
+    // full-frame decode vs the full pipeline (taps + resize +
+    // checksums) — plus the thumbnail-only A/B: full-decode resize vs
+    // ImageReadParam.setSourceSubsampling, where the reader
+    // materializes 8×8 instead of w×h. Aggregate checksum equality
+    // between the two thumb arms is a corpus-wide pixel-parity proof
+    // (the per-format parity is also spec-pinned in StreamingSpec).
+    if (want("mm")) {
+      import spark.implicits._
+      def media = operators.Multimodal.mediaTable(spark, sfDir)
+      // every stage below RE-SYNTHESIZES the corpus (mediaTable
+      // encodes payloads per row — the test corpus ships no
+      // binaries), so the synth-only row is the common baseline each
+      // stage's delta subtracts; one untimed pass first so the first
+      // timed row doesn't absorb codegen/encoder spinup (the Bench
+      // warmup rule — the shakedown run charged it 2× to demux-only)
+      media.map(_.payload.length.toLong).reduce(_ + _)
+      val (_, sSynth) = timed { media.map(_.payload.length.toLong).reduce(_ + _) }
+      val ((nSamples, nDocs), sDemux) = timed {
+        media.map(r =>
+            (operators.Multimodal.demuxOnly(r.payload, r.meta).toLong, 1L))
+          .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+      val (_, sDecode) = timed {
+        media.map(r => operators.Multimodal.decodeOnly(r.payload, r.meta).toLong)
+          .reduce(_ + _)
+      }
+      val (_, sFull) = timed {
+        noop(operators.Multimodal.features(spark, sfDir).toDF())
+      }
+      out += s"| mm | stage: synthesize+encode only (corpus baseline) | ${r2(sSynth)} | $nDocs docs | attribution |"
+      out += s"| mm | stage: +demux (container+slicing; wav=full PCM) | ${r2(sDemux)} | $nSamples samples | demux=${r2(sDemux - sSynth)} |"
+      out += s"| mm | stage: +full-frame decode | ${r2(sDecode)} | - | codec=${r2(sDecode - sDemux)} |"
+      out += s"| mm | full pipeline (decode+taps+resize+checksums) | ${r2(sFull)} | - | features+resize=${r2(sFull - sDecode)} |"
+      // thumbnail-only A/B over the image-format rows (png/jpeg/mp4)
+      def thumbs(sub: Boolean) = media
+        .filter((r: operators.Multimodal.MediaRow) => r.meta.format != "wav")
+        .map(r => operators.Multimodal.thumbOnly(r.payload, r.meta, sub))
+      val (sumFull: Long, sThumbFull) = timed { thumbs(sub = false).reduce(_ + _) }
+      val (sumSub: Long, sThumbSub) = timed { thumbs(sub = true).reduce(_ + _) }
+      val parity = if (sumFull == sumSub) "parity: EXACT" else "parity: DIVERGED"
+      out += s"| mm | thumb-only: full decode + resize | ${r2(sThumbFull)} | - | A/B |"
+      out += s"| mm | thumb-only: subsampled decode (8x8 materialized) | ${r2(sThumbSub)} | - | A/B $parity |"
+    }
+
     // ---------------- components: contraction rounds ----------------
     if (want("components")) {
       val (nLabels, ccSecs) = timed {

@@ -1076,6 +1076,71 @@ object TextOps {
     s"""WITH $ngramPairsSqlCtes
        |SELECT a_id, b_id, jac_e4 FROM np ORDER BY a_id, b_id""".stripMargin
 
+  /** dedup_ngram_prod — the PRODUCTION geometry for the one detector
+    * that still self-joins on raw shingles (r16 verdict item 3;
+    * precedent: dedup_simhash_prod). A 100 TB corpus never runs the
+    * full shingle self-join — even df≤100-capped, the candidate set
+    * scales with corpus shingle volume. The production shape is the
+    * standard LSH CASCADE:
+    *
+    *   1. candidates = banded-minhash buckets ([[minhashCandidates]]
+    *      — corpus-linear: row-local signatures, bucket equi-join);
+    *   2. exact 3-gram Jaccard is verified ONLY on candidate pairs:
+    *      the df-capped shingle frame collapses to ONE array row per
+    *      doc, the (small) candidate list joins that table twice, and
+    *      the intersection is computed ROW-LOCALLY
+    *      (`array_intersect`) — no shingle-keyed self-join anywhere.
+    *
+    * Work is candidates × per-doc set size, not shingles²/df — the
+    * exact-verify cost now scales with the DUPLICATE density, which
+    * is the quantity a dedup pass is entitled to pay for.
+    *
+    * Recall trade, stated: the prefilter's signatures ride 5-gram
+    * shingles and 4×2 bands (the oracle-pinned minhash geometry), so
+    * a pair with 3-gram Jaccard ≥ 0.30 but no shared band bucket is
+    * missed — measured at the gate corpus in PLANS.md r17. The gate
+    * pins the cascade EXACTLY: oracle = the shared `np` CTE (the full
+    * detector's pair graph) restricted to the shared `cand` CTE (the
+    * minhash candidate graph) — both engines render both stages from
+    * one source of truth, so any divergence in either stage hashes
+    * red.
+    *
+    * The verified scores are identical to [[dedupNgram]]'s for every
+    * surviving pair: `size(array_intersect)` equals the self-join's
+    * per-pair match count because per-doc capped shingle hashes are
+    * distinct by construction (shingle strings are array_distinct'd
+    * before hashing), and the denominator uses the same per-doc row
+    * counts (array sizes of the same frame).
+    */
+  def dedupNgramProd(spark: SparkSession, dir: String): DataFrame = {
+    // stage 1 — LSH prefilter (already sealed by its own scope)
+    val cand = minhashCandidates(spark, dir).select("a_id", "b_id")
+    // stage 2 — exact verification on candidates only
+    val capped = cappedShingles(spark, dir)
+    val sets = capped.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"))
+    // candidate list is duplicate-density-sized — leave both joins to
+    // AQE (it broadcasts the candidate side when it is small, and
+    // shuffles on doc_id when a pathological corpus makes it large)
+    val verified = cand
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .withColumn("shared",
+        size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+      .withColumn("jac_e4",
+        expr("10000 * shared DIV (size(ha) + size(hb) - shared)"))
+      .filter(col("jac_e4") >= 3000)
+      .select("a_id", "b_id", "jac_e4")
+    graft.Scratch.seal(verified, capped).orderBy("a_id", "b_id")
+  }
+
+  def dedupNgramProdSql: String =
+    s"""WITH $ngramPairsSqlCtes,
+       |$minhashCandidatesSqlCtes
+       |SELECT np.a_id, np.b_id, np.jac_e4
+       |FROM np JOIN cand ON np.a_id = cand.a_id AND np.b_id = cand.b_id
+       |ORDER BY np.a_id, np.b_id""".stripMargin
+
   /** MinHash + LSH near-dup: k=8 portable min-hashes computed ROW-
     * LOCALLY (array_min over shingle hashes — no explode, no shuffle),
     * banded 4×2, candidates = pairs sharing >= 1 band bucket. Output
@@ -1568,6 +1633,7 @@ object TextOps {
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_inc" -> (dedupSubstringInc _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_ngram_prod" -> (dedupNgramProd _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1593,6 +1659,7 @@ object TextOps {
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_inc" -> dedupSubstringIncSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_ngram_prod" -> dedupNgramProdSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -407,6 +407,21 @@ class PipelineOpsSpec extends SparkSpec {
       s"$missed of ${strong.count()} strong minhash pairs fail the ngram gate")
   }
 
+  test("dedup_ngram_prod cascade: exactly full-detector ∩ candidates, scores identical") {
+    // the production arm must equal the full detector restricted to
+    // the minhash candidate graph — same pairs, same jac_e4 (the
+    // array_intersect verify re-derives the self-join's match count)
+    val full = TextOps.dedupNgram(spark, sfDir)
+    val prod = TextOps.dedupNgramProd(spark, sfDir)
+    assert(prod.count() > 0, "cascade found nothing — prefilter or verify broken?")
+    val cand = TextOps.dedupMinhash(spark, sfDir).select("a_id", "b_id")
+    val expected = full.join(cand, Seq("a_id", "b_id"), "left_semi")
+    val missing = expected.join(prod, Seq("a_id", "b_id", "jac_e4"), "left_anti").count()
+    val extra = prod.join(expected, Seq("a_id", "b_id", "jac_e4"), "left_anti").count()
+    assert(missing == 0 && extra == 0,
+      s"cascade diverges from full∩cand: $missing missing, $extra extra/mis-scored")
+  }
+
   test("cross-detector agreement: high-precision ngram pairs are found by the sketch detectors") {
     // Guards against STRUCTURAL flaws an implementation-mirroring
     // oracle cannot catch (the simhash half-band recall bug passed the

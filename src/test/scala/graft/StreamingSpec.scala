@@ -1634,6 +1634,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("thumb_checksum")).toSeq == want.map(_._2).toSeq)
   }
 
+  test("mm subsampled thumbnail: pixel parity with the full-decode resize, per format") {
+    import Multimodal._
+    // the subsampled read must yield EXACTLY the resize rule's pixel
+    // grid — offset (w/16, h/16), stride (w/8, h/8) — for png
+    // (lossless, so parity is bit-exact by construction) AND jpeg
+    // (parity holds because the JDK reader subsamples post-IDCT from
+    // the same decoded scanlines); every corpus side (16/32/64) is
+    // covered, so the ScaleKnobs A/B arms compare identical work
+    val seed = java.security.MessageDigest.getInstance("MD5").digest("graft-sub-seed".getBytes("UTF-8"))
+    for (side <- Seq(16, 32, 64); fmt <- Seq("png", "jpeg")) {
+      val payload = encodeImage(synthesizeImage(seed, side, side), fmt)
+      val full = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val want = thumbnail(full)
+      val got = thumbnailSubsampled(payload)
+      for (y <- 0 until ThumbSide; x <- 0 until ThumbSide)
+        assert((got.getRGB(x, y) & 0xffffff) == (want.getRGB(x, y) & 0xffffff),
+          s"$fmt $side: subsampled pixel ($x,$y) diverges from the resize rule")
+      assert(thumbChecksum(got) == thumbChecksum(want))
+    }
+    // mp4 arm: the per-frame fold through thumbOnly agrees between arms
+    val meta = MediaMeta("mp4", 32, 32, 3)
+    val mp4 = encodeMp4(synthesizeSamples(seed, 3, 32), 32)
+    assert(thumbOnly(mp4, meta, sub = true) == thumbOnly(mp4, meta, sub = false))
+    // non-conforming dims fail loudly instead of silently shifting the grid
+    val odd = encodePng(synthesizeImage(seed, 20, 20))
+    intercept[IllegalArgumentException](thumbnailSubsampled(odd))
+    // stage-attribution arms agree with the shipped pipeline's counts
+    assert(demuxOnly(mp4, meta) == 3 && decodeOnly(mp4, meta) == 3)
+    val png = encodePng(synthesizeImage(seed, 16, 16))
+    assert(demuxOnly(png, MediaMeta("png", 16, 16, 2)) == 1)
+    assert(decodeOnly(png, MediaMeta("png", 16, 16, 2)) == 1)
+  }
+
   test("mm wav decode: RIFF roundtrip is sample-exact and features come from decoded samples") {
     import Multimodal._
     val seed = java.security.MessageDigest.getInstance("MD5").digest("graft-known-seed".getBytes("UTF-8"))

@@ -133,7 +133,9 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # superProbes=6) is the same gate-carried operator at the geometry a
   # big corpus actually runs — the simhash_prod precedent, r14 verdict
   # item 1.
-  SLOW="mm_pipeline,ann_ivf_prod,ann_bruteforce,dedup_minhash,dedup_simhash_prod,dedup_ngram,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
+  # dedup_ngram_prod joins the sweep in r17 (verdict item 3): the
+  # cascade production arm timed next to the self-joining gate arm
+  SLOW="mm_pipeline,ann_ivf_prod,ann_bruteforce,dedup_minhash,dedup_simhash_prod,dedup_ngram,dedup_ngram_prod,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
   note "bench sf10 (slow families): start"
   save_prev BENCH_sf10.json
   # dedup_cluster_rep/_components flap up to 3x between same-HEAD
@@ -158,7 +160,10 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # so each sbt runMain below is its own JVM and each family's rows
   # start from a cold executor heap)
   : > KNOBS_sf10.md
-  for FAM in ann_lsh ann_ivf ann_pq simhash cluster_rep; do
+  # mm joins the knobs loop in r17 (verdict item 4): stage attribution
+  # (demux vs full-frame decode vs features+resize) + the thumbnail
+  # subsampled-decode A/B at the scale where the family is slow
+  for FAM in ann_lsh ann_ivf ann_pq simhash cluster_rep mm; do
     note "sf10 knobs [$FAM]: start (fresh JVM)"
     SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_DRIVER_MEM=64g \
       SPARK_GRAFT_KNOBS_FAMILY="$FAM" SPARK_GRAFT_KNOBS_TIME_ONLY=1 \
