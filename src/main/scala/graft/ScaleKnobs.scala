@@ -371,6 +371,46 @@ object ScaleKnobs {
       out += s"| cluster_rep | full (components + quality + selectReps + sort) | ${r2(sFull)} | - | residual=${r2(sFull - sComp - sQual)} |"
     }
 
+    // ---------------- tfidf: shortlist window vs topk floor ----------
+    // r16 verdict item 6: textTfidf's per-doc top-5 is the one
+    // surviving corpus-scaled rank window — justified because the
+    // tie-break key is the term STRING (score_e6 ties are common:
+    // many in-doc terms share (tf, df)) and graft_topk slots carry two
+    // longs. This A/B measures what a string-capable variant could
+    // ever win: the FLOOR arm shortlists via graft_topk on
+    // (score_e6, xxhash64(term)) and joins the term rows back — NOT
+    // rank-exact on score ties (hash order, not term order), so it is
+    // a measurement floor, not a shippable plan. Adoption rule
+    // (PLANS.md): build the real variant only if floor ≥ 2× the
+    // shipped window.
+    if (want("tfidf")) {
+      val k = operators.TextOps.TfidfK
+      // untimed warm pass (the Bench warmup rule): the first arm would
+      // otherwise absorb codegen/scan spinup and skew the A/B
+      locally {
+        val (topkW, tfW) = operators.TextOps.textTfidfUnsealed(spark, sfDir)
+        topkW.count(); Scratch.free(tfW); Scratch.releaseAll()
+      }
+      val (n1, sWin) = timed {
+        val (topk, tf) = operators.TextOps.textTfidfUnsealed(spark, sfDir)
+        val n = topk.count(); Scratch.free(tf); n
+      }
+      Scratch.releaseAll()
+      val (n2, sFloor) = timed {
+        val (scored0, tf) = operators.TextOps.textTfidfScored(spark, sfDir)
+        val scored = scored0.withColumn("tid", xxhash64(col("t")))
+        val short = scored.groupBy("doc_id")
+          .agg(functions.TopKPairs.column(col("score_e6"), col("tid"), k).as("_tk"))
+          .select(col("doc_id"), posexplode(col("_tk")).as(Seq("_r", "_s")))
+          .select(col("doc_id"), (col("_r") + 1).as("rnk"), col("_s.id").as("tid"))
+        val n = short.join(scored, Seq("doc_id", "tid")).count()
+        Scratch.free(tf); n
+      }
+      Scratch.releaseAll()
+      out += s"| tfidf | shipped: WindowGroupLimit top-$k (string tie-break) | ${r2(sWin)} | $n1 rows | A/B |"
+      out += s"| tfidf | floor: graft_topk(score,hash)+join-back (tie-order relaxed) | ${r2(sFloor)} | $n2 rows | A/B ratio=${r2(sWin / math.max(sFloor, 1e-9))} |"
+    }
+
     // ---------------- mm: stage attribution + subsampled resize ----
     // r16 verdict item 4: mm_pipeline is the slowest sf10 row and the
     // posture claim is "codec-bound, linear". These rows measure the

@@ -489,7 +489,12 @@ object TextOps {
     * result, erasing the plan) — the spec asserts the WindowGroupLimit
     * shape on this frame. Callers own the returned scratch frame.
     */
-  private[graft] def textTfidfUnsealed(
+  /** The scored (doc, term, tf, df, score) frame before the per-doc
+    * shortlist — factored out so the r17 knob A/B (shipped
+    * WindowGroupLimit vs a graft_topk floor prototype) consumes the
+    * identical upstream plan. Callers own the returned `tf` scratch.
+    */
+  private[graft] def textTfidfScored(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val tf = graft.Scratch.cp(docs
@@ -506,6 +511,12 @@ object TextOps {
     val scored = tf.join(dfT.hint("merge"), "t")
       .withColumn("score_e6",
         expr("(tf * 1000000 * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
+    (scored, tf)
+  }
+
+  private[graft] def textTfidfUnsealed(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (scored, tf) = textTfidfScored(spark, dir)
     val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("t"))
     val topk = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TfidfK)

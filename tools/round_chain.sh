@@ -163,7 +163,9 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # mm joins the knobs loop in r17 (verdict item 4): stage attribution
   # (demux vs full-frame decode vs features+resize) + the thumbnail
   # subsampled-decode A/B at the scale where the family is slow
-  for FAM in ann_lsh ann_ivf ann_pq simhash cluster_rep mm; do
+  # tfidf joins in r17 too (verdict item 6): the shortlist-window vs
+  # topk-floor A/B at the scale where a corpus-scaled window hurts
+  for FAM in ann_lsh ann_ivf ann_pq simhash cluster_rep mm tfidf; do
     note "sf10 knobs [$FAM]: start (fresh JVM)"
     SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_DRIVER_MEM=64g \
       SPARK_GRAFT_KNOBS_FAMILY="$FAM" SPARK_GRAFT_KNOBS_TIME_ONLY=1 \
