@@ -49,6 +49,18 @@ object Graft {
       // the JVM's own limits
       .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
       .config("spark.ui.enabled", "false")
+      // single-JVM resilience (r17): the sf10 sweep died when a
+      // > 120 s driver stall (GC/writeback under a 64 g heap) tripped
+      // the default spark.network.timeout and HeartbeatReceiver
+      // "removed" the in-process executor — which in local mode
+      // cannot actually be lost, so the removal only destroys the
+      // hour of sweep behind it. 600 s rides out multi-minute pauses;
+      // on a REAL cluster deployments override this down, because
+      // there a dead executor must be detected promptly. Heartbeats
+      // themselves stay at the 10 s default so executor metrics keep
+      // flowing.
+      .config("spark.network.timeout",
+        if (master.startsWith("local")) "600s" else "120s")
       // scratch backend selection (see graft.Scratch): set as a
       // BUILDER conf so Bench/Verify's per-query child sessions
       // (spark.newSession() restarts from SparkConf defaults) inherit
