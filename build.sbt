@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // GC attribution for the sf10 driver-stall investigation (r17
+  // verdict item 1): SPARK_GRAFT_GC_LOG=<path> turns on unified GC
+  // logging in the forked JVM so a >120 s pause is attributable to
+  // collector phases vs something else (writeback, driver-side state)
+  sys.env.get("SPARK_GRAFT_GC_LOG").filter(_.nonEmpty)
+    .map(p => s"-Xlog:gc*:file=$p:time,uptime,level,tags").toSeq

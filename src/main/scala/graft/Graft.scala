@@ -22,7 +22,7 @@ object Graft {
   def session(master: String = "local[32]",
       shufflePartitions: Int = 32,
       appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -49,18 +49,6 @@ object Graft {
       // the JVM's own limits
       .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
       .config("spark.ui.enabled", "false")
-      // single-JVM resilience (r17): the sf10 sweep died when a
-      // > 120 s driver stall (GC/writeback under a 64 g heap) tripped
-      // the default spark.network.timeout and HeartbeatReceiver
-      // "removed" the in-process executor — which in local mode
-      // cannot actually be lost, so the removal only destroys the
-      // hour of sweep behind it. 600 s rides out multi-minute pauses;
-      // on a REAL cluster deployments override this down, because
-      // there a dead executor must be detected promptly. Heartbeats
-      // themselves stay at the 10 s default so executor metrics keep
-      // flowing.
-      .config("spark.network.timeout",
-        if (master.startsWith("local")) "600s" else "120s")
       // scratch backend selection (see graft.Scratch): set as a
       // BUILDER conf so Bench/Verify's per-query child sessions
       // (spark.newSession() restarts from SparkConf defaults) inherit
@@ -71,7 +59,21 @@ object Graft {
       .config("spark.graft.scratch.dir",
         sys.env.getOrElse("SPARK_GRAFT_SCRATCH_DIR",
           sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-scratch"))
-      .getOrCreate()
+    // single-JVM resilience (r17): the sf10 sweep died when a
+    // > 120 s driver stall (GC/writeback under a 64 g heap) tripped
+    // the default spark.network.timeout and HeartbeatReceiver
+    // "removed" the in-process executor — which in local mode
+    // cannot actually be lost, so the removal only destroys the
+    // hour of sweep behind it. 600 s rides out multi-minute pauses.
+    // LOCAL MASTERS ONLY (r17 ADVICE): builder confs override
+    // spark-defaults/spark-submit, so setting any value here on a
+    // cluster master would silently clobber a deployment's own
+    // timeout choice — there a dead executor must be detected
+    // promptly, and the deployment owns the knob. Heartbeats stay at
+    // the 10 s default so executor metrics keep flowing.
+    val spark = (if (master.startsWith("local"))
+      builder.config("spark.network.timeout", "600s")
+    else builder).getOrCreate()
     functions.GraftFunctions.register(spark)
     spark
   }

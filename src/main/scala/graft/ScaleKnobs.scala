@@ -184,6 +184,78 @@ object ScaleKnobs {
       }
     }
 
+    // ---------------- ngram: cascade-vs-self-join on a duplicate-
+    // SPARSE corpus (r17 verdict item 3). The cascade
+    // (dedup_ngram_prod) exists for the 100 TB shape — mostly-unique
+    // docs, a small true-duplicate fraction — but its only sf10
+    // measurement was the duplicate-DENSE bench corpus (every doc has
+    // ~100 planted near-dups), the cascade's worst case by
+    // construction, where it lost 243 vs 141 s. This family
+    // synthesizes the shape the operator exists for: n docs of 40
+    // tokens hash-drawn from a SMALL (200-word) vocab — so 3-gram
+    // shingles repeat with realistic document frequency and the
+    // self-join pays Σ df² pair rows that are almost all Jaccard
+    // noise — plus a 2% planted near-dup fraction (one token mutated:
+    // 3-gram Jaccard ≈ 0.95, well above the 0.30 detector floor).
+    // The self-join's cost tracks shingle collision volume; the
+    // cascade's tracks true-duplicate density. Both arms run the
+    // SHIPPED plans via the frame-parametric entry points; the
+    // cascade's recall vs the exact detector is measured on the same
+    // frame (its pinned sf-corpus recall lives in PLANS.md r17).
+    if (want("ngram_sparse")) {
+      val L = 40; val V = 200
+      def synth(idCol: String): String =
+        s"array_join(transform(sequence(0, ${L - 1}), j -> " +
+          s"concat('w', pmod(hash($idCol * $L + j), $V))), ' ')"
+      for (nDocs <- Seq(200000L, 500000L)) {
+        val base = spark.range(nDocs).toDF("doc_id")
+          .withColumn("text", expr(synth("doc_id")))
+        // planted near-dups: doc n+k duplicates doc 50k with token 0
+        // mutated — 37 of 39 shared 3-gram shingles, jac ≈ 0.95
+        val dups = spark.range(nDocs / 50)
+          .select((col("id") * 50).as("src"), (col("id") + nDocs).as("doc_id"))
+          .withColumn("text", expr(
+            s"array_join(transform(sequence(0, ${L - 1}), j -> " +
+              s"IF(j = 0, 'mut', concat('w', pmod(hash(src * $L + j), $V)))), ' ')"))
+          .select("doc_id", "text")
+        val docs = Scratch.cp(base.unionByName(dups))
+        // arm A: the full detector (dedup_ngram's shingle self-join)
+        val (nTrue, sFull) = timed {
+          val p = Scratch.cp(operators.TextOps.ngramPairsOf(
+            operators.TextOps.cappedShinglesOf(docs)).select("a_id", "b_id"))
+          val n = p.count(); Scratch.free(p); n
+        }
+        out += s"| ngram_sparse | self-join (df<=100) n=$nDocs +2% dups | ${r2(sFull)} | true pairs=$nTrue | sparse synthetic corpus |"
+        Scratch.releaseAll()
+        // arm B: the production cascade (dedup_ngram_prod's plan)
+        val ((nCand, nVer), sCasc) = timed {
+          val cand = operators.TextOps.minhashCandidatesOf(docs, 8, 2)
+            .select("a_id", "b_id")
+          val nC = cand.count()
+          val capped = operators.TextOps.cappedShinglesOf(docs)
+          val sets = capped.groupBy("doc_id")
+            .agg(collect_list(col("h")).as("hs"))
+          val verified = cand
+            .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+            .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+            .withColumn("shared", size(array_intersect(col("ha"), col("hb")))
+              .cast("long"))
+            .withColumn("jac_e4",
+              expr("10000 * shared DIV (size(ha) + size(hb) - shared)"))
+            .filter(col("jac_e4") >= 3000)
+            .select("a_id", "b_id")
+          val v = Scratch.seal(verified, capped)
+          val nV = v.count(); Scratch.free(v, cand)
+          (nC, nV)
+        }
+        val rec =
+          if (nTrue == 0) "recall n/a" else s"recall=${r2(nVer.toDouble / nTrue)}"
+        out += s"| ngram_sparse | cascade (minhash 4x2 -> array_intersect) n=$nDocs | ${r2(sCasc)} | cand=$nCand verified=$nVer | $rec ratio=${r2(sFull / math.max(sCasc, 1e-9))} |"
+        Scratch.free(docs)
+        Scratch.releaseAll()
+      }
+    }
+
     // ---------------- ANN: exact baseline once ----------------
     val wantAnn = want("ann_lsh") || want("ann_ivf") || want("ann_pq")
     def quant(): DataFrame =
@@ -427,23 +499,28 @@ object ScaleKnobs {
       // every stage below RE-SYNTHESIZES the corpus (mediaTable
       // encodes payloads per row — the test corpus ships no
       // binaries), so the synth-only row is the common baseline each
-      // stage's delta subtracts; one untimed pass first so the first
-      // timed row doesn't absorb codegen/encoder spinup (the Bench
-      // warmup rule — the shakedown run charged it 2× to demux-only)
-      media.map(_.payload.length.toLong).reduce(_ + _)
-      val (_, sSynth) = timed { media.map(_.payload.length.toLong).reduce(_ + _) }
-      val ((nSamples, nDocs), sDemux) = timed {
-        media.map(r =>
-            (operators.Multimodal.demuxOnly(r.payload, r.meta).toLong, 1L))
-          .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
-      }
-      val (_, sDecode) = timed {
-        media.map(r => operators.Multimodal.decodeOnly(r.payload, r.meta).toLong)
-          .reduce(_ + _)
-      }
-      val (_, sFull) = timed {
-        noop(operators.Multimodal.features(spark, sfDir).toDF())
-      }
+      // stage's delta subtracts. EVERY arm gets one untimed pass
+      // before its timed one (r17 ADVICE: warming only the synth arm
+      // left each later arm paying its own first-run codegen +
+      // page-cache effects, which produced a NEGATIVE demux delta in
+      // the committed sf10 table — with per-arm warmup the per-stage
+      // deltas are attributable to the stage, not to spinup order)
+      def synthArm() = media.map(_.payload.length.toLong).reduce(_ + _)
+      def demuxArm() = media.map(r =>
+          (operators.Multimodal.demuxOnly(r.payload, r.meta).toLong, 1L))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      def decodeArm() = media
+        .map(r => operators.Multimodal.decodeOnly(r.payload, r.meta).toLong)
+        .reduce(_ + _)
+      def fullArm() = noop(operators.Multimodal.features(spark, sfDir).toDF())
+      synthArm()
+      val (_, sSynth) = timed { synthArm() }
+      demuxArm()
+      val ((nSamples, nDocs), sDemux) = timed { demuxArm() }
+      decodeArm()
+      val (_, sDecode) = timed { decodeArm() }
+      fullArm()
+      val (_, sFull) = timed { fullArm() }
       out += s"| mm | stage: synthesize+encode only (corpus baseline) | ${r2(sSynth)} | $nDocs docs | attribution |"
       out += s"| mm | stage: +demux (container+slicing; wav=full PCM) | ${r2(sDemux)} | $nSamples samples | demux=${r2(sDemux - sSynth)} |"
       out += s"| mm | stage: +full-frame decode | ${r2(sDecode)} | - | codec=${r2(sDecode - sDemux)} |"
@@ -452,7 +529,10 @@ object ScaleKnobs {
       def thumbs(sub: Boolean) = media
         .filter((r: operators.Multimodal.MediaRow) => r.meta.format != "wav")
         .map(r => operators.Multimodal.thumbOnly(r.payload, r.meta, sub))
+      // same per-arm warmup rule as the stage rows above
+      thumbs(sub = false).reduce(_ + _)
       val (sumFull: Long, sThumbFull) = timed { thumbs(sub = false).reduce(_ + _) }
+      thumbs(sub = true).reduce(_ + _)
       val (sumSub: Long, sThumbSub) = timed { thumbs(sub = true).reduce(_ + _) }
       val parity = if (sumFull == sumSub) "parity: EXACT" else "parity: DIVERGED"
       out += s"| mm | thumb-only: full decode + resize | ${r2(sThumbFull)} | - | A/B |"

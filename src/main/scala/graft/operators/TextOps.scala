@@ -485,10 +485,6 @@ object TextOps {
     graft.Scratch.seal(topk, tf).orderBy("doc_id", "rnk")
   }
 
-  /** The tfidf plan BEFORE Scratch seals it (sealing checkpoints the
-    * result, erasing the plan) — the spec asserts the WindowGroupLimit
-    * shape on this frame. Callers own the returned scratch frame.
-    */
   /** The scored (doc, term, tf, df, score) frame before the per-doc
     * shortlist — factored out so the r17 knob A/B (shipped
     * WindowGroupLimit vs a graft_topk floor prototype) consumes the
@@ -514,6 +510,10 @@ object TextOps {
     (scored, tf)
   }
 
+  /** The tfidf plan BEFORE Scratch seals it (sealing checkpoints the
+    * result, erasing the plan) — the spec asserts the WindowGroupLimit
+    * shape on this frame. Callers own the returned scratch frame.
+    */
   private[graft] def textTfidfUnsealed(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (scored, tf) = textTfidfScored(spark, dir)
@@ -1010,7 +1010,15 @@ object TextOps {
     */
   def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val sh = Tables.documents(spark, dir)
+    cappedShinglesOf(Tables.documents(spark, dir))
+  }
+
+  /** Frame-parametric form — the sparse-corpus knob A/B (r17 verdict
+    * item 3) drives the identical plan with a synthetic documents
+    * frame. Caller registers GraftFunctions.
+    */
+  private[graft] def cappedShinglesOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${shinglesOfExpr(3, "toks")})")).as("s"))
@@ -1029,8 +1037,13 @@ object TextOps {
   /** The near-dup pair graph (un-sorted, sealed) — consumed by
     * dedupNgram and the decontamination stage.
     */
-  def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
-    val capped = cappedShingles(spark, dir)
+  def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramPairsOf(cappedShingles(spark, dir))
+
+  /** Pair graph over a caller-supplied capped-shingle frame (consumed
+    * and released) — frame-parametric for the sparse-corpus knob A/B.
+    */
+  private[graft] def ngramPairsOf(capped: DataFrame): DataFrame = {
     val counts = capped.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_sh"))
     // MERGE-pinned (r15 audit): both sides are the corpus's SHINGLE
     // frame — ~hundreds of rows per document — whose checkpoint
@@ -1191,9 +1204,19 @@ object TextOps {
     */
   def minhashCandidatesFullWith(spark: SparkSession, dir: String,
       k: Int, bandRows: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    minhashCandidatesOf(Tables.documents(spark, dir), k, bandRows)
+  }
+
+  /** Candidate graph over a caller-supplied documents frame — the
+    * sparse-corpus knob A/B's prefilter stage. Caller registers
+    * GraftFunctions.
+    */
+  private[graft] def minhashCandidatesOf(docs: DataFrame,
+      k: Int, bandRows: Int): DataFrame = {
     // sigs + bands materialize once — the self-join consumes this
     // frame on both sides
-    val exploded = graft.Scratch.cp(bandedFrame(spark, dir, k, bandRows))
+    val exploded = graft.Scratch.cp(bandedOf(docs, k, bandRows))
     // KNOWN-WINDOW guard: the banded frame is nBands× its Generate
     // estimate (k/bandRows bands per doc) — untouched at adjudicated
     // geometries, merge-pinned past the ceiling (r15 verdict item 5)

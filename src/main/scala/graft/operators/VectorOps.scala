@@ -892,7 +892,7 @@ object VectorOps {
     */
   private[graft] type PqCodebook = Map[Int, Seq[(Long, Seq[Long])]]
 
-  private def pqSeedsOf(base: DataFrame, subDim: Int, nSub: Int, nCodes: Int): PqCodebook = {
+  private[graft] def pqSeedsOf(base: DataFrame, subDim: Int, nSub: Int, nCodes: Int): PqCodebook = {
     val rows = base.filter(col("vec_id") < nCodes)
       .select("vec_id", "q").collect()
     (0 until nSub).map { m =>
@@ -942,7 +942,7 @@ object VectorOps {
     * driver. Codes that lose every member drop out (as the oracle's
     * mean-group does).
     */
-  private def pqLloydStep(base: DataFrame, cb: PqCodebook,
+  private[graft] def pqLloydStep(base: DataFrame, cb: PqCodebook,
       nSub: Int, subDim: Int, nCodes: Int): PqCodebook = {
     // assignment is native against the broadcast codebook
     // (pq_sub_assign — the IvfRoute pattern); the literal CASE-per-m
@@ -1543,6 +1543,167 @@ object VectorOps {
        |SELECT vec_id, cent_id AS cell FROM assign WHERE crnk = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** Daily PQ-index maintenance (r17 verdict item 4 — the third side
+    * of the index-maintenance triangle: LSH has [[appendBucketIndex]],
+    * IVF has [[appendIvfIndex]]; PQ — the memory-bound family whose
+    * whole point is a PERSISTENT serving index — gets the same arm):
+    * APPEND an accepted delta's code rows into the existing codes
+    * index under the FROZEN corpus-trained coarse centroids AND the
+    * frozen corpus-trained PQ codebooks — no retrain, no corpus
+    * re-encode. Coarse routing and PQ encoding under frozen
+    * quantizers are pure per-row functions of the vector (the two
+    * broadcasts carry the whole model), so the append is a bare
+    * UNION of the delta's encoded rows: no shuffle, linear in the
+    * delta, and merge ≡ recompute holds BY CONTRACT — "recompute"
+    * for a serving PQ index means re-routing and re-encoding every
+    * vector under the same corpus-trained model (codebook drift is a
+    * retrain, a different operation with different semantics), which
+    * is exactly what the gate oracle re-derives from scratch in SQL.
+    */
+  def appendPqIndex(index: DataFrame, newVecs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.IvfCoarseIndex],
+      book: org.apache.spark.broadcast.Broadcast[graft.functions.PqBook]): DataFrame =
+    index.unionByName(pqIndexOf(pqRoutedOf(quantizePlan(newVecs), bc), book))
+
+  /** (vec_id, q, n2, cent_id) under a frozen coarse index, rank-1 —
+    * the routed shape [[pqIndexOf]] encodes from. Row-local.
+    */
+  private[graft] def pqRoutedOf(v: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.IvfCoarseIndex]): DataFrame =
+    v.withColumn("cent_id",
+      element_at(graft.functions.IvfRoute.column(col("q"), col("n2"), bc, 1, 0), 1))
+
+  /** Gate entry: the post-append codes index (corpus = vec_id % 10 ≠
+    * 7, delta = the % 10 = 7 arrivals — the split every append gate
+    * uses). Coarse centroids train on the CORPUS ONLY (one Lloyd
+    * step, flat gate geometry — annIvfAppendSql's exact recipe) and
+    * the PQ codebooks train on the routed corpus (one Lloyd step —
+    * annPqSql's exact recipe restricted to corpus rows); the delta
+    * then routes + encodes under both frozen. The oracle recomputes
+    * the WHOLE table from scratch — corpus-trained centroids and
+    * codebooks re-derived in SQL, every vector re-routed and
+    * re-encoded — so the gate itself proves append ≡ recompute, the
+    * bar ann_index_append / ann_ivf_append set. Codes ship as a
+    * comma-joined string so the hash gate compares scalars.
+    */
+  def annPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, dir)
+    val corpus = graft.Scratch.cp(quantizePlan(all.filter(col("vec_id") % 10 =!= 7)))
+    val cents = refinedCentroidsRouted(corpus, IvfCells, 1, 0)
+    val bc = spark.sparkContext
+      .broadcast(graft.functions.IvfCoarseIndex.build(cents, Dim))
+    // routed corpus materializes ONCE — PQ seed collect, the Lloyd
+    // step, and the index encode all consume it
+    val routed = graft.Scratch.cp(pqRoutedOf(corpus, bc))
+    var cb = pqSeedsOf(routed, PqSubDim, PqSub, PqCodes)
+    cb = pqLloydStep(routed, cb, PqSub, PqSubDim, PqCodes)
+    val book = spark.sparkContext
+      .broadcast(graft.functions.PqBook.build(cb, PqSub, PqSubDim, PqCodes))
+    val index = pqIndexOf(routed, book)
+    val appended =
+      appendPqIndex(index, all.filter(col("vec_id") % 10 === 7), bc, book)
+        .select(col("n_id"), col("cell"),
+          expr("array_join(transform(codes, x -> CAST(x AS STRING)), ',')")
+            .as("codes"),
+          col("rn2"))
+    // seal materializes eagerly, so both broadcasts can drop right after
+    val out = graft.Scratch.seal(appended, routed)
+    graft.Scratch.free(corpus)
+    bc.destroy()
+    book.destroy()
+    out.orderBy("n_id")
+  }
+
+  /** The oracle re-derives everything from the parquet: corpus-only
+    * coarse training (annIvfAppendSql's CTEs), corpus-only PQ
+    * codebook training (annPqSql's CTEs restricted to the routed
+    * corpus), then routes + encodes EVERY vector — corpus and delta
+    * alike — under those frozen models.
+    */
+  def annPqAppendSql: String =
+    s"""WITH $quantizedDuckCte,
+       |corpus_v AS (
+       |  SELECT * FROM qv WHERE vec_id % 10 <> 7),
+       |seeds AS (
+       |  SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM corpus_v WHERE vec_id < $IvfCells),
+       |sassign AS (
+       |  SELECT vec_id, q, cent_id FROM (
+       |    SELECT v.vec_id, v.q, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |    FROM corpus_v v CROSS JOIN seeds c) t
+       |  WHERE crnk = 1),
+       |rm AS (
+       |  SELECT cent_id, p.pos AS pos,
+       |    CAST(FLOOR(SUM(q[p.pos + 1]) / COUNT(*)) AS BIGINT) AS m
+       |  FROM sassign, range(0, $Dim) p(pos)
+       |  GROUP BY cent_id, p.pos),
+       |cents0 AS (
+       |  SELECT cent_id, list(m ORDER BY pos) AS cq FROM rm GROUP BY cent_id),
+       |cents AS (
+       |  SELECT * FROM (
+       |    SELECT cent_id, cq, ${dotDuck("cq", "cq")} AS cn2 FROM cents0) t
+       |  WHERE cn2 > 0),
+       |base AS (
+       |  SELECT vec_id, q, cent_id FROM (
+       |    SELECT v.vec_id, v.q, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |    FROM corpus_v v CROSS JOIN cents c) t
+       |  WHERE crnk = 1),
+       |sv AS (
+       |  SELECT vec_id, t.m AS m,
+       |    q[(t.m * $PqSubDim + 1):((t.m + 1) * $PqSubDim)] AS sq
+       |  FROM base, range(0, $PqSub) t(m)),
+       |sv2 AS (
+       |  SELECT vec_id, m, sq, ${dotDuck("sq", "sq")} AS sn2 FROM sv),
+       |pseeds AS (
+       |  SELECT m, vec_id AS code, sq AS cq, sn2 AS cn2 FROM sv2 WHERE vec_id < $PqCodes),
+       |passign AS (
+       |  SELECT m, code, sq FROM (
+       |    SELECT s.m, s.vec_id, s.sq, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY s.sn2 - 2 * ${dotDuck("s.sq", "c.cq")} + c.cn2, c.code) AS prnk
+       |    FROM sv2 s JOIN pseeds c USING (m)) t
+       |  WHERE prnk = 1),
+       |pmean AS (
+       |  SELECT m, code, p.pos AS pos,
+       |    CAST(FLOOR(SUM(sq[p.pos + 1]) / COUNT(*)) AS BIGINT) AS cm
+       |  FROM passign, range(0, $PqSubDim) p(pos)
+       |  GROUP BY m, code, p.pos),
+       |pcb0 AS (
+       |  SELECT m, code, list(cm ORDER BY pos) AS cq FROM pmean GROUP BY m, code),
+       |pcb AS (
+       |  SELECT m, code, cq, ${dotDuck("cq", "cq")} AS cn2 FROM pcb0),
+       |allbase AS (
+       |  SELECT vec_id, q, cent_id FROM (
+       |    SELECT v.vec_id, v.q, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${scoreE6(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cent_id) AS crnk
+       |    FROM qv v CROSS JOIN cents c) t
+       |  WHERE crnk = 1),
+       |asv AS (
+       |  SELECT vec_id, t.m AS m,
+       |    q[(t.m * $PqSubDim + 1):((t.m + 1) * $PqSubDim)] AS sq
+       |  FROM allbase, range(0, $PqSub) t(m)),
+       |asv2 AS (
+       |  SELECT vec_id, m, sq, ${dotDuck("sq", "sq")} AS sn2 FROM asv),
+       |aenc AS (
+       |  SELECT vec_id, m, code, cn2 FROM (
+       |    SELECT s.vec_id, s.m, c.code, c.cn2,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY s.sn2 - 2 * ${dotDuck("s.sq", "c.cq")} + c.cn2, c.code) AS prnk
+       |    FROM asv2 s JOIN pcb c USING (m)) t
+       |  WHERE prnk = 1)
+       |SELECT b.vec_id AS n_id, b.cent_id AS cell,
+       |  string_agg(CAST(e.code AS VARCHAR), ',' ORDER BY e.m) AS codes,
+       |  CAST(SUM(e.cn2) AS BIGINT) AS rn2
+       |FROM allbase b JOIN aenc e ON b.vec_id = e.vec_id
+       |GROUP BY b.vec_id, b.cent_id
+       |HAVING SUM(e.cn2) > 0
+       |ORDER BY n_id""".stripMargin
+
   /** Metadata-filtered exact search ("search within my own
     * category"): each bounded probe's neighbor set is restricted to
     * corpus rows sharing its `label`. The filter is NOT a post-filter
@@ -1636,6 +1797,7 @@ object VectorOps {
     "ann_filtered" -> (annFiltered _),
     "ann_index_append" -> (annIndexAppend _),
     "ann_ivf_append" -> (annIvfAppend _),
+    "ann_pq_append" -> (annPqAppend _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_hier" -> (annIvfHier _),
@@ -1650,6 +1812,7 @@ object VectorOps {
     "ann_filtered" -> annFilteredSql,
     "ann_index_append" -> annIndexAppendSql,
     "ann_ivf_append" -> annIvfAppendSql,
+    "ann_pq_append" -> annPqAppendSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_hier" -> annIvfHierSql,

@@ -52,6 +52,55 @@ class ComponentsPropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeComponents: untouched components keep labels; touched ones merge like a recompute") {
+    import spark.implicits._
+    // corpus: {10,11,12}, {20,21}, {30}, {40,41}
+    val corpusNodes = Seq(10L, 11L, 12L, 20L, 21L, 30L, 40L, 41L).toDF("doc_id")
+    val corpusEdges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (40L, 41L))
+      .toDF("a_id", "b_id")
+    val labels0 = Components.connectedComponents(corpusNodes, corpusEdges)
+    // delta: doc 5 bridges into {40,41} with an id BELOW the old root
+    // (the re-label case a naive label-carry gets wrong); doc 50 is a
+    // new singleton
+    val allNodes = Seq(5L, 10L, 11L, 12L, 20L, 21L, 30L, 40L, 41L, 50L)
+      .toDF("doc_id")
+    val delta = Seq((5L, 40L)).toDF("a_id", "b_id")
+    val got = Components.mergeComponents(allNodes, labels0, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // untouched components: labels BYTE-stable vs the standing labeling
+    val before = labels0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (d <- Seq(10L, 11L, 12L, 20L, 21L, 30L))
+      assert(got(d) == before(d), s"untouched doc $d re-labeled")
+    // touched component re-rooted at the delta's smaller id
+    assert(got(5L) == 5L && got(40L) == 5L && got(41L) == 5L)
+    assert(got(50L) == 50L)
+  }
+
+  test("mergeComponents ≡ full recompute on 15 seeded random corpus+delta splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    for (trial <- 1 to 15) {
+      val n = 6 + rnd.nextInt(35)
+      val n0 = 3 + rnd.nextInt(n - 4) // corpus ids < n0, delta ids >= n0
+      val m = rnd.nextInt(71)
+      val edges = Seq.fill(m) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val corpusEdges = edges.filter(e => e._1 < n0 && e._2 < n0)
+      val deltaEdges = edges.filter(e => e._1 >= n0 || e._2 >= n0)
+      val labels0 = Components.connectedComponents(
+        (0L until n0.toLong).toDF("doc_id"),
+        corpusEdges.toDF("a_id", "b_id"))
+      val allNodes = (0L until n.toLong).toDF("doc_id")
+      val merged = Components.mergeComponents(
+          allNodes, labels0, deltaEdges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == unionFind(n, edges),
+        s"trial $trial: n=$n n0=$n0 edges=$edges")
+    }
+  }
+
   test("selectReps keeps the BEST copy, not the lowest id (the min-id rule's failure case)") {
     import spark.implicits._
     // cluster 0: lowest id is a LOW-quality truncation, the good copy

@@ -282,4 +282,48 @@ class IvfRouteSpec extends SparkSpec {
       } finally bc.destroy()
     } finally Scratch.free(corpus)
   }
+
+  test("ann_pq_append ≡ frozen-model recompute at full index schema (codes and rn2 included)") {
+    // the index-maintenance triangle's third side (r17 verdict item 4):
+    // appending the delta's encoded rows under the EXISTING
+    // corpus-trained coarse centroids AND PQ codebooks must be
+    // row-identical to routing + encoding EVERY vector under those
+    // same frozen models — the gate proves the projected schema via
+    // the SQL recompute; this pins the full array-typed index row
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, sfDir)
+    val corpus = Scratch.cp(
+      VectorOps.quantizePlan(all.filter(col("vec_id") % 10 =!= 7)))
+    try {
+      val cents = VectorOps.refinedCentroidsRouted(corpus, 16, 1, 0)
+      val bc = spark.sparkContext.broadcast(IvfCoarseIndex.build(cents, dim))
+      try {
+        val routed = Scratch.cp(VectorOps.pqRoutedOf(corpus, bc))
+        try {
+          var cb = VectorOps.pqSeedsOf(routed,
+            VectorOps.PqSubDim, VectorOps.PqSub, VectorOps.PqCodes)
+          cb = VectorOps.pqLloydStep(routed, cb,
+            VectorOps.PqSub, VectorOps.PqSubDim, VectorOps.PqCodes)
+          val book = spark.sparkContext.broadcast(graft.functions.PqBook.build(
+            cb, VectorOps.PqSub, VectorOps.PqSubDim, VectorOps.PqCodes))
+          try {
+            def rows(df: DataFrame): Set[String] =
+              df.select(col("n_id"), col("cell"),
+                  col("codes").cast("string"), col("rn2"))
+                .collect().map(_.toSeq.mkString("|")).toSet
+            val appended = rows(VectorOps.appendPqIndex(
+              VectorOps.pqIndexOf(routed, book),
+              all.filter(col("vec_id") % 10 === 7), bc, book))
+            val recompute = rows(VectorOps.pqIndexOf(
+              VectorOps.pqRoutedOf(VectorOps.quantizePlan(all), bc), book))
+            assert(appended.nonEmpty, "empty appended PQ index")
+            assert(appended == recompute,
+              "PQ append diverged from the frozen-model recompute")
+            assert(appended.exists(_.split('|').head.toLong % 10 == 7),
+              "delta rows missing from the PQ index")
+          } finally book.destroy()
+        } finally Scratch.free(routed)
+      } finally bc.destroy()
+    } finally Scratch.free(corpus)
+  }
 }

@@ -4,7 +4,7 @@
 153-query sweeps at the current protocol) and prints the per-family
 table + headline rows as markdown; the surrounding prose is maintained
 by hand in BASELINE.md. Refuses records whose guard stamps say
-polluted (contended:true or anchor class slow) — the baseline must
+polluted (contended:true or anchor class other than ok) — the baseline must
 come from clean draws.
 
 Usage: python3 tools/make_baseline.py
@@ -45,8 +45,14 @@ def load(path):
     if d.get("contended"):
         guard_notes.append("contended:true")
     anchor = d.get("anchor", {})
-    if anchor.get("class") == "slow":
-        guard_notes.append("anchor:slow")
+    # r18 (r17 ADVICE): refuse every non-healthy anchor class, not just
+    # "slow" — a degraded-class draw has inflated absolutes and an
+    # unknown-class draw has an unverifiable environment; neither may
+    # become the number future rounds are graded against. ("fast" is
+    # also refused: a faster-than-calibrated host flatters the repo.)
+    cls = anchor.get("class")
+    if cls not in ("ok",):
+        guard_notes.append(f"anchor:{cls}")
     if guard_notes:
         raise SystemExit(
             f"{path} is a polluted draw ({', '.join(guard_notes)}) — "

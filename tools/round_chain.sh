@@ -134,19 +134,54 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # big corpus actually runs — the simhash_prod precedent, r14 verdict
   # item 1.
   # dedup_ngram_prod joins the sweep in r17 (verdict item 3): the
-  # cascade production arm timed next to the self-joining gate arm
-  SLOW="mm_pipeline,ann_ivf_prod,ann_bruteforce,dedup_minhash,dedup_simhash_prod,dedup_ngram,dedup_ngram_prod,dedup_substring,dedup_winnow,dedup_components,dedup_cluster_rep,pipe_keeplist,pipe_decontaminate,pipe_decontam_asym,text_winnow,text_fingerprint,imp_raw_ingest,import_loop"
-  note "bench sf10 (slow families): start"
+  # cascade production arm timed next to the self-joining gate arm.
+  # dedup_components_inc joins in r18 (the closure's incremental arm
+  # sits in the components family whose scaling the sweep tracks).
+  #
+  # ONE FRESH JVM PER FAMILY (r17 verdict item 6): the one-JVM sweep
+  # inflated heavy rows up to 8.6x over their solo numbers
+  # (mm_pipeline 917 s in-sweep vs 106.7 s solo, same host) via
+  # cross-family JVM-heap/page-cache residue that timeOne's per-query
+  # hygiene cannot reach — the knob sweeps already run per-family
+  # fresh JVMs for exactly this reason. Each family's artifact keeps
+  # its own guard stamps; tools/merge_bench.py folds them into the
+  # committed record with worst-of-families classing. GC logs per
+  # family feed the driver-stall attribution (r17 verdict item 1).
+  SF10_FAMS="mm:mm_pipeline
+ann:ann_ivf_prod,ann_bruteforce
+minhash:dedup_minhash,dedup_components,dedup_components_inc,dedup_cluster_rep,pipe_keeplist
+simhash:dedup_simhash_prod
+ngram:dedup_ngram,dedup_ngram_prod
+passage:dedup_substring,dedup_winnow,text_winnow,text_fingerprint
+decontam:pipe_decontaminate,pipe_decontam_asym
+import:imp_raw_ingest,import_loop"
+  note "bench sf10 (slow families, one fresh JVM per family): start"
   save_prev BENCH_sf10.json
+  FAM_ARTS=""
   # dedup_cluster_rep/_components flap up to 3x between same-HEAD
   # sf10 draws (page cache); 2 same-sweep reps with the LOWER median
   # reported keep the committed record inside the family's honest
   # band (r14 verdict item 7)
-  SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_GRAFT_BENCH_REPS=1 \
-    SPARK_GRAFT_BENCH_REPS_OVERRIDE="dedup_cluster_rep=2,dedup_components=2" \
-    SPARK_GRAFT_BENCH_ONLY="$SLOW" SPARK_DRIVER_MEM=64g \
-    SPARK_GRAFT_BENCH_ARTIFACT=BENCH_sf10.json \
-    sbt -batch "runMain graft.Bench" > /tmp/chain_bench_sf10.log 2>&1
+  for FAMSPEC in $SF10_FAMS; do
+    FAM="${FAMSPEC%%:*}"; MEMBERS="${FAMSPEC#*:}"
+    note "bench sf10 [$FAM]: start (fresh JVM)"
+    SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_GRAFT_BENCH_REPS=1 \
+      SPARK_GRAFT_BENCH_REPS_OVERRIDE="dedup_cluster_rep=2,dedup_components=2" \
+      SPARK_GRAFT_BENCH_ONLY="$MEMBERS" SPARK_DRIVER_MEM=64g \
+      SPARK_GRAFT_GC_LOG="/tmp/chain_gc_sf10_${FAM}.log" \
+      SPARK_GRAFT_BENCH_ARTIFACT="BENCH_sf10_fam_${FAM}.json" \
+      sbt -batch "runMain graft.Bench" > "/tmp/chain_bench_sf10_${FAM}.log" 2>&1
+    if [ -f "BENCH_sf10_fam_${FAM}.json" ]; then
+      FAM_ARTS="$FAM_ARTS BENCH_sf10_fam_${FAM}.json"
+      note "bench sf10 [$FAM]: done $(grep -o '"value":[0-9.]*' "BENCH_sf10_fam_${FAM}.json" | head -1)"
+    else
+      note "bench sf10 [$FAM]: FAILED (no artifact — see /tmp/chain_bench_sf10_${FAM}.log)"
+    fi
+  done
+  if [ -n "$FAM_ARTS" ]; then
+    python3 tools/merge_bench.py BENCH_sf10.json $FAM_ARTS \
+      && rm -f $FAM_ARTS
+  fi
   if keep_best BENCH_sf10.json; then KB_KEPT=1; else KB_KEPT=0; fi
   note "bench sf10: done $(grep -o '"value":[0-9.]*' BENCH_sf10.json 2>/dev/null | head -1)"
   [ "$KB_KEPT" = 1 ] && WROTE="$WROTE BENCH_sf10.json"
@@ -165,7 +200,10 @@ if [ "${CHAIN_SF10:-0}" = "1" ]; then
   # subsampled-decode A/B at the scale where the family is slow
   # tfidf joins in r17 too (verdict item 6): the shortlist-window vs
   # topk-floor A/B at the scale where a corpus-scaled window hurts
-  for FAM in ann_lsh ann_ivf ann_pq simhash cluster_rep mm tfidf; do
+  # ngram_sparse joins in r18 (r17 verdict item 3): cascade-vs-self-join
+  # on a synthetic duplicate-SPARSE corpus (the shape the cascade
+  # exists for; the bench corpus is duplicate-dense by construction)
+  for FAM in ann_lsh ann_ivf ann_pq simhash cluster_rep mm tfidf ngram_sparse; do
     note "sf10 knobs [$FAM]: start (fresh JVM)"
     SPARK_GRAFT_SF_DIR="$PWD/testdata/sf10" SPARK_DRIVER_MEM=64g \
       SPARK_GRAFT_KNOBS_FAMILY="$FAM" SPARK_GRAFT_KNOBS_TIME_ONLY=1 \

@@ -1,6 +1,7 @@
 #!/usr/bin/env bash
 # Shell test for tools/keep_best.sh (r16 verdict item 1: "a
-# spec-or-shell test of the guard"). Run: bash tools/test_keep_best.sh
+# spec-or-shell test of the guard"; class-rank cases added in r18 per
+# the r17 verdict item 2). Run: bash tools/test_keep_best.sh
 set -u
 cd "$(dirname "$0")"
 . ./keep_best.sh
@@ -10,21 +11,24 @@ FAILS=0
 chk() { # $1 desc, $2 cond (already evaluated: 0 ok)
   if [ "$2" = 0 ]; then echo "ok   - $1"; else echo "FAIL - $1"; FAILS=$((FAILS+1)); fi
 }
-clean='{"metric":"total","value":100.0,"anchor":{"start":1.0,"end":1.1,"expected":[0.55,2.2],"class":"ok"},"contended":false}'
-contended='{"metric":"total","value":300.0,"anchor":{"start":1.0,"end":5.0,"expected":[0.55,2.2],"class":"ok"},"contended":true}'
-anchorslow='{"metric":"total","value":280.0,"anchor":{"start":3.9,"end":4.1,"expected":[0.55,2.2],"class":"slow"},"contended":false}'
-clean2='{"metric":"total","value":95.0,"anchor":{"start":0.9,"end":1.0,"expected":[0.55,2.2],"class":"ok"},"contended":false}'
+clean='{"metric":"total","value":100.0,"anchor":{"start":1.0,"end":1.1,"expected":[0.55,2.2],"ratio":0.909,"class":"ok"},"contended":false}'
+contended='{"metric":"total","value":300.0,"anchor":{"start":1.0,"end":5.0,"expected":[0.55,2.2],"ratio":0.909,"class":"ok"},"contended":true}'
+anchorslow='{"metric":"total","value":280.0,"anchor":{"start":3.9,"end":4.1,"expected":[0.55,2.2],"ratio":3.545,"class":"slow"},"contended":false}'
+clean2='{"metric":"total","value":95.0,"anchor":{"start":0.9,"end":1.0,"expected":[0.55,2.2],"ratio":0.818,"class":"ok"},"contended":false}'
+degraded='{"metric":"total","value":180.0,"anchor":{"start":1.94,"end":2.23,"expected":[0.55,2.2],"ratio":1.764,"class":"degraded"},"contended":false}'
+degraded2='{"metric":"total","value":175.0,"anchor":{"start":1.9,"end":2.0,"expected":[0.55,2.2],"ratio":1.727,"class":"degraded"},"contended":false}'
+unknown='{"metric":"total","value":120.0,"anchor":{"start":-1,"end":-1,"expected":[0.55,2.2],"ratio":-1,"class":"unknown"},"contended":false}'
 
 # 1. contended draw must NOT replace a clean record
 f="$TMP/a.json"; echo "$clean" > "$f"; save_prev "$f"; echo "$contended" > "$f"
 keep_best "$f" >/dev/null; rc=$?
-[ $rc = 1 ] && grep -q '"value":100.0' "$f" && grep -q '"value":300.0' "$TMP/a.contended.json"
-chk "contended draw rejected, clean restored, draw parked" $?
+[ $rc = 1 ] && grep -q '"value":100.0' "$f" && grep -q '"value":300.0' "$TMP/a.rejected.json"
+chk "contended draw rejected, clean restored, draw parked at .rejected" $?
 
 # 2. anchor-slow (stable but slow host) draw must NOT replace a clean record
 f="$TMP/b.json"; echo "$clean" > "$f"; save_prev "$f"; echo "$anchorslow" > "$f"
 keep_best "$f" >/dev/null; rc=$?
-[ $rc = 1 ] && grep -q '"value":100.0' "$f" && grep -q '"value":280.0' "$TMP/b.contended.json"
+[ $rc = 1 ] && grep -q '"value":100.0' "$f" && grep -q '"value":280.0' "$TMP/b.rejected.json"
 chk "anchor-slow draw rejected even with contended:false" $?
 
 # 3. clean draw replaces clean record (normal path)
@@ -52,6 +56,41 @@ f="$TMP/g.json"; echo "$clean" > "$f"; save_prev "$f"; rm -f "$f"
 keep_best "$f" >/dev/null; rc=$?
 [ $rc = 0 ] && [ ! -f "$f.prev" ]
 chk "missing artifact handled" $?
+
+# 7. DEGRADED draw must not replace an ok record (r17 verdict item 2:
+#    the 1.94/2.23 host class)
+f="$TMP/h.json"; echo "$clean" > "$f"; save_prev "$f"; echo "$degraded" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 1 ] && grep -q '"value":100.0' "$f" && grep -q '"value":180.0' "$TMP/h.rejected.json"
+chk "degraded draw rejected against ok record" $?
+
+# 8. ok draw replaces a degraded standing record (the fast-class
+#    re-draw path this round exists for)
+f="$TMP/i.json"; echo "$degraded" > "$f"; save_prev "$f"; echo "$clean" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 0 ] && grep -q '"value":100.0' "$f"
+chk "ok draw replaces degraded standing record" $?
+
+# 9. degraded draw may replace a degraded record (same badness —
+#    fresher evidence wins within a class)
+f="$TMP/j.json"; echo "$degraded" > "$f"; save_prev "$f"; echo "$degraded2" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 0 ] && grep -q '"value":175.0' "$f"
+chk "degraded draw replaces degraded record" $?
+
+# 10. anchor-UNKNOWN draw must not replace a verified-ok record
+#     (r17 ADVICE: unverifiable environment is not clean)
+f="$TMP/k.json"; echo "$clean" > "$f"; save_prev "$f"; echo "$unknown" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 1 ] && grep -q '"value":100.0' "$f" && grep -q '"value":120.0' "$TMP/k.rejected.json"
+chk "anchor-unknown draw rejected against ok record" $?
+
+# 11. unknown may still replace slow/contended (it is LESS bad than a
+#     known-polluted record)
+f="$TMP/l.json"; echo "$anchorslow" > "$f"; save_prev "$f"; echo "$unknown" > "$f"
+keep_best "$f" >/dev/null; rc=$?
+[ $rc = 0 ] && grep -q '"value":120.0' "$f"
+chk "unknown draw replaces anchor-slow record" $?
 
 echo
 if [ "$FAILS" = 0 ]; then echo "keep_best: ALL PASS"; else echo "keep_best: $FAILS FAILED"; exit 1; fi
