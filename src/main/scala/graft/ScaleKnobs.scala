@@ -219,14 +219,17 @@ object ScaleKnobs {
               s"IF(j = 0, 'mut', concat('w', pmod(hash(src * $L + j), $V)))), ' ')"))
           .select("doc_id", "text")
         val docs = Scratch.cp(base.unionByName(dups))
-        // arm A: the full detector (dedup_ngram's shingle self-join)
+        // arm A: the full detector (dedup_ngram's shingle self-join).
+        // Arm-A scratch is freed BY NAME — a releaseAll() here would
+        // also drop the `docs` checkpoint arm B still reads (first
+        // sweep died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
         val (nTrue, sFull) = timed {
-          val p = Scratch.cp(operators.TextOps.ngramPairsOf(
-            operators.TextOps.cappedShinglesOf(docs)).select("a_id", "b_id"))
-          val n = p.count(); Scratch.free(p); n
+          val cappedA = operators.TextOps.cappedShinglesOf(docs)
+          val p = Scratch.cp(operators.TextOps.ngramPairsOf(cappedA)
+            .select("a_id", "b_id"))
+          val n = p.count(); Scratch.free(p, cappedA); n
         }
         out += s"| ngram_sparse | self-join (df<=100) n=$nDocs +2% dups | ${r2(sFull)} | true pairs=$nTrue | sparse synthetic corpus |"
-        Scratch.releaseAll()
         // arm B: the production cascade (dedup_ngram_prod's plan)
         val ((nCand, nVer), sCasc) = timed {
           val cand = operators.TextOps.minhashCandidatesOf(docs, 8, 2)
