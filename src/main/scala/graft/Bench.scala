@@ -393,8 +393,20 @@ object Bench {
     val spreadWide = spreads.count(_ > 1.5)
     val spreadFrac =
       if (spreads.nonEmpty) spreadWide.toDouble / spreads.size else 0.0
-    val contended = (canaryRatio > 1.5) || midDrift ||
-      (spreads.size >= 8 && spreadFrac > 0.25)
+    // DIRECTION-AWARE canary verdict (r18): four same-day draws tripped
+    // the symmetric 1.5 bar START-slow (1.55-3.23) with flat mids, ok
+    // anchors, and same-host re-draws minutes later reading 1.03-1.17 —
+    // the end canary runs in a JVM matured by the whole sweep (C2 +
+    // codegen/parquet infra), a warmup term the canary's own
+    // warm+min-of-2 cannot close because it is JVM-wide, not per-query.
+    // Environment degradation DURING the sweep makes the END draw slow,
+    // so that direction keeps the tight 1.5 bar; the start-slow
+    // direction trips only beyond 2.5 (above the observed 1.28-1.9
+    // maturation band), with the mid-sweep probes and the absolute
+    // anchor still covering a genuinely-contended sweep START.
+    val contended = (canaryStart > 0 && canaryEnd > 0 &&
+        (canaryEnd / canaryStart > 1.5 || canaryStart / canaryEnd > 2.5)) ||
+      midDrift || (spreads.size >= 8 && spreadFrac > 0.25)
     // per-query seconds rounded to ms: full nanosecond doubles doubled
     // the line length and got the r7 tail capture truncated mid-JSON
     // (half the round's numbers were only recoverable from the sf1
