@@ -44,6 +44,22 @@ object Bench {
     else if (secs < AnchorBand._1) "fast"
     else "ok"
 
+  /** DIRECTION-AWARE canary verdict (r18): a sweep-end canary runs in
+    * a JVM matured by the whole sweep (C2 + codegen/parquet infra), so
+    * the start/end pair carries a JVM-WIDE warmup term the canary's
+    * own warm+min-of-2 protocol cannot close — four same-day r18 draws
+    * tripped the old symmetric 1.5× bar START-slow (1.55–3.23) with
+    * flat mid probes, ok anchors, and same-host re-draws minutes later
+    * at 1.03–1.17. Environment degradation DURING a sweep slows the
+    * END draw: that direction keeps the tight 1.5× bar; the start-slow
+    * direction trips only beyond 2.5× (above the observed 1.28–1.9
+    * maturation band). Mid-sweep probes and the absolute anchor cover
+    * a genuinely-contended sweep START. Either probe failing (≤ 0)
+    * yields false — the anchor-unknown path owns that case.
+    */
+  def canaryContended(start: Double, end: Double): Boolean =
+    start > 0 && end > 0 && (end / start > 1.5 || start / end > 2.5)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -393,19 +409,8 @@ object Bench {
     val spreadWide = spreads.count(_ > 1.5)
     val spreadFrac =
       if (spreads.nonEmpty) spreadWide.toDouble / spreads.size else 0.0
-    // DIRECTION-AWARE canary verdict (r18): four same-day draws tripped
-    // the symmetric 1.5 bar START-slow (1.55-3.23) with flat mids, ok
-    // anchors, and same-host re-draws minutes later reading 1.03-1.17 —
-    // the end canary runs in a JVM matured by the whole sweep (C2 +
-    // codegen/parquet infra), a warmup term the canary's own
-    // warm+min-of-2 cannot close because it is JVM-wide, not per-query.
-    // Environment degradation DURING the sweep makes the END draw slow,
-    // so that direction keeps the tight 1.5 bar; the start-slow
-    // direction trips only beyond 2.5 (above the observed 1.28-1.9
-    // maturation band), with the mid-sweep probes and the absolute
-    // anchor still covering a genuinely-contended sweep START.
-    val contended = (canaryStart > 0 && canaryEnd > 0 &&
-        (canaryEnd / canaryStart > 1.5 || canaryStart / canaryEnd > 2.5)) ||
+    // rationale on Bench.canaryContended (spec-pinned in BenchGuardSpec)
+    val contended = Bench.canaryContended(canaryStart, canaryEnd) ||
       midDrift || (spreads.size >= 8 && spreadFrac > 0.25)
     // per-query seconds rounded to ms: full nanosecond doubles doubled
     // the line length and got the r7 tail capture truncated mid-JSON
