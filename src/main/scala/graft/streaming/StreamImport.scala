@@ -1963,9 +1963,19 @@ object StreamImport {
     // (queryId, opIndex) -> (opName, maxRows, maxMemBytes)
     private val maxima =
       scala.collection.concurrent.TrieMap.empty[(java.util.UUID, Int), (String, Long, Long)]
+    // queryId -> highest batchId seen: micro-batch COUNT is the other
+    // run-to-run variance carrier besides state size — the r18 5-rep
+    // sf10 probe saw same-JVM import_loop reps flap 67.6↔152.8 s with
+    // byte-identical state maxima, clean env stamps and no GC term, so
+    // the per-rep batch count must be in the log line to attribute a
+    // flap to admission variance (more batches) vs per-batch cost
+    private val lastBatch =
+      scala.collection.concurrent.TrieMap.empty[java.util.UUID, Long]
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    override def onQueryProgress(e: QueryProgressEvent): Unit =
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      lastBatch.put(e.progress.id,
+        math.max(lastBatch.getOrElse(e.progress.id, -1L), e.progress.batchId))
       e.progress.stateOperators.iterator.zipWithIndex.foreach { case (op, i) =>
         val k = (e.progress.id, i)
         val prev = maxima.getOrElse(k, (op.operatorName, 0L, 0L))
@@ -1973,6 +1983,7 @@ object StreamImport {
           math.max(prev._2, op.numRowsTotal),
           math.max(prev._3, op.memoryUsedBytes)))
       }
+    }
     /** Listener events deliver on an async bus thread, so the LAST
       * batch's event may not have landed when the query terminates —
       * merge the query's own recentProgress (synchronously updated,
@@ -1981,20 +1992,24 @@ object StreamImport {
       */
     def log(q: org.apache.spark.sql.streaming.StreamingQuery, label: String): Unit =
       try {
-        q.recentProgress.iterator.flatMap(_.stateOperators.iterator.zipWithIndex)
-          .foreach { case (op, i) =>
+        q.recentProgress.iterator.foreach { p =>
+          lastBatch.put(q.id,
+            math.max(lastBatch.getOrElse(q.id, -1L), p.batchId))
+          p.stateOperators.iterator.zipWithIndex.foreach { case (op, i) =>
             val k = (q.id, i)
             val prev = maxima.getOrElse(k, (op.operatorName, 0L, 0L))
             maxima.put(k, (op.operatorName,
               math.max(prev._2, op.numRowsTotal),
               math.max(prev._3, op.memoryUsedBytes)))
           }
+        }
         val ops = maxima.toSeq.collect { case ((id, i), v) if id == q.id => (i, v) }
         if (ops.nonEmpty) {
           val line = ops.sortBy(_._1).map { case (i, (name, rows, mem)) =>
             s"$name[$i] maxRows=$rows maxMem=${mem}B"
           }.mkString("; ")
-          System.err.println(s"[graft-state] $label: $line")
+          val nb = lastBatch.get(q.id).map(b => s" batches=${b + 1}").getOrElse("")
+          System.err.println(s"[graft-state] $label: $line$nb")
         }
       } catch { case scala.util.control.NonFatal(_) => () }
   }
