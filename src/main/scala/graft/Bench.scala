@@ -188,12 +188,24 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum / 1000.0
     }
-    def heapPeakMb(): Long = {
+    // pool-peak SUM is an upper bound (Eden's peak and old-gen's peak
+    // need not be simultaneous — r18 review finding), so the committed
+    // heap_peak_mb is a running max of SAMPLED total used heap (one
+    // sample per rep/query boundary, a floor of the true high-water);
+    // the stderr line carries both so a stall adjudication can bracket
+    def heapPoolPeakSumMb(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(_.getType == java.lang.management.MemoryType.HEAP)
         .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
         .sum / (1024 * 1024)
+    }
+    var heapUsedMaxMb = 0L
+    def sampleHeapMb(): Long = {
+      val used = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / (1024 * 1024)
+      heapUsedMaxMb = math.max(heapUsedMaxMb, used)
+      heapUsedMaxMb
     }
     def meminfoMb(key: String): Long =
       try scala.io.Source.fromFile("/proc/meminfo").getLines()
@@ -204,6 +216,12 @@ object Bench {
       val d = meminfoMb("Dirty"); val w = meminfoMb("Writeback")
       if (d < 0 || w < 0) -1L else d + w
     }
+    // GC seconds spent INSIDE timed regions only: the hygiene block
+    // below deliberately forces a full collection of the PREVIOUS
+    // query's garbage, so a naive before/after-reps GC delta charges
+    // that inter-query housekeeping to the wrong query (r18 review
+    // finding) — exactly the misread a stall adjudication must avoid
+    var gcTimedSec = 0.0
     def timeOne(name: String, streamQ: Boolean,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         streamParts: Int): Double = {
@@ -225,11 +243,16 @@ object Bench {
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         }
       }
+      val gcT0 = gcTotalSec()
       val t0 = System.nanoTime()
       try {
         fn(session, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        gcTimedSec += gcTotalSec() - gcT0
+        sampleHeapMb()
+        secs
       } catch { case e: Throwable =>
+        gcTimedSec += gcTotalSec() - gcT0
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
     // q6_forecast: single-table scan+agg, sub-second at the gate corpus,
@@ -297,9 +320,16 @@ object Bench {
     // heavy-row inflation is adjudicable only if the record shows what
     // the machine looked like at that point of the sweep
     val midCanaries = Seq.newBuilder[(Int, Double, Double, Long, Long)]
+    // short sweeps (the per-family sf10 runs are 1-5 queries) probe at
+    // the midpoint anyway: the direction-aware canary's relaxed 2.5×
+    // start-slow bar leans on mid probes + anchor to cover a
+    // genuinely-contended sweep START, and with the old >=12 floor a
+    // 2-query family sweep had no mids at all (r18 review finding) —
+    // a sub-second probe per heavy family query is free
     val midEvery =
-      if (reps == 1) math.max(12, math.ceil(selected.size / 8.0).toInt)
-      else Int.MaxValue
+      if (reps != 1) Int.MaxValue
+      else if (selected.size < 12) math.max(1, selected.size / 2)
+      else math.max(12, math.ceil(selected.size / 8.0).toInt)
     val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
       if (qi > 0 && midEvery != Int.MaxValue && qi % midEvery == 0)
         midCanaries += ((qi, canaryProbe(), loadavg1m(), dirtyMb(),
@@ -330,7 +360,7 @@ object Bench {
       // corpus. Batch queries keep the sweep default so their shuffle
       // shape stays the measured one.
       val qReps = repsOverride.getOrElse(name, reps)
-      val gc0 = gcTotalSec()
+      val gc0 = gcTimedSec
       val times = (1 to qReps).map { _ =>
         timeOne(name, streamFamily(name), fn, streamParts)
       }
@@ -338,14 +368,17 @@ object Bench {
       // query is diagnosable from the sweep log without a re-run
       if (qReps > 1) System.err.println(
         s"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(", ")}")
-      // per-query attribution line: GC time this query charged the JVM
-      // (a driver stall that is GC reads as a delta of the stall's
-      // order), heap high-water so far, and the page-pressure pair —
-      // stderr only, so the sweep log answers "what was the machine
-      // doing around the slow row" without a re-run
-      System.err.println(f"[bench] $name gc+=${gcTotalSec() - gc0}%.1fs " +
-        s"heapPeakMB=${heapPeakMb()} dirtyMB=${dirtyMb()} " +
-        s"availMB=${meminfoMb("MemAvailable")}")
+      // per-query attribution line: GC time inside this query's TIMED
+      // reps only (timeOne's own System.gc hygiene is excluded, so a
+      // driver stall that is GC reads as a delta of the stall's order
+      // without the previous query's housekeeping smeared in), sampled
+      // heap high-water + pool-peak-sum upper bound, and the
+      // page-pressure pair — stderr only, so the sweep log answers
+      // "what was the machine doing around the slow row" without a
+      // re-run
+      System.err.println(f"[bench] $name gc+=${gcTimedSec - gc0}%.1fs " +
+        s"heapUsedMB=${sampleHeapMb()} heapPoolPeakSumMB=${heapPoolPeakSumMb()} " +
+        s"dirtyMB=${dirtyMb()} availMB=${meminfoMb("MemAvailable")}")
       // a failed rep poisons the query: report -1, never a partial
       // median over surviving reps (that would hide flaky failures).
       // LOWER median on even rep counts: at reps=2 (the sf10
@@ -438,7 +471,7 @@ object Bench {
       s""""canary":{"name":"$canaryName","start":${r3(canaryStart)},"end":${r3(canaryEnd)},"mid":$midJson,"ratio":${r3(canaryRatio)},"mid_drift":$midDrift},""" +
         s""""anchor":{"start":${r3(anchorStart)},"end":${r3(anchorEnd)},"expected":[${r3(Bench.AnchorBand._1)},${r3(Bench.AnchorBand._2)}],"calibrated":${r3(Bench.AnchorCalibrated)},"ratio":${r3(anchorRatio)},"class_start":"${Bench.anchorClassOf(anchorStart)}","class_end":"${Bench.anchorClassOf(anchorEnd)}","class":"$anchorClass"},""" +
         s""""loadavg":[${r3(loadStart)},${r3(loadEnd)}],""" +
-        s""""gc_sec":${r3(gcEnd)},"heap_peak_mb":${heapPeakMb()},""" +
+        s""""gc_sec":${r3(gcEnd)},"heap_peak_mb":${sampleHeapMb()},""" +
         s""""rep_spread_gt1p5_frac":${r3(spreadFrac)},"contended":$contended,$repsJson"""
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,$guardJson,"sf":"$sfDir"}"""

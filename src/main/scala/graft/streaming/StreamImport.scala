@@ -1971,11 +1971,22 @@ object StreamImport {
     // flap to admission variance (more batches) vs per-batch cost
     private val lastBatch =
       scala.collection.concurrent.TrieMap.empty[java.util.UUID, Long]
+    // CAS max-merge: progress events deliver on the async listener bus
+    // while log() merges recentProgress on the caller thread, so a
+    // plain get-then-put could let a stale read overwrite a higher
+    // batchId (r18 review finding)
+    @annotation.tailrec
+    private def bumpBatch(id: java.util.UUID, b: Long): Unit =
+      lastBatch.putIfAbsent(id, b) match {
+        case None => ()
+        case Some(old) if old >= b => ()
+        case Some(old) =>
+          if (!lastBatch.replace(id, old, b)) bumpBatch(id, b)
+      }
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      lastBatch.put(e.progress.id,
-        math.max(lastBatch.getOrElse(e.progress.id, -1L), e.progress.batchId))
+      bumpBatch(e.progress.id, e.progress.batchId)
       e.progress.stateOperators.iterator.zipWithIndex.foreach { case (op, i) =>
         val k = (e.progress.id, i)
         val prev = maxima.getOrElse(k, (op.operatorName, 0L, 0L))
@@ -1993,8 +2004,7 @@ object StreamImport {
     def log(q: org.apache.spark.sql.streaming.StreamingQuery, label: String): Unit =
       try {
         q.recentProgress.iterator.foreach { p =>
-          lastBatch.put(q.id,
-            math.max(lastBatch.getOrElse(q.id, -1L), p.batchId))
+          bumpBatch(q.id, p.batchId)
           p.stateOperators.iterator.zipWithIndex.foreach { case (op, i) =>
             val k = (q.id, i)
             val prev = maxima.getOrElse(k, (op.operatorName, 0L, 0L))
@@ -2229,6 +2239,13 @@ object StreamImport {
     // harness's driver footprint is one partition, not the corpus. The
     // whole-corpus .collect() that preceded this was the harness's
     // first OOM at a larger gate corpus.
+    // phase stamps (r18 addendum): same-JVM sf10 reps flapped 1.5–3×
+    // on a RANDOM rep with identical batch counts, state maxima, GC
+    // and environment — the remaining split is WHICH phase of this
+    // drain loop carries a spike, so each run reports publish (sort +
+    // driver-side JSON feed) / stream (micro-batch drain) / readback
+    // (sink fold materialization) seconds on stderr
+    val tPub0 = System.nanoTime()
     val msgIt = toRecs(Tables.events(spark, dir))
       .orderBy("ts_ms", "event_id")
       .select(to_json(struct(col("event_id"), col("ts_ms"), col("user_id"),
@@ -2238,6 +2255,7 @@ object StreamImport {
     import scala.jdk.CollectionConverters._
     msgIt.asScala.grouped(65536)
       .foreach(chunk => graft.sources.QueueHub.publish(subject, chunk))
+    val tPub = (System.nanoTime() - tPub0) / 1e9
     val work = java.nio.file.Files.createTempDirectory("graft_loop_gate_").toString
     val result = try {
       val sinkDir = s"$work/sink"
@@ -2246,11 +2264,20 @@ object StreamImport {
       spark.streams.addListener(metrics)
       val stream = spark.readStream.format("graft-queue")
         .option("subject", subject).load()
+      val tStr0 = System.nanoTime()
+      // sink seconds accumulate separately: the drain phase is (state
+      // ops + shuffle) ∪ (per-batch parquet upsert), and an
+      // intermittent drain-phase spike needs the split to be
+      // attributable (DoubleAdder: foreachBatch runs on the stream
+      // execution thread, read after awaitTermination)
+      val sinkSec = new java.util.concurrent.atomic.DoubleAdder
       val q = importLoop(stream)
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/chk")
         .foreachBatch { (b: DataFrame, _: Long) =>
+          val s0 = System.nanoTime()
           TenantUpsertSink.upsert(sinkDir, b, "entity_key", Some(merge))
+          sinkSec.add((System.nanoTime() - s0) / 1e9)
         }
         .start()
       try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
@@ -2258,9 +2285,17 @@ object StreamImport {
         spark.streams.removeListener(metrics)
         graft.sources.QueueHub.clear(subject)
       }
+      val tStr = (System.nanoTime() - tStr0) / 1e9
       metrics.log(q, s"import_loop@$dir")
-      graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
+      val tRd0 = System.nanoTime()
+      val folded = graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
         .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
+      System.err.println(f"[graft-loop] import_loop@$dir phases: " +
+        f"publish=$tPub%.1fs stream=$tStr%.1fs " +
+        f"(sink=${sinkSec.sum}%.1fs of stream) " +
+        f"readback=${(System.nanoTime() - tRd0) / 1e9}%.1fs " +
+        "(presentation explode/orderBy runs at the caller's action)")
+      folded
     } finally rmTree(new java.io.File(work))
     result
       .select(explode(col("rows")).as("r")).select("r.*")

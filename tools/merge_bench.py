@@ -23,10 +23,18 @@ CLASS_BADNESS = {"ok": 0, "fast": 0, "degraded": 1, "unknown": 2, "slow": 3}
 def main():
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
-    out_path, fam_paths = sys.argv[1], sys.argv[2:]
+    args = sys.argv[1:]
+    partial = "--partial" in args
+    args = [a for a in args if a != "--partial"]
+    out_path, fam_paths = args[0], args[1:]
     queries, failed, families = {}, [], {}
     contended = False
-    worst_class, worst_ratio = "ok", -1.0
+    # class merge key: primary = badness, tie-break prefers the
+    # non-"ok" hazard so an all-fast (or mixed ok+fast) sweep stamps
+    # "fast", not a class no family had — make_baseline refuses fast
+    # records too (a flattering host is also a comparison hazard), and
+    # initializing to "ok" laundered that (r18 review finding)
+    worst_class, worst_key, worst_ratio = None, (-1, -1), -1.0
     sf = None
     for p in fam_paths:
         with open(p) as f:
@@ -37,8 +45,9 @@ def main():
         contended = contended or bool(d.get("contended"))
         anchor = d.get("anchor", {})
         cls = anchor.get("class", "unknown")
-        if CLASS_BADNESS.get(cls, 2) > CLASS_BADNESS.get(worst_class, 0):
-            worst_class = cls
+        key = (CLASS_BADNESS.get(cls, 2), 1 if cls != "ok" else 0)
+        if worst_class is None or key > worst_key:
+            worst_class, worst_key = cls, key
         worst_ratio = max(worst_ratio, float(anchor.get("ratio", -1.0)))
         sf = sf or d.get("sf")
         families[fam] = {
@@ -55,13 +64,18 @@ def main():
     merged = {
         "metric": "total", "value": total, "unit": "sec",
         "queries": queries, "failed": sorted(set(failed)),
-        "anchor": {"class": worst_class, "ratio": worst_ratio,
+        "anchor": {"class": worst_class or "unknown", "ratio": worst_ratio,
                    "policy": "worst_of_families"},
         "contended": contended,
         "protocol": "one fresh JVM per family (r18; solo-comparable rows)",
         "families": families,
         "sf": sf,
     }
+    if partial:
+        # a sweep missing families must self-describe: its lower total
+        # and smaller query set are NOT comparable to a full record,
+        # and round_chain parks it instead of offering it to keep_best
+        merged["partial"] = True
     with open(out_path, "w") as f:
         f.write(json.dumps(merged, separators=(",", ":")) + "\n")
     print(f"merged {len(fam_paths)} family artifacts -> {out_path} "

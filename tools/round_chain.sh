@@ -158,6 +158,8 @@ import:imp_raw_ingest,import_loop"
   note "bench sf10 (slow families, one fresh JVM per family): start"
   save_prev BENCH_sf10.json
   FAM_ARTS=""
+  # shellcheck disable=SC2086
+  set -- $SF10_FAMS; NFAM_EXPECTED=$#; NFAM_GOT=0
   # dedup_cluster_rep/_components flap up to 3x between same-HEAD
   # sf10 draws (page cache); 2 same-sweep reps with the LOWER median
   # reported keep the committed record inside the family's honest
@@ -173,17 +175,32 @@ import:imp_raw_ingest,import_loop"
       sbt -batch "runMain graft.Bench" > "/tmp/chain_bench_sf10_${FAM}.log" 2>&1
     if [ -f "BENCH_sf10_fam_${FAM}.json" ]; then
       FAM_ARTS="$FAM_ARTS BENCH_sf10_fam_${FAM}.json"
+      NFAM_GOT=$((NFAM_GOT + 1))
       note "bench sf10 [$FAM]: done $(grep -o '"value":[0-9.]*' "BENCH_sf10_fam_${FAM}.json" | head -1)"
     else
       note "bench sf10 [$FAM]: FAILED (no artifact — see /tmp/chain_bench_sf10_${FAM}.log)"
     fi
   done
-  if [ -n "$FAM_ARTS" ]; then
+  # a PARTIAL sweep (any family failed to produce an artifact) must
+  # never reach keep_best: its lower total carries clean guard stamps
+  # and would replace the full standing record with one silently
+  # missing a family (r18 review finding — the old one-JVM flow kept
+  # the standing record when the sweep died; this keeps that property)
+  KB_KEPT=0
+  if [ -n "$FAM_ARTS" ] && [ "$NFAM_GOT" -lt "$NFAM_EXPECTED" ]; then
+    python3 tools/merge_bench.py --partial BENCH_sf10.partial.json $FAM_ARTS \
+      && rm -f $FAM_ARTS
+    rm -f BENCH_sf10.json.prev
+    note "bench sf10: PARTIAL ($NFAM_GOT/$NFAM_EXPECTED families) — merged parked at BENCH_sf10.partial.json; standing record kept"
+  elif [ -n "$FAM_ARTS" ]; then
     python3 tools/merge_bench.py BENCH_sf10.json $FAM_ARTS \
       && rm -f $FAM_ARTS
+    if keep_best BENCH_sf10.json; then KB_KEPT=1; fi
+    note "bench sf10: done $(grep -o '"value":[0-9.]*' BENCH_sf10.json 2>/dev/null | head -1)"
+  else
+    rm -f BENCH_sf10.json.prev
+    note "bench sf10: NO family artifacts — standing record kept"
   fi
-  if keep_best BENCH_sf10.json; then KB_KEPT=1; else KB_KEPT=0; fi
-  note "bench sf10: done $(grep -o '"value":[0-9.]*' BENCH_sf10.json 2>/dev/null | head -1)"
   [ "$KB_KEPT" = 1 ] && WROTE="$WROTE BENCH_sf10.json"
   if [ "${CHAIN_KNOBS:-1}" = "0" ]; then
     note "sf10 knobs: SKIPPED (CHAIN_KNOBS=0 — a same-HEAD sweep already produced KNOBS_sf10.md this round)"

@@ -92,5 +92,27 @@ keep_best "$f" >/dev/null; rc=$?
 [ $rc = 0 ] && grep -q '"value":120.0' "$f"
 chk "unknown draw replaces anchor-slow record" $?
 
+# 12-14. merge_bench contract (r18 review findings): the merged class
+#        must be a class some family actually had (all-fast merges to
+#        fast, not ok — make_baseline refuses fast too), and a partial
+#        merge must self-describe so round_chain can park it instead of
+#        offering a silently-truncated record to keep_best
+fastfam='{"metric":"total","value":50.0,"queries":{"q1":50.0},"failed":[],"anchor":{"ratio":0.45,"class":"fast"},"contended":false,"sf":"x"}'
+fastfam2='{"metric":"total","value":60.0,"queries":{"q2":60.0},"failed":[],"anchor":{"ratio":0.40,"class":"fast"},"contended":false,"sf":"x"}'
+okfam='{"metric":"total","value":70.0,"queries":{"q3":70.0},"failed":[],"anchor":{"ratio":1.0,"class":"ok"},"contended":false,"sf":"x"}'
+echo "$fastfam" > "$TMP/BENCH_f1.json"; echo "$fastfam2" > "$TMP/BENCH_f2.json"
+python3 ./merge_bench.py "$TMP/m1.json" "$TMP/BENCH_f1.json" "$TMP/BENCH_f2.json" >/dev/null
+grep -q '"class":"fast"' "$TMP/m1.json"
+chk "all-fast families merge to class fast, not ok" $?
+
+echo "$okfam" > "$TMP/BENCH_f3.json"
+python3 ./merge_bench.py "$TMP/m2.json" "$TMP/BENCH_f1.json" "$TMP/BENCH_f3.json" >/dev/null
+grep -q '"class":"fast"' "$TMP/m2.json"
+chk "mixed fast+ok merges to the fast hazard, not ok" $?
+
+python3 ./merge_bench.py --partial "$TMP/m3.json" "$TMP/BENCH_f1.json" >/dev/null
+grep -q '"partial":true' "$TMP/m3.json" && ! grep -q '"partial"' "$TMP/m1.json"
+chk "--partial stamps partial:true (absent on full merges)" $?
+
 echo
 if [ "$FAILS" = 0 ]; then echo "keep_best: ALL PASS"; else echo "keep_best: $FAILS FAILED"; exit 1; fi
