@@ -238,7 +238,13 @@ object ScaleKnobs {
         // first real job in this fresh knob JVM and absorbs first-run
         // codegen/page-cache costs, biasing the headline A/B ratio in
         // the cascade's favor (r18 review finding)
-        armFull()
+        // quiesce between warm and timed (the timeOne pattern): the
+        // warm pass's freed checkpoints and shuffle files are only
+        // reclaimed by the ContextCleaner after a GC, and timing the
+        // cleaner's backlog against the next arm is exactly the
+        // residue this A/B must not measure
+        def quiesce(): Unit = { System.gc(); Thread.sleep(150) }
+        armFull(); quiesce()
         val (nTrue, sFull) = timed(armFull())
         out += s"| ngram_sparse | self-join (df<=100) n=$nDocs +2% dups | ${r2(sFull)} | true pairs=$nTrue | sparse synthetic corpus |"
         // arm B: the production cascade (dedup_ngram_prod's plan)
@@ -262,7 +268,7 @@ object ScaleKnobs {
           val nV = v.count(); Scratch.free(v, cand)
           (nC, nV)
         }
-        armCasc()
+        quiesce(); armCasc(); quiesce()
         val ((nCand, nVer), sCasc) = timed(armCasc())
         val rec =
           if (nTrue == 0) "recall n/a" else s"recall=${r2(nVer.toDouble / nTrue)}"
