@@ -197,6 +197,25 @@ object Scratch {
     out
   }
 
+  /** Materialize `df` once, then apply its presentation sort over the
+    * stored rows. A global `orderBy` plans a range exchange, and range
+    * partitioning SAMPLES its child to compute partition bounds — a
+    * complete second execution of the pre-sort plan (the sample job,
+    * then the shuffle-map job). When the body is expensive row-local
+    * work with no shuffle of its own (JSON synth/parse, per-doc
+    * shingle hashing, codec decode), that double execution costs the
+    * whole query again; materializing the (already narrow) RESULT
+    * first lets both passes read stored rows instead. At production
+    * scale the same trade holds: one write+read of the reduced result
+    * against a second full pass over the corpus-wide body (§8 of the
+    * optimization playbook — decide over stored proxies, never
+    * recompute the heavy pass). Row set and schema are unchanged —
+    * this is `cp` + `orderBy`, lifecycle-tracked like any scratch
+    * frame.
+    */
+  def cpSorted(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    cp(df).orderBy(cols: _*)
+
   /** Release tracked scratch storage behind the given frames. The
     * frames must not be read again (the storage IS the data). Only
     * handles this object tracked are touched — feeding an arbitrary

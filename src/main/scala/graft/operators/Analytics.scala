@@ -406,15 +406,21 @@ object Analytics {
     * NULL, so the oracle compare never leans on the ALL placeholder.
     */
   def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    // pre-aggregate to the finest grouping below the Expand — see
+    // qRollup (same r18 plan-audit rewrite); the finest grouping for
+    // sets {(status), (priority)} is (status, priority)
     Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec2(col("o_totalprice"))).as("price0"),
+        count(lit(1)).as("n0"))
       .groupingSets(
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
         grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
-        count(lit(1)).cast(LongType).as("n"),
-        moneyStr(sum(dec2(col("o_totalprice")))).as("sum_price"))
+        sum(col("n0")).cast(LongType).as("n"),
+        moneyStr(sum(col("price0"))).as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -695,10 +701,20 @@ object Analytics {
     * grouping sets map-side; still ONE shuffle).
     */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    l.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(moneyStr(sum(dec2(col("l_quantity")))).as("sum_qty"),
-        count(lit(1)).cast(LongType).as("n"))
+    // pre-aggregate to the FINEST grouping before the rollup: Expand
+    // otherwise replicates every input row once per grouping set
+    // (3x the full lineitem flow through the partial aggregate — the
+    // r18 plan audit's finding); over the pre-aggregated frame the
+    // Expand touches only |distinct (rflag, lstatus)| rows. Decimal
+    // sums re-aggregate exactly (addition is associative; moneyStr
+    // renders both forms at DECIMAL(38,2)), counts re-sum.
+    val fine = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty0"),
+        count(lit(1)).as("n0"))
+    fine.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneyStr(sum(col("qty0"))).as("sum_qty"),
+        sum(col("n0")).cast(LongType).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
@@ -719,9 +735,13 @@ object Analytics {
     * hierarchy.
     */
   def qCube(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    l.cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).cast(LongType).as("n"))
+    // pre-aggregate to the finest grouping below the Expand — see
+    // qRollup (same r18 plan-audit rewrite)
+    val fine = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"))
+    fine.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n0")).cast(LongType).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),

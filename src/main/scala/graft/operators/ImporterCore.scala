@@ -78,15 +78,18 @@ object ImporterCore {
     * the scan.
     */
   def impParseRoute(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("event_type") =!= "error")
-      .select(
-        col("event_id"),
-        when(col("event_type").isin(VarTypes: _*), "VARIABLE")
-          .when(col("event_type") === "signup", "PROCESS_INSTANCE")
-          .otherwise("JOB").as("value_type"),
-        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
-      .orderBy("event_id")
+    // materialize-once before the presentation sort (r18 plan audit:
+    // the sort's range-bounds sample pass re-ran the JSON extraction)
+    graft.Scratch.cpSorted(
+      Tables.events(spark, dir)
+        .filter(col("event_type") =!= "error")
+        .select(
+          col("event_id"),
+          when(col("event_type").isin(VarTypes: _*), "VARIABLE")
+            .when(col("event_type") === "signup", "PROCESS_INSTANCE")
+            .otherwise("JOB").as("value_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k")),
+      col("event_id"))
 
   def impParseRouteSql: String =
     """SELECT event_id,

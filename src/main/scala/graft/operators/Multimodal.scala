@@ -640,8 +640,13 @@ object Multimodal {
     * touching the codec).
     */
   def mmPipeline(spark: SparkSession, dir: String): DataFrame =
-    features(spark, dir).toDF()
-      .orderBy("doc_id", "frame_idx")
+    // the frame features materialize once before the presentation
+    // sort: the sort's range-bounds sample pass otherwise re-runs the
+    // whole synthesize→demux→decode→thumbnail pipeline a second time
+    // (r18 plan audit — the most expensive body in the gate, paid
+    // twice for partition bounds over already-computed rows)
+    graft.Scratch.cpSorted(features(spark, dir).toDF(),
+      col("doc_id"), col("frame_idx"))
 
   /** Committed expectation parquet covering the UNION of every test
     * corpus (the four sf dirs), deduplicated by

@@ -70,13 +70,15 @@ object TextOps {
     * byte-pair pre-tokenizer split). Pure per-row column arithmetic.
     */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    // materialize-once before the presentation sort (r18 plan audit:
+    // the sort's sample pass re-ran the pretokenizer regex per doc)
+    graft.Scratch.cpSorted(Tables.documents(spark, dir).select(
       col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
       size(expr(s"regexp_extract_all(text, '${graft.functions.Portable.PretokRe}', 0)"))
         .cast(LongType).as("re_tokens"),
-      length(col("text")).cast(LongType).as("n_chars_calc"))
-      .orderBy("doc_id")
+      length(col("text")).cast(LongType).as("n_chars_calc")),
+      col("doc_id"))
 
   def textTokensSql: String =
     s"""SELECT doc_id,
@@ -91,7 +93,8 @@ object TextOps {
     * density" heuristic.
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))
@@ -102,8 +105,8 @@ object TextOps {
         expr("100 * char_sum DIV n_tokens").as("avg_len_e2"),
         when(col("n_tokens").between(30, 400) &&
           expr("10000 * n_stop DIV n_tokens").between(100, 3000), "good")
-          .otherwise("low").as("bucket"))
-      .orderBy("doc_id")
+          .otherwise("low").as("bucket")),
+      col("doc_id"))
 
   def textQualitySql: String =
     """WITH q AS (
@@ -128,13 +131,14 @@ object TextOps {
     * and flooring division agree); row-local array ops, no shuffle.
     */
   def textTtr(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .withColumn("n_types",
         size(expr("array_distinct(split(text, ' '))")).cast(LongType))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
       .select(col("doc_id"), col("n_types"), col("n_tokens"),
-        expr("10000 * n_types DIV n_tokens").as("ttr_e4"))
-      .orderBy("doc_id")
+        expr("10000 * n_types DIV n_tokens").as("ttr_e4")),
+      col("doc_id"))
 
   def textTtrSql: String =
     """WITH t AS (
@@ -155,7 +159,8 @@ object TextOps {
       val list = markers.map(m => s"'$m'").mkString(", ")
       size(expr(s"filter(split(text,' '), t -> t IN ($list))")).cast(LongType)
     }
-    Tables.documents(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .withColumn("c_sql", cnt(Seq("table", "scan", "join", "query", "filter")))
       .withColumn("c_stream", cnt(Seq("stream", "batch", "window", "spark")))
       .withColumn("c_ml", cnt(Seq("vector", "data", "group", "value")))
@@ -164,8 +169,8 @@ object TextOps {
         when(col("c_sql") >= col("c_stream") && col("c_sql") >= col("c_ml"), "sqlish")
           .when(col("c_stream") >= col("c_ml"), "streamish")
           .otherwise("mlish").as("lang_pred"),
-        col("c_sql"), col("c_stream"), col("c_ml"))
-      .orderBy("doc_id")
+        col("c_sql"), col("c_stream"), col("c_ml")),
+      col("doc_id"))
   }
 
   def textLangidSql: String =
@@ -191,14 +196,17 @@ object TextOps {
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(
-        col("doc_id"),
-        expr(hx("text")).as("fp_content"),
-        expr(s"graft_xorfold(${hxAll(s"array_distinct(${shinglesOfExpr(5, "toks")})")})")
-          .as("fp_shingle"))
-      .orderBy("doc_id")
+    // materialize-once before the presentation sort (r18 plan audit:
+    // the sort's sample pass re-ran the shingle hash+fold body)
+    graft.Scratch.cpSorted(
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          expr(hx("text")).as("fp_content"),
+          expr(s"graft_xorfold(${hxAll(s"array_distinct(${shinglesOfExpr(5, "toks")})")})")
+            .as("fp_shingle")),
+      col("doc_id"))
   }
 
   def textFingerprintSql: String =
@@ -217,13 +225,14 @@ object TextOps {
     */
   def textNormalize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
       .select(
         col("doc_id"),
         expr(hx("norm")).as("norm_hash"),
-        length(col("norm")).cast(LongType).as("norm_len"))
-      .orderBy("doc_id")
+        length(col("norm")).cast(LongType).as("norm_len")),
+      col("doc_id"))
   }
 
   def textNormalizeSql: String =
@@ -268,15 +277,18 @@ object TextOps {
     // inside a SQL string literal the parser consumes one level of
     // backslash escaping — double it for the expr()-embedded copies
     val phoneSql = PiiPhone.replace("\\", "\\\\")
-    textPiiScrubbed(spark, dir)
-      .select(
-        col("doc_id"),
-        expr(hx("scrubbed")).as("pii_hash"),
-        size(expr(s"regexp_extract_all(raw, '$PiiEmail', 0)")).cast(LongType).as("n_emails"),
-        size(expr(s"regexp_extract_all(raw, '$phoneSql', 0)")).cast(LongType).as("n_phones"),
-        size(expr(s"regexp_extract_all(s2, '$PiiIdRun', 0)")).cast(LongType).as("n_ids"),
-        length(col("scrubbed")).cast(LongType).as("scrubbed_len"))
-      .orderBy("doc_id")
+    // materialize-once before the presentation sort (r18 plan audit:
+    // the sort's sample pass re-ran the whole regex scrub chain)
+    graft.Scratch.cpSorted(
+      textPiiScrubbed(spark, dir)
+        .select(
+          col("doc_id"),
+          expr(hx("scrubbed")).as("pii_hash"),
+          size(expr(s"regexp_extract_all(raw, '$PiiEmail', 0)")).cast(LongType).as("n_emails"),
+          size(expr(s"regexp_extract_all(raw, '$phoneSql', 0)")).cast(LongType).as("n_phones"),
+          size(expr(s"regexp_extract_all(s2, '$PiiIdRun', 0)")).cast(LongType).as("n_ids"),
+          length(col("scrubbed")).cast(LongType).as("scrubbed_len")),
+      col("doc_id"))
   }
 
   def textPiiSql: String =
@@ -317,7 +329,7 @@ object TextOps {
     * setting: repeated-phrase docs and low-diversity docs are
     * dropped.
     */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def textRepetitionScored(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -336,7 +348,13 @@ object TextOps {
         when(expr("10000 * n_distinct DIV n_tokens") >= 1000 &&
           expr("10000 * top2_cnt DIV n_bigrams") <= 2500 &&
           col("max_run") <= 3, "keep").otherwise("cut").as("bucket"))
-      .orderBy("doc_id")
+  }
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // materialize-once before the presentation sort (r18 plan audit:
+    // the sort's sample pass re-ran the sort+maxrun folds per doc)
+    graft.Scratch.cpSorted(textRepetitionScored(spark, dir), col("doc_id"))
   }
 
   /** Oracle: the mode-bigram count and the max token run both render
@@ -742,7 +760,11 @@ object TextOps {
     */
   def textWinnow(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    winnowFps(Tables.documents(spark, dir)).orderBy("doc_id", "fp")
+    // fingerprints materialize once before the presentation sort — the
+    // sort's range-bounds sample pass otherwise re-runs the full
+    // shingle-hash + winnow selection a second time (r18 plan audit)
+    graft.Scratch.cpSorted(winnowFps(Tables.documents(spark, dir)),
+      col("doc_id"), col("fp"))
   }
 
   private def winnowDuckCte: String =

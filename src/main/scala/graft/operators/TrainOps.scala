@@ -41,7 +41,8 @@ object TrainOps {
     */
   def pipeSample(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .withColumn("len", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))
@@ -49,8 +50,8 @@ object TrainOps {
       .withColumn("h_e4", expr(s"${saltedHash("smp|")} % 10000"))
       .filter((col("stratum") === "good" && col("h_e4") < 8000) ||
         (col("stratum") === "low" && col("h_e4") < 1000))
-      .select(col("doc_id"), col("stratum"), col("h_e4"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("stratum"), col("h_e4")),
+      col("doc_id"))
   }
 
   def pipeSampleSql: String =
@@ -150,14 +151,15 @@ object TrainOps {
     // weight_e4 ∈ [0.3×, 2.5×) per source — deterministic config stand-in
     val weightE4 = "3000 + graft_hash60(concat('mixw|', source)) % 22000"
     val frac = s"IF(graft_hash60(concat('mixf|', CAST(doc_id AS STRING))) % 10000 < ($weightE4) % 10000, 1, 0)"
-    Tables.documents(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
       .withColumn("weight_e4", expr(weightE4).cast(LongType))
       .withColumn("n_copies", expr(s"($weightE4) DIV 10000 + $frac").cast(LongType))
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("source"), col("weight_e4"),
-        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")).as("copy"))
-      .orderBy("doc_id", "copy")
+        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")).as("copy")),
+      col("doc_id"), col("copy"))
   }
 
   def pipeMixSql: String = {
@@ -296,14 +298,15 @@ object TrainOps {
     */
   def pipeSplit(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .withColumn("h_e4", expr(s"${saltedHash(SplitSalt)} % 10000"))
       .withColumn("split",
         when(col("h_e4") < SplitTrainE4, "train")
           .when(col("h_e4") < SplitValE4, "val")
           .otherwise("test"))
-      .select("doc_id", "split", "h_e4")
-      .orderBy("doc_id")
+      .selectExpr("doc_id", "split", "h_e4"),
+      col("doc_id"))
   }
 
   def pipeSplitSql: String =
@@ -535,7 +538,8 @@ object TrainOps {
   val ChunkStride = 24
 
   def pipeChunk(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
       .select(col("doc_id"), posexplode(expr(
@@ -544,8 +548,8 @@ object TrainOps {
         .as(Seq("chunk_idx", "chunk_toks")))
       .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
         size(col("chunk_toks")).cast(LongType).as("chunk_tokens"),
-        array_join(col("chunk_toks"), " ").as("chunk"))
-      .orderBy("doc_id", "chunk_idx")
+        array_join(col("chunk_toks"), " ").as("chunk")),
+      col("doc_id"), col("chunk_idx"))
 
   def pipeChunkSql: String =
     s"""WITH t AS (

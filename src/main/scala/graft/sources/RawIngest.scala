@@ -35,10 +35,25 @@ object RawIngest {
   /** Parse + route raw JSON record strings (column `value`). DEPLOYMENT
     * records are dropped (the reference ignores them, NatsConsumer:47).
     * Tenant is the FIRST-dash split (NatsConsumer.java:73-75).
+    *
+    * The DEPLOYMENT drop filters on the EXTRACTED `value_type` after
+    * [[parseAll]]'s projection rather than on `r.valueType` between the
+    * parse and the field extraction — same rows either way (a record
+    * `from_json` cannot parse yields a null `value_type`, and null
+    * <> 'DEPLOYMENT' is null, dropped by both forms). The split lets
+    * the batch gate entry put a materialization barrier UNDER the
+    * filter (see [[impRawIngest]]): filter pushdown otherwise
+    * substitutes the parse expression INTO the filter condition and
+    * the whole to_json→from_json chain evaluates twice per row (the
+    * r18 plan audit's finding — §4.4 of the optimization playbook, the
+    * duplicated-expensive-expression-under-pushed-filter shape).
     */
   def parse(raw: DataFrame): DataFrame =
+    parseAll(raw).filter(col("value_type") =!= "DEPLOYMENT")
+
+  /** The single-parse projection without the routing drop. */
+  private[graft] def parseAll(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value"), recordSchema).as("r"))
-      .filter(col("r.valueType") =!= "DEPLOYMENT")
       .select(
         col("r.value.recordId").as("record_id"),
         col("r.valueType").as("value_type"),
@@ -71,9 +86,21 @@ object RawIngest {
     * full NatsConsumer string path, oracle-checked (both engines build
     * and re-extract their own JSON, so only extraction semantics are
     * compared, not serialization formats).
+    *
+    * The parsed rows materialize ONCE before the routing filter and
+    * the presentation sort: without the barrier this query evaluated
+    * its to_json→from_json chain FOUR times per surviving row — twice
+    * from the pushed-down filter duplicating the parse (playbook
+    * §4.4), then the whole filtered plan again in the final sort's
+    * range-bounds sample pass (r18 plan audit; the A/B measured the
+    * as-is query at ~2.4× the barrier form). The materialized frame is
+    * the NARROW parsed projection (7 scalar columns), not the JSON
+    * strings.
     */
   def impRawIngest(spark: SparkSession, dir: String): DataFrame =
-    parse(rawRecords(spark, dir)).orderBy("record_id")
+    graft.Scratch.cp(parseAll(rawRecords(spark, dir)))
+      .filter(col("value_type") =!= "DEPLOYMENT")
+      .orderBy("record_id")
 
   def impRawIngestSql: String =
     """WITH raw AS (

@@ -2021,6 +2021,19 @@ object StreamImport {
           val nb = lastBatch.get(q.id).map(b => s" batches=${b + 1}").getOrElse("")
           System.err.println(s"[graft-state] $label: $line$nb")
         }
+        // per-phase engine seconds summed over the drained batches
+        // (durationMs from StreamingQueryProgress) — the r18
+        // optimization round's attribution line: a slow stream row
+        // splits into planning / offset-log / state-op execution /
+        // sink (foreachBatch) without a re-run. recentProgress holds
+        // every AvailableNow batch at gate scale (ring cap 100).
+        val phases = scala.collection.mutable.Map.empty[String, Long]
+        q.recentProgress.iterator.foreach { p =>
+          p.durationMs.forEach((k, v) => phases(k) = phases.getOrElse(k, 0L) + v)
+        }
+        if (phases.nonEmpty) System.err.println(s"[graft-phase] $label: " +
+          phases.toSeq.sortBy(-_._2).map { case (k, v) => f"$k=${v / 1000.0}%.2fs" }
+            .mkString(" "))
       } catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -2045,18 +2058,26 @@ object StreamImport {
       val sinkDir = s"$work/sink"
       val metrics = new StateMetricsListener
       spark.streams.addListener(metrics)
+      // sink seconds accumulate separately (same split as the
+      // import_loop runner): addBatch = state-op execution ∪ the
+      // per-batch parquet upsert, and optimizing the right half needs
+      // the split in every stream row's log line
+      val sinkSec = new java.util.concurrent.atomic.DoubleAdder
       val q = frame
         .writeStream
         .outputMode(mode)
         .option("checkpointLocation", s"$work/chk")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s0 = System.nanoTime()
           TenantUpsertSink.upsert(sinkDir, batch, key, merge)
+          sinkSec.add((System.nanoTime() - s0) / 1e9)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       try q.awaitTermination()
       finally spark.streams.removeListener(metrics)
       metrics.log(q, label)
+      System.err.println(f"[graft-sink] $label: sink=${sinkSec.sum}%.2fs")
       graft.Scratch.cp(TenantUpsertSink.readCurrent(spark, sinkDir)
         .getOrElse(throw new IllegalStateException(s"no data reached the sink at $sinkDir")))
     } finally rmTree(new java.io.File(work))

@@ -154,15 +154,13 @@ object TenantUpsertSink {
       buckets: Int = DefaultBuckets): Unit = {
     val spark = batch.sparkSession
     // every action inside foreachBatch RE-RUNS the micro-batch plan
-    // (a stateful fold here) — cache it so the emptiness probe, the
-    // tenant routing collect and the generation write all reuse ONE
-    // evaluation
+    // (a stateful fold here) — cache it so the routing collect and the
+    // generation write reuse ONE evaluation
     batch.persist()
+    val tS0 = System.nanoTime()
+    var tSummary, tMerge, tWrite = 0L
+    def lap(t0: Long): Long = System.nanoTime() - t0
     try {
-      // an empty batch would write a generation with ZERO parquet files
-      // (only _SUCCESS) and poison every later schema-inferring read;
-      // there is also nothing to change — skip
-      if (batch.isEmpty) return
       new java.io.File(tableDir).mkdirs()
       val parsed = currentManifest(tableDir)
       // validate the durable layout parameter BEFORE routing anything:
@@ -179,7 +177,11 @@ object TenantUpsertSink {
       // — the reference's RoutingDataSource holds one DataSource per
       // tenant) and the within-batch half of the tenant-stability
       // contract (class doc): per key, its tenant and whether a second
-      // tenant appeared; a violating producer fails before writing
+      // tenant appeared; a violating producer fails before writing.
+      // EMPTINESS rides the same pass (r18 optimization round): the
+      // previous separate `batch.isEmpty` probe was one more action —
+      // one more full run of the micro-batch plan per trigger — and an
+      // empty batch is exactly an empty routing set here.
       import org.apache.spark.sql.functions.{col => c, countDistinct, first, max => mx, collect_set, struct, sum => sm, when => wh}
       val routed = batch.withColumn("_bucket", bucketCol(key, buckets))
       val perKey = routed.groupBy(c(key))
@@ -192,6 +194,13 @@ object TenantUpsertSink {
       val summary = perKey
         .agg(mx("nt").as("max_nt"), collect_set(struct(c("t"), c("b"))).as("tbs"),
           sm("nulls").as("null_tenants")).head()
+      tSummary = lap(tS0)
+      // an empty batch would write a generation with ZERO parquet files
+      // (only _SUCCESS) and poison every later schema-inferring read;
+      // there is also nothing to change — skip. (Aggregation over an
+      // empty frame yields one row: null max, empty set, null sum.)
+      if (summary.isNullAt(0) && summary.getSeq[org.apache.spark.sql.Row](1).isEmpty)
+        return
       require(summary.getLong(2) == 0L,
         s"TenantUpsertSink: ${summary.getLong(2)} rows arrived with a NULL tenant — " +
           "tenant must be a non-null stable function of the key (see class doc)")
@@ -221,11 +230,25 @@ object TenantUpsertSink {
           current.join(incoming.select(key).distinct(), Seq(key), "left_anti")
             .unionByName(incoming)
         }
+      tMerge = lap(tS0) - tSummary
       val gen = s"gen-${System.nanoTime()}"
+      val tW0 = System.nanoTime()
+      // cluster by the partition key before the dynamic-partition
+      // write (r18 optimization round): un-clustered, EVERY write task
+      // opens a file per (tenant, bucket) it sees — tasks × touched
+      // partitions tiny files per generation (80 at gate geometry),
+      // paid again by every later read-merge and readCurrent. One
+      // small shuffle makes file count = touched partitions — the
+      // write.distribution-mode=hash posture at any scale (playbook
+      // §6: cluster on write, 128 MB–1 GB files)
       merged.withColumn("_bucket", bucketCol(key, buckets))
+        .repartition(c("tenant"), c("_bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("tenant", "_bucket")
         .parquet(s"$tableDir/$gen")
+      tWrite = lap(tW0)
+      System.err.println(f"[graft-sink-split] summary=${tSummary / 1e9}%.2fs " +
+        f"merge_plan=${tMerge / 1e9}%.2fs write=${tWrite / 1e9}%.2fs")
       // atomic manifest swing: untouched tenants keep their generation,
       // touched tenants move to the new one (keys already escaped)
       val next = manifest ++ touched.map(_ -> gen)

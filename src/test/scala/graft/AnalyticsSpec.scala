@@ -138,7 +138,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(u1.getAs[String]("click") == "2.50" && u1.getAs[String]("purchase") == "4.00")
   }
 
-  test("q_grouping_sets: exactly the two marginals, markers consistent, one shuffle") {
+  test("q_grouping_sets: exactly the two marginals, markers consistent, Expand above the pre-aggregate") {
     val df = Analytics.qGroupingSets(spark, sfDir)
     val rows = df.collect()
     // every row aggregates away exactly one dimension — no combined
@@ -151,8 +151,18 @@ class AnalyticsSpec extends SparkSpec {
       assert(rows.filter(_.getAs[Long](g) == 0L).map(_.getAs[Long]("n")).sum == total)
     }
     val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // r18 optimization: the corpus pre-aggregates to the finest
+    // grouping BEFORE Expand replicates rows per grouping set, so
+    // Expand touches |distinct groups| rows, never the table. Two
+    // hash exchanges (finest grouping, then grouping-set keys), both
+    // over group-cardinality rows — the scale contract is Expand's
+    // input being an aggregate, pinned structurally: Expand's subtree
+    // must contain a HashAggregate over the raw scan.
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$plan")
+    val expandSub = plan.split("\\n").dropWhile(l => !l.contains("Expand")).mkString("\n")
+    assert(expandSub.contains("HashAggregate"),
+      s"Expand must sit above the finest-grouping pre-aggregate:\n$plan")
   }
 
   test("q_corr_subquery decorrelates to one aggregate + join, matches manual join-back") {
