@@ -610,11 +610,13 @@ object Analytics {
     val hourMs = 3600000L
     val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
       .rangeBetween(-hourMs, 0)
-    Tables.events(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit:
+    // the sort's sample pass re-ran the window pass from the shuffle)
+    graft.Scratch.cpSorted(Tables.events(spark, dir)
       .withColumn("hour_value", moneyStr(sum(dec2(col("value"))).over(w)))
       .withColumn("hour_events", count(lit(1)).over(w).cast(LongType))
-      .select(col("user_id"), col("event_id"), col("hour_value"), col("hour_events"))
-      .orderBy("user_id", "event_id")
+      .select(col("user_id"), col("event_id"), col("hour_value"), col("hour_events")),
+      col("user_id"), col("event_id"))
   }
 
   def qMovingWindowSql: String =
@@ -631,10 +633,11 @@ object Analytics {
     val e = Tables.events(spark, dir)
     val w = Window.partitionBy("user_id")
       .orderBy(col("value").desc, col("event_id"))
-    e.withColumn("rnk", row_number().over(w))
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(e.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
-      .select(col("user_id"), col("rnk"), col("event_id"), col("event_type"))
-      .orderBy("user_id", "rnk")
+      .select(col("user_id"), col("rnk"), col("event_id"), col("event_type")),
+      col("user_id"), col("rnk"))
   }
 
   def qWindowTopNSql: String =
@@ -653,17 +656,19 @@ object Analytics {
     val e = Tables.events(spark, dir)
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
     val gapMs = 30L * 60 * 1000
-    e.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
-      .withColumn("new_sess",
-        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq", sum(col("new_sess")).over(byUser))
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(
-        count(lit(1)).cast(LongType).as("n_events"),
-        min(col("ts_ms")).as("start_ms"),
-        max(col("ts_ms")).as("end_ms"))
-      .orderBy("user_id", "session_seq")
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(
+      e.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(byUser))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).cast(LongType).as("n_events"),
+          min(col("ts_ms")).as("start_ms"),
+          max(col("ts_ms")).as("end_ms")),
+      col("user_id"), col("session_seq"))
   }
 
   def qSessionizeSql: String =
@@ -685,9 +690,11 @@ object Analytics {
   def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    e.withColumn("running_value", moneyStr(sum(dec2(col("value"))).over(w)))
-      .select(col("user_id"), col("event_id"), col("running_value"))
-      .orderBy("user_id", "event_id")
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(
+      e.withColumn("running_value", moneyStr(sum(dec2(col("value"))).over(w)))
+        .select(col("user_id"), col("event_id"), col("running_value")),
+      col("user_id"), col("event_id"))
   }
 
   def qRunningTotalSql: String =
@@ -825,12 +832,14 @@ object Analytics {
     val ranked = e
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-    ranked.groupBy("event_type")
+    // materialize-once before the presentation sort (r18 plan audit:
+    // the sort's sample pass re-ran both window passes + the agg)
+    graft.Scratch.cpSorted(ranked.groupBy("event_type")
       .agg(
         moneyStr(max(when(col("rn") === expr("CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1"), dec2(col("value"))))).as("p50"),
         moneyStr(max(when(col("rn") === expr("CAST(FLOOR((n - 1) * 0.95) AS BIGINT) + 1"), dec2(col("value"))))).as("p95"),
-        max(col("n")).as("n"))
-      .orderBy("event_type")
+        max(col("n")).as("n")),
+      col("event_type"))
   }
 
   def qPercentilesSql: String =
@@ -853,7 +862,16 @@ object Analytics {
     * fixed-point e6 with floor so the oracle compares integers, never
     * doubles.
     */
-  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame =
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(qWindowFuncsScored(spark, dir),
+      col("user_id"), col("event_id"))
+
+  /** The window frame BEFORE the seal — the one-Window/one-shuffle
+    * plan contract is asserted here (sealing checkpoints the result,
+    * hiding the Window operator from the consumer's plan).
+    */
+  private[graft] def qWindowFuncsScored(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
     e.select(
@@ -862,7 +880,6 @@ object Analytics {
       coalesce(moneyStr(dec2(lead(col("value"), 1).over(w))), lit("")).as("next_value"),
       floor(cume_dist().over(w) * 1000000).cast(LongType).as("cume_e6"),
       floor(percent_rank().over(w) * 1000000).cast(LongType).as("prank_e6"))
-      .orderBy("user_id", "event_id")
   }
 
   def qWindowFuncsSql: String =

@@ -114,15 +114,16 @@ object ImporterCore {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.events(spark, dir)
       .filter(col("event_type").isin(VarTypes: _*))
       .withColumn("prev_max", max(col("ts_ms")).over(w))
       .filter(col("prev_max").isNull || col("ts_ms") > col("prev_max"))
       .select(
         col("user_id"), col("event_type").as("name"),
         col("ts_ms"), col("event_id"),
-        moneyStr(dec2(col("value"))).as("value_str"))
-      .orderBy("user_id", "name", "event_id")
+        moneyStr(dec2(col("value"))).as("value_str")),
+      col("user_id"), col("name"), col("event_id"))
   }
 
   def impVarDedupSql: String =
@@ -152,11 +153,12 @@ object ImporterCore {
           .otherwise("COMPLETED"))
     val w = Window.partitionBy("user_id", "event_type", "intent")
       .orderBy("event_id")
-    e.withColumn("rn", row_number().over(w))
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(e.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type").as("element_id"),
-        col("intent"), col("event_id"))
-      .orderBy("user_id", "element_id", "intent")
+        col("intent"), col("event_id")),
+      col("user_id"), col("element_id"), col("intent"))
   }
 
   def impTaskDedupSql: String =
@@ -448,15 +450,16 @@ object ImporterCore {
     * reference's processVariable guards inserts.
     */
   def impVariables(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "view", "purchase"))
       .select(
         col("event_id").as("record_key"),
         col("user_id").as("instance_key"),
         col("ts_ms"),
         col("event_type").as("name"),
-        moneyStr(dec2(col("value"))).as("value"))
-      .orderBy("record_key")
+        moneyStr(dec2(col("value"))).as("value")),
+      col("record_key"))
 
   def impVariablesSql: String =
     """SELECT event_id AS record_key, user_id AS instance_key,
@@ -469,7 +472,8 @@ object ImporterCore {
     * timestamp, intent, recordType, type, elementId — §1 data model).
     */
   def impTasks(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    // materialize-once before the presentation sort (r18 plan audit)
+    graft.Scratch.cpSorted(Tables.events(spark, dir)
       .select(
         col("event_id").as("record_key"),
         col("user_id").as("instance_key"),
@@ -477,8 +481,8 @@ object ImporterCore {
         when(get_json_object(col("props"), "$.k").cast(LongType) < 50, "CREATED")
           .otherwise("COMPLETED").as("intent"),
         lit("JOB").as("record_type"),
-        col("event_type").as("element_id"))
-      .orderBy("record_key")
+        col("event_type").as("element_id")),
+      col("record_key"))
 
   def impTasksSql: String =
     """SELECT event_id AS record_key, user_id AS instance_key,
@@ -613,8 +617,16 @@ object ImporterCore {
     // missing $.k coalesces to 0 — ONE class-routing rule shared with
     // the oracle CTE and the streaming fold (toRecs reads absent k as
     // 0), so a k-less record is a channelRequest/localQuoteResponse on
-    // every path instead of three divergent behaviors
-    val kPayload = coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L))
+    // every path instead of three divergent behaviors.
+    // kPayload reads the PROJECTED `kp` column (added below the
+    // routing flags): inlining the get_json_object expression here
+    // replicated the JSON parse into every routing flag, scalar
+    // string and aggregate update expression that mentions it — the
+    // r18 plan audit counted ~200 occurrences in this query's
+    // physical plan; as a multi-referenced non-cheap projection it
+    // now evaluates once per row and everything downstream is
+    // attribute arithmetic
+    val kPayload = col("kp")
     val qswJson = to_json(struct(
       concat(lit("txn-"), col("user_id"), lit("-"), (col("event_id") % 100).cast(LongType)).as("transactionId"),
       struct(struct(lit("IBAN").as("partyIdType"),
@@ -674,6 +686,8 @@ object ImporterCore {
     // once at instance start)
     val incoming = col("user_id") % 2 === 0
     val parsed = Tables.events(spark, dir)
+      .withColumn("kp",
+        coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L)))
       .withColumn("chan", when(isChan, from_json(chanJson, chanSchema)))
       .withColumn("qsw", when(isSwitch, from_json(qswJson, qswSchema)))
       .withColumn("resp", when(isResp, from_json(respJson, respSchema)))
@@ -969,7 +983,9 @@ object ImporterCore {
     // DuckDB's null-skipping CONCAT would otherwise render a missing
     // $.k differently, and the streaming fold already reads a missing
     // k as 0 — one rule everywhere
-    val k = coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L))
+    // k reads the projected `kp` column (see impEntityWide — the
+    // inlined JSON parse replicated into every aggregate expression)
+    val k = col("kp")
     val fatal = k >= 90
     val signal =
       when(col("event_type") === "signup", "RECEIVED")
@@ -982,9 +998,12 @@ object ImporterCore {
     val authType = when(k % 3 === 0, "NONE").when(k % 3 === 1, "OTP").otherwise("BIO")
     val outgoing = col("user_id") % 2 =!= 0
     Tables.events(spark, dir)
+      .withColumn("kp",
+        coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L)))
+      .withColumn("sig", signal)
       .groupBy(col("user_id"))
       .agg(
-        coalesce(lastBy(signal.isNotNull, signal, ordKey), lit("IN_PROGRESS")).as("state"),
+        coalesce(lastBy(col("sig").isNotNull, col("sig"), ordKey), lit("IN_PROGRESS")).as("state"),
         coalesce(min(when(col("event_type") === "signup", col("ts_ms"))), lit(-1L)).as("started_ms"),
         coalesce(max(when(col("event_type") === "purchase", col("ts_ms"))), lit(-1L)).as("completed_ms"),
         coalesce(moneyStr(sum(when(col("event_type") === "purchase", dec2(col("value"))))), lit("")).as("amount"),
@@ -1066,10 +1085,13 @@ object ImporterCore {
     */
   def impEntityBatches(spark: SparkSession, dir: String): DataFrame = {
     // coalesced for the same reason as impEntityTxnreq: k feeds the
-    // request_file/note string columns
-    val k = coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L))
+    // request_file/note string columns (projected once — see
+    // impEntityWide)
+    val k = col("kp")
     val isTxn = col("event_type").isin("click", "view", "purchase")
     Tables.events(spark, dir)
+      .withColumn("kp",
+        coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L)))
       .groupBy(col("user_id"))
       .agg(
         coalesce(min(when(col("event_type") === "signup", col("ts_ms"))), lit(-1L)).as("started_ms"),
