@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from the run task's stdout
+// tail; sbt's default LoggedOutput prefixes every forked-process line
+// with "[info] ", which the parser rejects (every BENCH_rNN.json back
+// to r10 carries parsed:null). StdoutOutput inherits this process's
+// stdout/stderr for the forked JVM, so the line lands unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,6 +41,59 @@ object OptExp {
             "i -> concat_ws(' ', slice(toks, i + 1, 5))))"))
         .select(col("doc_id"), explode(expr("graft_winnow(hs, 4)")).as("fp")))
       fps.orderBy("doc_id", "fp")
+    }),
+    // --- components-closure phase split (r19) -------------------------
+    "comp_pairs" -> ((s: SparkSession, d: String) =>
+      operators.TextOps.minhashCandidates(s, d)),
+    "comp_rounds" -> ((s: SparkSession, d: String) => {
+      val r = operators.Components.dedupComponents(s, d)
+      System.err.println(s"[optexp] comp rounds=${operators.Components.lastRounds.get()}")
+      r
+    }),
+    // the r18 loop (count + exceptAll probe, converges one round late)
+    // inlined for a within-JVM A/B against the shipped star-probe loop
+    "comp_closure_old" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val pairs = operators.TextOps.minhashCandidates(s, d)
+      var cur = Scratch.cp(pairs.select(
+          greatest(col("a_id"), col("b_id")).as("u"),
+          least(col("a_id"), col("b_id")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+      var curCount = cur.count()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val sym = cur.select(col("u"), col("v"))
+          .union(cur.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+        val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
+        val next = Scratch.cp(ls.join(mins2, "u")
+          .select(col("v").as("n"), col("m"))
+          .filter(col("n") =!= col("m"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .union(mins2.select(col("u"), col("m").as("v")))
+          .distinct())
+        val nextCount = next.count()
+        converged = nextCount == curCount && next.exceptAll(cur).isEmpty
+        Scratch.free(cur)
+        cur = next
+        curCount = nextCount
+        rounds += 1
+      }
+      System.err.println(s"[optexp] old-loop rounds=$rounds")
+      val roots = cur.groupBy(col("u").as("doc_id")).agg(min("v").as("component"))
+      val labels = docs.join(roots, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val lbl = Scratch.seal(labels, cur)
+      Scratch.free(pairs)
+      lbl.select(col("doc_id"), col("component"),
+          (col("doc_id") === col("component")).as("keep"))
+        .orderBy("doc_id")
     }))
 
   def main(args: Array[String]): Unit = {

@@ -197,6 +197,35 @@ object Scratch {
     out
   }
 
+  /** Lazy sibling of [[cp]] (local backend): the returned frame is
+    * MARKED for localCheckpoint but not yet materialized — the
+    * caller's first action over it (e.g. a convergence probe that
+    * must read every row anyway) computes, caches and
+    * lineage-truncates in that ONE job, where eager cp + probe pays
+    * two. The caller must run one single-scan action over the frame
+    * before reading it twice: a union of two scans of an
+    * unmaterialized checkpoint can compute partitions twice before
+    * the cache lands. Dir backend falls back to eager [[cp]] — the
+    * parquet write IS the materialization there. Tracked for release
+    * exactly like [[cp]].
+    */
+  def cpLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val backend =
+      try spark.conf.get("spark.graft.scratch", "local")
+      catch { case _: Throwable => "local" }
+    if (backend != "local") cp(df)
+    else {
+      val out = df.localCheckpoint(eager = false)
+      val handles = leafHandles(out).collect { case r: RddHandle => r }
+      handles.foreach(live.add)
+      scopes.get.headOption.foreach(s => handles.foreach(s.add))
+      val probe = planProbe.get()
+      if (probe != null) probe(df, out)
+      out
+    }
+  }
+
   /** Materialize `df` once, then apply its presentation sort over the
     * stored rows. A global `orderBy` plans a range exchange, and range
     * partitioning SAMPLES its child to compute partition bounds — a

@@ -39,6 +39,26 @@ object Components {
     */
   private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** True iff the canonical (u > v, child → root) edge set is a star
+    * forest: every child carries exactly ONE root edge and no node is
+    * both a child and a root (a node with two distinct roots, or a
+    * chain u → v → w, still has contraction work left — both shapes
+    * were verified non-fixed by hand-running the round on them). One
+    * single-scan aggregation: each edge contributes its endpoints'
+    * child/root roles via a 2-element explode (NOT a self-union,
+    * which would scan — and on an unmaterialized checkpoint,
+    * compute — the frame twice), then any node violating the star
+    * shape flags non-convergence.
+    */
+  private def isStarForest(edges: DataFrame): Boolean =
+    edges.select(explode(array(
+        struct(col("u").as("n"), lit(1L).as("c"), lit(0L).as("p")),
+        struct(col("v").as("n"), lit(0L).as("c"), lit(1L).as("p")))).as("e"))
+      .groupBy(col("e.n"))
+      .agg(sum(col("e.c")).as("c"), sum(col("e.p")).as("p"))
+      .filter(col("c") > 1 || (col("c") === 1 && col("p") > 0))
+      .isEmpty
+
   /** Contract to a star forest over an undirected edge list (columns
     * `a_id`, `b_id`) covering `nodes` (column `doc_id`). Returns
     * (doc_id, component) where component = min doc_id reachable.
@@ -55,7 +75,6 @@ object Components {
         greatest(col("a_id"), col("b_id")).as("u"),
         least(col("a_id"), col("b_id")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
-    var curCount = cur.count()
     val MaxRounds = 50
     var converged = false
     var rounds = 0
@@ -77,24 +96,25 @@ object Components {
       // u with m = min of its smaller neighbors, re-point u AND every
       // other smaller neighbor at m. Again canonical by construction.
       val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val next = graft.Scratch.cp(
+      val next = graft.Scratch.cpLazy(
         ls.join(mins2, "u")
           .select(col("v").as("n"), col("m"))
           .filter(col("n") =!= col("m"))
           .select(col("n").as("u"), col("m").as("v"))
           .union(mins2.select(col("u"), col("m").as("v")))
           .distinct())
-      // Converged ⟺ the edge set reached a fixed point (Kiveris: the
-      // fixed points are exactly the star forests). Both generations
-      // are distinct sets, so count equality + one-sided emptiness of
-      // the difference proves set equality — two cheap jobs over the
-      // CONTRACTED (shrinking) edge set, not the corpus.
-      val nextCount = next.count()
-      converged = nextCount == curCount &&
-        next.exceptAll(cur).isEmpty
+      // Converged ⟺ the contracted edge set IS a star forest (Kiveris:
+      // star forests are exactly the contraction's fixed points), so
+      // convergence is detectable on the round that PRODUCES the
+      // forest — one full contraction round earlier than waiting to
+      // observe next == cur, which had to run (and pay) the identity
+      // round. The probe is a single-scan aggregation over `next`
+      // that doubles as the lazy checkpoint's materializing action:
+      // one job per round where the old loop paid materialize +
+      // count + (final round) exceptAll.
+      converged = isStarForest(next)
       graft.Scratch.free(cur)
       cur = next
-      curCount = nextCount
       rounds += 1
     }
     lastRounds.set(rounds)
