@@ -94,6 +94,141 @@ object OptExp {
       lbl.select(col("doc_id"), col("component"),
           (col("doc_id") === col("component")).as("keep"))
         .orderBy("doc_id")
+    }),
+    // --- src_out_of_order phase split (r19): where do 5-10 s/trigger
+    // go — the source+parse, the FMGWS buffer fold, or the sink? All
+    // variants pin the bench's stream geometry (8 shuffle partitions).
+    "ooo_src_only" -> ((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = Tables.normalizeEvents(s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val work = java.nio.file.Files.createTempDirectory("graft_ooo_").toString
+      val q = streaming.StreamImport.toRecs(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/chk")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").format("noop").save() }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.range(1).toDF("x")
+    }),
+    "ooo_fold_nosink" -> ((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = Tables.normalizeEvents(s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val work = java.nio.file.Files.createTempDirectory("graft_ooo_").toString
+      val q = streaming.OutOfOrder.routed(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/chk")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").format("noop").save() }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.range(1).toDF("x")
+    }),
+    "ooo_asis" -> ((s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      SparkEntry.queries("src_out_of_order")(s, d)
+    }),
+    // --- ann_pq stage timers (r19): which of the 8 sequential driver
+    // actions (quantize cp, IVF Lloyd, assignment seal, PQ seeds, PQ
+    // Lloyd, index write, probe topk) carries the 5 s?
+    "pq_stages" -> ((s: SparkSession, d: String) => {
+      functions.GraftFunctions.register(s)
+      def t[T](name: String)(b: => T): T = {
+        val t0 = System.nanoTime(); val r = b
+        System.err.println(f"[optexp] pq $name%-12s ${(System.nanoTime() - t0) / 1e9}%5.2fs")
+        r
+      }
+      import operators.VectorOps._
+      val v = t("quantize_cp") { Scratch.cp(quantizePlan(Tables.embeddings(s, d))) }
+      val assigned = t("assign_seal") { cellAssignmentsOf(v, 16, 2, 1, 0) }
+      val base = assigned.filter(col("crnk") === 1)
+      val subDim = 64 / 8
+      var cb = t("pq_seeds") { pqSeedsOf(base, subDim, 8, 16) }
+      cb = t("pq_lloyd") { pqLloydStep(base, cb, 8, subDim, 16) }
+      val book = s.sparkContext.broadcast(
+        graft.functions.PqBook.build(cb, 8, subDim, 16))
+      val table = "graft_pqidx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      t("index_write") { graft.sources.BucketedTable.write(
+        pqIndexOf(base, book), table, "cell", 16) }
+      val corpus = graft.sources.BucketedTable.read(s, table)
+      val (_, _, topk) = annPqProbeFrames(assigned, corpus, book,
+        16, 2, 3, 8, 16, "direct")
+      val out = t("probe_seal") { Scratch.seal(topk, assigned) }
+      t("sort_noop") { out.orderBy("q_id", "rnk")
+        .write.mode("overwrite").format("noop").save() }
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      book.destroy()
+      s.range(1).toDF("x")
+    }),
+    // --- dedup_ngram_prod A/B (r19, VERDICT item 8): the per-doc
+    // shingle-set aggregate (shuffle + collect_list over the capped
+    // frame) is a subtree of BOTH verify-join branches — Spark plans
+    // no cross-branch CSE, so it executes twice. Variant cp's it once.
+    "ngram_prod_setscp" -> ((s: SparkSession, d: String) => {
+      functions.GraftFunctions.register(s)
+      val cand = operators.TextOps.minhashCandidates(s, d).select("a_id", "b_id")
+      val capped = operators.TextOps.cappedShingles(s, d)
+      val sets = Scratch.cp(capped.groupBy("doc_id")
+        .agg(collect_list(col("h")).as("hs")))
+      Scratch.free(capped) // sets carries everything the joins need
+      val verified = cand
+        .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+        .withColumn("shared", size(array_intersect(col("ha"), col("hb")))
+          .cast(org.apache.spark.sql.types.LongType))
+        .withColumn("jac_e4",
+          expr("10000 * shared DIV (size(ha) + size(hb) - shared)"))
+        .filter(col("jac_e4") >= 3000)
+        .select("a_id", "b_id", "jac_e4")
+      Scratch.seal(verified, sets).orderBy("a_id", "b_id")
+    }),
+    // plan-shape probe: the UNSEALED verify-join plan (the gate query
+    // seals it, so the dump shows only the stub) — checks whether the
+    // two sets-agg branches already collapse to a ReusedExchange
+    "ngram_prod_plan" -> ((s: SparkSession, d: String) => {
+      functions.GraftFunctions.register(s)
+      val cand = operators.TextOps.minhashCandidates(s, d).select("a_id", "b_id")
+      val capped = operators.TextOps.cappedShingles(s, d)
+      val sets = capped.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+      val verified = cand
+        .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+        .withColumn("shared", size(array_intersect(col("ha"), col("hb")))
+          .cast(org.apache.spark.sql.types.LongType))
+        .withColumn("jac_e4",
+          expr("10000 * shared DIV (size(ha) + size(hb) - shared)"))
+        .filter(col("jac_e4") >= 3000)
+        .select("a_id", "b_id", "jac_e4")
+      verified.write.mode("overwrite").format("noop").save()
+      System.err.println("[optexp] ngram_prod unsealed EXECUTED plan:\n" +
+        verified.queryExecution.executedPlan.toString)
+      Scratch.free(capped)
+      s.range(1).toDF("x")
+    }),
+    // counts-once A/B for the symmetric detector family: ngramPairsOf
+    // computes the per-doc count aggregate once per join side
+    "ngram_countscp" -> ((s: SparkSession, d: String) => {
+      functions.GraftFunctions.register(s)
+      val capped = operators.TextOps.cappedShingles(s, d)
+      val counts = Scratch.cp(capped.groupBy("doc_id")
+        .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n_sh")))
+      val shared = capped.as("a").join(capped.as("b").hint("merge"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("shared"))
+      val pairs = shared
+        .join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn("jac_e4", expr("10000 * shared DIV (na + nb - shared)"))
+        .filter(col("jac_e4") >= 3000)
+        .select("a_id", "b_id", "jac_e4")
+      Scratch.seal(pairs, capped, counts).orderBy("a_id", "b_id")
     }))
 
   def main(args: Array[String]): Unit = {

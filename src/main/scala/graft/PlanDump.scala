@@ -8,6 +8,15 @@ package graft
   * which is what shows the static shape: Exchange count/placement, join
   * strategy, PushedFilters/ReadSchema, WholeStageCodegen spans.
   *
+  * CAVEAT (r18 ADVICE): queries whose body runs behind an EAGER
+  * Scratch barrier (cp/cpSorted/seal) execute that body while the
+  * DataFrame is BUILT, and the dumped plan shows only the post-barrier
+  * scan + sort — the body's shape is not in the dump. Auditing such a
+  * query's body means dumping its unsealed frame (the pattern
+  * AnalyticsSpec uses via qWindowFuncsScored) or registering a
+  * Scratch.planProbe hook (BroadcastAudit does) to capture the
+  * pre-seal segment at materialization time.
+  *
   * Usage: runMain graft.PlanDump <outDir> <suffix> [sfDir] [names]
   */
 object PlanDump {

@@ -2031,9 +2031,16 @@ object StreamImport {
         q.recentProgress.iterator.foreach { p =>
           p.durationMs.forEach((k, v) => phases(k) = phases.getOrElse(k, 0L) + v)
         }
+        // recentProgress is a ring buffer (spark.sql.streaming.
+        // numRecentProgressUpdates, default 100): a run past the cap
+        // silently under-reports phase seconds — stamp the truncation
+        // so a phase sum is never mistaken for the whole run (r18
+        // ADVICE)
+        val trunc =
+          if (q.recentProgress.length >= 100) " (TRUNCATED: ring cap hit)" else ""
         if (phases.nonEmpty) System.err.println(s"[graft-phase] $label: " +
           phases.toSeq.sortBy(-_._2).map { case (k, v) => f"$k=${v / 1000.0}%.2fs" }
-            .mkString(" "))
+            .mkString(" ") + trunc)
       } catch { case scala.util.control.NonFatal(_) => () }
   }
 

@@ -329,6 +329,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(windows == 1, s"expected 1 Window operator, got $windows:\n$plan")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+    // the SEALED gate entry's own plan contract (r18 ADVICE): exactly
+    // one range exchange (the presentation sort) directly over the
+    // barrier's materialized rows — extra work sneaking in between the
+    // seal and the sort would show up as additional operators here
+    val sealedPlan = Analytics.qWindowFuncs(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val ranges = "Exchange rangepartitioning".r.findAllIn(sealedPlan).size
+    assert(ranges == 1, s"expected 1 range exchange over the seal, got $ranges:\n$sealedPlan")
+    assert(!sealedPlan.contains("Exchange hashpartitioning") &&
+      "\\bWindow\\b".r.findAllIn(sealedPlan).isEmpty &&
+      sealedPlan.contains("ExistingRDD"),
+      s"sealed plan must be sort-over-materialized-rows only:\n$sealedPlan")
     // sanity on semantics: quartiles are 1..4 and rank fractions bounded
     val rows = Analytics.qWindowFuncs(spark, sfDir).collect()
     assert(rows.forall(r => (1L to 4L).contains(r.getAs[Long]("quartile"))))

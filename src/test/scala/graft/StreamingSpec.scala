@@ -50,6 +50,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("upserting an all-empty batch writes no generation and no manifest") {
+    // pins the r18 empty-batch guard's null-aggregate semantics (null
+    // max + empty collect_set over an empty frame): an empty trigger
+    // must leave the table untouched — no gen-* dir, no manifest, and
+    // readCurrent still None (r18 ADVICE item)
+    import spark.implicits._
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString + "/t"
+    val empty = Seq.empty[(String, String, Long)].toDF("transfer_key", "tenant", "v")
+    TenantUpsertSink.upsert(sinkDir, empty, "transfer_key")
+    val dir = new java.io.File(sinkDir)
+    val children = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+    assert(!children.exists(_.getName.startsWith("gen-")),
+      s"empty upsert wrote a generation: ${children.map(_.getName)}")
+    assert(!children.exists(_.getName == "_CURRENT"),
+      s"empty upsert wrote a manifest: ${children.map(_.getName)}")
+    assert(TenantUpsertSink.readCurrent(spark, sinkDir).isEmpty)
+  }
+
   test("stream_txnreq: RANDOMIZED arrival order still equals the batch entity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
