@@ -211,6 +211,22 @@ object OptExp {
       Scratch.free(capped)
       s.range(1).toDF("x")
     }),
+    // cpSorted eager-vs-lazy A/B (r19): the eager barrier pays a
+    // dedicated materialize job, then the sort's range-sample job
+    // re-scans the cache; a LAZY checkpoint folds the body into the
+    // sample job (RangePartitioner.sketch scans every partition, so
+    // the cache is complete before the shuffle job) — one fewer job
+    // per barrier query, body still executed exactly once
+    "raw_ingest_cplazy" -> ((s: SparkSession, d: String) => {
+      val parsed = Scratch.cpLazy(
+        graft.sources.RawIngest.parse(graft.sources.RawIngest.rawRecords(s, d)))
+      parsed.orderBy("record_id")
+    }),
+    "mm_pipeline_cplazy" -> ((s: SparkSession, d: String) => {
+      functions.GraftFunctions.register(s)
+      Scratch.cpLazy(operators.Multimodal.features(s, d).toDF())
+        .orderBy("doc_id", "frame_idx")
+    }),
     // counts-once A/B for the symmetric detector family: ngramPairsOf
     // computes the per-doc count aggregate once per join side
     "ngram_countscp" -> ((s: SparkSession, d: String) => {
