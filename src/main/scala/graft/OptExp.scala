@@ -227,6 +227,44 @@ object OptExp {
       Scratch.cpLazy(operators.Multimodal.features(s, d).toDF())
         .orderBy("doc_id", "frame_idx")
     }),
+    // pair-enumeration A/B (r19): replace ngramPairsOf's h-keyed
+    // SELF-JOIN (Exchange+Sort on each side + SortMergeJoin) with ONE
+    // groupBy(h) + row-local pair combinations — the per-h doc lists
+    // are df-capped (<= 100), so combination explode is bounded and the
+    // pair multiset is identical (each (a,b,h) with a<b appears once)
+    "ngram_pairs_grouped" -> ((s: SparkSession, d: String) => {
+      functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.types.LongType
+      val capped = operators.TextOps.cappedShingles(s, d)
+      val counts = capped.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_sh"))
+      val shared = capped.groupBy("h")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> " +
+            "transform(slice(ds, i + 2, size(ds) - i - 1), " +
+            "y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
+        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        .agg(count(lit(1)).cast(LongType).as("shared"))
+      val pairs = shared
+        .join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn("jac_e4", expr("10000 * shared DIV (na + nb - shared)"))
+        .filter(col("jac_e4") >= 3000)
+        .select("a_id", "b_id", "jac_e4")
+      Scratch.seal(pairs, capped).orderBy("a_id", "b_id")
+    }),
+    // one-shot equivalence check: grouped enumeration vs the shipped
+    // self-join, exact row-set equality both directions
+    "ngram_pairs_check" -> ((s: SparkSession, d: String) => {
+      functions.GraftFunctions.register(s)
+      val a = SparkEntry.queries("dedup_ngram")(s, d).collect().map(_.toSeq).toSet
+      val b = variants(d)("ngram_pairs_grouped")(s, d).collect().map(_.toSeq).toSet
+      System.err.println(s"[optexp] ngram check: join=${a.size} grouped=${b.size} " +
+        s"onlyJoin=${(a -- b).size} onlyGrouped=${(b -- a).size}")
+      require(a == b, "grouped pair enumeration diverged from the self-join")
+      s.range(1).toDF("x")
+    }),
     // counts-once A/B for the symmetric detector family: ngramPairsOf
     // computes the per-doc count aggregate once per join side
     "ngram_countscp" -> ((s: SparkSession, d: String) => {
