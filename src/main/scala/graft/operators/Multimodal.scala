@@ -70,15 +70,23 @@ object Multimodal {
     */
   private[graft] def synthesizeImage(seed: Array[Byte], w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // packed-int writes straight into the raster buffer: a fresh
+    // TYPE_INT_RGB image is a SinglePixelPackedSampleModel with
+    // scanline stride w and offset 0, and setRGB stores exactly the
+    // 24 low bits we compute — same pixels, without setRGB's per-call
+    // color-model conversion on every pixel of every frame
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    val sl = seed.length
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val i = y * w + x
-        val r = seed(i % seed.length) & 0xff
-        val g = seed((i * 7 + 3) % seed.length) & 0xff
+        val r = seed(i % sl) & 0xff
+        val g = seed((i * 7 + 3) % sl) & 0xff
         val b = (x * 31 + y * 17) & 0xff
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(i) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1

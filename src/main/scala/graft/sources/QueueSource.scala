@@ -111,17 +111,45 @@ private case class SeqOffset(v: Long) extends Offset {
 }
 
 private class QueueMicroBatchStream(subject: String) extends MicroBatchStream {
+  // captured at stream creation (driver side): how many scan slots the
+  // session offers a micro-batch
+  private val slots: Int =
+    org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+
   override def initialOffset(): Offset = SeqOffset(0L)
   override def latestOffset(): Offset = SeqOffset(QueueHub.size(subject))
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** Split each micro-batch's offset range across scan partitions: a
+    * single InputPartition serializes everything between the source
+    * and the first exchange (the whole from_json parse, and for an
+    * unshuffled sink the write too) into ONE task. The split is
+    * scale-adaptive — ranges under [[QueueMicroBatchStream.MinRowsPerPartition]]
+    * stay single-task so toy batches don't pay per-task overhead, and
+    * the partition count is capped at the session's parallelism.
+    * Offsets remain contiguous and each message keeps its (seq,
+    * arrival_ms) pair, so the row multiset per batch is byte-identical
+    * to the single-partition plan; downstream consumers are row-local
+    * projections or commutative keyed folds (FoldMonoidSpec), so
+    * results are partition-count-independent.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].v
     val e = end.asInstanceOf[SeqOffset].v
     if (e <= s) Array.empty
-    else Array(QueuePartition(subject, s, e))
+    else {
+      val total = e - s
+      val byFloor = (total + QueueMicroBatchStream.MinRowsPerPartition - 1) /
+        QueueMicroBatchStream.MinRowsPerPartition
+      val n = math.max(1L, math.min(byFloor, slots.toLong)).toInt
+      if (n > 1)
+        System.err.println(s"[graft-queue] $subject batch [$s,$e) -> $n scan partitions")
+      Array.tabulate[InputPartition](n) { i =>
+        QueuePartition(subject, s + total * i / n, s + total * (i + 1) / n)
+      }.filter { case p: QueuePartition => p.until > p.from }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -140,6 +168,17 @@ private class QueueMicroBatchStream(subject: String) extends MicroBatchStream {
         }
       }
     }
+}
+
+private object QueueMicroBatchStream {
+  /** Per-partition row floor for the micro-batch split (env
+    * `SPARK_GRAFT_QUEUE_SPLIT_ROWS`): small enough that the gate
+    * corpora fan out across the local cores, large enough that a
+    * partition amortizes its task overhead. A production deployment
+    * sizes this to (batch rows / cluster scan slots).
+    */
+  val MinRowsPerPartition: Long =
+    sys.env.getOrElse("SPARK_GRAFT_QUEUE_SPLIT_ROWS", "8192").toLong.max(1L)
 }
 
 private case class QueuePartition(subject: String, from: Long, until: Long)
