@@ -83,6 +83,46 @@ class QueueSourceSpec extends SparkSpec {
     }
   }
 
+  test("micro-batch split: large batches fan out across scan partitions, row set exact; small batches stay single-task") {
+    // the source splits each batch's offset range into
+    // min(ceil(rows / 8192), defaultParallelism) contiguous slices —
+    // every message must still arrive exactly once with its seq, and
+    // a batch under the floor must not pay multi-task overhead
+    import spark.implicits._
+    val subject = "zeebe-export-split"
+    QueueHub.clear(subject)
+    val n = 20000 // ceil(20000/8192) = 3 slices on the local[4] session
+    val stream = spark.readStream.format("graft-queue")
+      .option("subject", subject).load()
+      .select(col("seq"), col("value"),
+        org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName("queue_split")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_qsplit_").toString)
+      .start()
+    QueueHub.publish(subject, (0 until n).map(i => s"m$i"))
+    q.processAllAvailable()
+    val big = spark.table("queue_split").collect()
+    assert(big.length == n)
+    // exactly once, in offset order per slice, value matching its seq
+    assert(big.map(_.getAs[Long]("seq")).sorted.toSeq == (0L until n.toLong))
+    big.foreach(r => assert(r.getAs[String]("value") == s"m${r.getAs[Long]("seq")}"))
+    val bigPids = big.map(_.getAs[Int]("pid")).distinct
+    assert(bigPids.length > 1,
+      s"a $n-row batch should scan in parallel, got partitions ${bigPids.toSeq}")
+    // second batch, under the 8192-row floor: single scan partition
+    QueueHub.publish(subject, (n until n + 100).map(i => s"m$i"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("queue_split").collect()
+    assert(all.length == n + 100)
+    val smallPids = all.filter(_.getAs[Long]("seq") >= n).map(_.getAs[Int]("pid")).distinct
+    assert(smallPids.length == 1,
+      s"a 100-row batch should stay single-task, got partitions ${smallPids.toSeq}")
+    QueueHub.clear(subject)
+  }
+
   test("queue source requires a subject option") {
     val e = intercept[Exception] {
       spark.readStream.format("graft-queue").load()
