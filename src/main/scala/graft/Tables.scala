@@ -57,4 +57,31 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Whether [[spread]] is active (env `SPARK_GRAFT_SPREAD_INPUT`,
+    * default on). Off is for source layouts whose scans already plan
+    * enough non-empty splits — there the exchange is a redundant pass
+    * over the frame.
+    */
+  private val SpreadInput: Boolean =
+    sys.env.get("SPARK_GRAFT_SPREAD_INPUT").forall(!_.equalsIgnoreCase("off"))
+
+  /** Fan a scan out across the session's cores BEFORE heavy row-local
+    * work (guide §2.5 input skew). The corpus ships documents /
+    * embeddings as single-row-group parquet, so a bare scan plans ONE
+    * non-empty split — every row-local stage below the first exchange
+    * (codec synthesis/decode, tokenize + shingle + hash fronts) then
+    * runs serially no matter how many cores the session has (measured:
+    * the documents-front rows' 8c/32c sf1 ratios sat at 0.84–1.05).
+    * The exchange is deterministic (hash of `key` — safe under task
+    * retry, §2.5) and moves only the frame's own (narrow, projected)
+    * bytes once; the heavy derived work downstream runs at session
+    * parallelism. Apply at HEAVY front-ends only — row-local-cheap
+    * operators keep their no-shuffle shape (spec-pinned).
+    */
+  def spread(df: DataFrame, key: String): DataFrame =
+    if (!SpreadInput) df
+    else df.repartition(
+      df.sparkSession.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
 }

@@ -323,7 +323,9 @@ object Components {
     */
   private[graft] def qualityRank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    Tables.documents(spark, dir)
+    // fan out before the tokenize (§2.5 input skew — single-row-group
+    // corpus scan)
+    Tables.spread(Tables.documents(spark, dir), "doc_id")
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))

@@ -169,8 +169,12 @@ object Multimodal {
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).cast("binary").as("seed"))
+    // fan the (doc_id, seed) rows out across the cores before the
+    // synthesize/encode map — the single-row-group corpus scan
+    // otherwise runs the whole codec chain in ONE task (§2.5); the
+    // exchange moves 40 bytes per doc
+    Tables.spread(Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).cast("binary").as("seed")), "doc_id")
       .as[(Long, Array[Byte])]
       .map { case (id, seed) =>
         val format = Formats((id % 4).toInt)

@@ -72,7 +72,7 @@ object TextOps {
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     // materialize-once before the presentation sort (r18 plan audit:
     // the sort's sample pass re-ran the pretokenizer regex per doc)
-    graft.Scratch.cpSorted(Tables.documents(spark, dir).select(
+    graft.Scratch.cpSorted(Tables.spread(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
       size(expr(s"regexp_extract_all(text, '${graft.functions.Portable.PretokRe}', 0)"))
@@ -94,7 +94,7 @@ object TextOps {
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     // materialize-once before the presentation sort (r18 plan audit)
-    graft.Scratch.cpSorted(Tables.documents(spark, dir)
+    graft.Scratch.cpSorted(Tables.spread(Tables.documents(spark, dir), "doc_id")
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))
@@ -132,6 +132,7 @@ object TextOps {
     */
   def textTtr(spark: SparkSession, dir: String): DataFrame =
     // materialize-once before the presentation sort (r18 plan audit)
+    // NO spread: body too light, fan-out measured worse (paired 1.13 -> 1.29)
     graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .withColumn("n_types",
         size(expr("array_distinct(split(text, ' '))")).cast(LongType))
@@ -160,7 +161,7 @@ object TextOps {
       size(expr(s"filter(split(text,' '), t -> t IN ($list))")).cast(LongType)
     }
     // materialize-once before the presentation sort (r18 plan audit)
-    graft.Scratch.cpSorted(Tables.documents(spark, dir)
+    graft.Scratch.cpSorted(Tables.spread(Tables.documents(spark, dir), "doc_id")
       .withColumn("c_sql", cnt(Seq("table", "scan", "join", "query", "filter")))
       .withColumn("c_stream", cnt(Seq("stream", "batch", "window", "spark")))
       .withColumn("c_ml", cnt(Seq("vector", "data", "group", "value")))
@@ -226,7 +227,7 @@ object TextOps {
   def textNormalize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     // materialize-once before the presentation sort (r18 plan audit)
-    graft.Scratch.cpSorted(Tables.documents(spark, dir)
+    graft.Scratch.cpSorted(Tables.spread(Tables.documents(spark, dir), "doc_id")
       .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
       .select(
         col("doc_id"),
@@ -263,7 +264,7 @@ object TextOps {
     * the `scrubbed` column DIRECTLY (not on a re-derived copy).
     */
   def textPiiScrubbed(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir), "doc_id")
       .withColumn("raw", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-202-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
@@ -331,7 +332,7 @@ object TextOps {
     */
   private[graft] def textRepetitionScored(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir), "doc_id")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast(LongType))
@@ -415,6 +416,7 @@ object TextOps {
     * the IVF centroid dim. One doc_id shuffle for the final rollup.
     */
   def textOov(spark: SparkSession, dir: String): DataFrame = {
+    // NO spread: fan-out measured worse here (paired 2.28 -> 2.43)
     def tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
@@ -451,7 +453,7 @@ object TextOps {
   def textBigram(spark: SparkSession, dir: String): DataFrame = {
     // the exploded bigram frame feeds THREE consumers (mass total,
     // model build, scoring join) — materialize it once
-    val bg = graft.Scratch.cp(Tables.documents(spark, dir)
+    val bg = graft.Scratch.cp(Tables.spread(Tables.documents(spark, dir), "doc_id")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(shinglesOfExpr(2, "toks"))).as("b")))
     val total = bg.agg(count(lit(1)).as("nb"))
@@ -510,7 +512,7 @@ object TextOps {
     */
   private[graft] def textTfidfScored(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir), "doc_id")
     val tf = graft.Scratch.cp(docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).cast(LongType).as("tf")))
@@ -576,6 +578,7 @@ object TextOps {
     * and the corpus-total join is a one-row broadcast.
     */
   def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    // NO spread: fan-out measured worse here (paired 1.26 -> 1.46)
     val counts = graft.Scratch.cp(Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("t"))
       .groupBy("t").agg(count(lit(1)).cast(LongType).as("cnt")))
@@ -621,6 +624,9 @@ object TextOps {
     * doc_id per group (one shuffle on the 128-bit hash).
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    // NO spread here: the md5+partial-agg scan is cheap and the groupBy
+    // shuffles only digests — the fan-out exchange measured WORSE
+    // (paired sf1 A/B 1.02 -> 1.23)
     Tables.documents(spark, dir)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).cast(LongType).as("n_copies"))
@@ -668,7 +674,8 @@ object TextOps {
     * (doc_id, text); caller registers GraftFunctions.
     */
   private[graft] def dedupSubstringOf(docs: DataFrame): DataFrame = {
-    val wins = docs
+    // fan out before the window explode (§2.5 — see cappedShinglesOf)
+    val wins = Tables.spread(docs.select(col("doc_id"), col("text")), "doc_id")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${shinglesOfExpr(SubstringW, "toks")})")).as("s"))
@@ -738,7 +745,9 @@ object TextOps {
     * gate entry and [[dedupWinnow]].
     */
   private[graft] def winnowFps(docs: DataFrame): DataFrame =
-    docs
+    // fan out before the k-gram hash + winnow selection (§2.5 — see
+    // cappedShinglesOf)
+    Tables.spread(docs.select(col("doc_id"), col("text")), "doc_id")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hs",
         expr(s"graft_hash60_all(${shinglesOfExpr(WinnowK, "toks")})"))
@@ -903,7 +912,9 @@ object TextOps {
     * oracle). Caller registers GraftFunctions.
     */
   private[graft] def substringWindows(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
+    // fan out before the window explode (§2.5 — see cappedShinglesOf)
+    Tables.spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${shinglesOfExpr(SubstringW, "toks")})")).as("s"))
       .select(col("doc_id"), expr(hx("s")).as("h"))
@@ -1040,7 +1051,10 @@ object TextOps {
     * frame. Caller registers GraftFunctions.
     */
   private[graft] def cappedShinglesOf(docs: DataFrame): DataFrame = {
-    val sh = docs
+    // fan out before the shingle explode — the single-row-group corpus
+    // scan otherwise tokenizes+hashes the whole corpus in ONE task
+    // (§2.5 input skew); the exchange moves only (doc_id, text)
+    val sh = Tables.spread(docs.select(col("doc_id"), col("text")), "doc_id")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${shinglesOfExpr(3, "toks")})")).as("s"))
@@ -1320,7 +1334,10 @@ object TextOps {
     // affine pseudo-permutations (A_i*h + B_i) mod 2^31-1 computed by
     // the native graft_minhash expression (exact in both engines —
     // the oracle renders the same maps in SQL).
-    val withSigs = docs
+    // fan out before the signature computation — one task otherwise
+    // minhashes the whole corpus (§2.5 input skew; single-row-group
+    // scan); the exchange moves only (doc_id, text)
+    val withSigs = Tables.spread(docs.select(col("doc_id"), col("text")), "doc_id")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("mhs", expr(
         s"graft_minhash(${hxAll(s"array_distinct(${shinglesOfExpr(5, "toks")})")}, $k)"))
@@ -1463,7 +1480,13 @@ object TextOps {
     */
   def dedupSimhashWith(spark: SparkSession, dir: String,
       bits: Int, bands: Int, maxHamming: Int = 3): DataFrame =
-    dedupSimhashOf(Tables.documents(spark, dir), bits, bands, maxHamming)
+    // the PRODUCTION geometry opts out of the input fan-out: paired
+    // sf1 A/B measured it worse there (4.13 -> 5.62; the 60-bit/6-band
+    // arm's sparser buckets lose more to the 32-partition checkpoint's
+    // downstream join geometry than the parallel hash gains), while
+    // the 32-bit gate arm improved (7.83 -> 5.57)
+    dedupSimhashOf(Tables.documents(spark, dir), bits, bands, maxHamming,
+      spreadInput = bits == 32)
 
   /** Parametric simhash dedup over a caller-supplied (doc_id, text)
     * frame — the corpus-independent entry the geometry specs drive
@@ -1474,7 +1497,8 @@ object TextOps {
     * requires bands ≥ maxHamming + 1.
     */
   private[graft] def dedupSimhashOf(docs: DataFrame,
-      bits: Int, bands: Int, maxHamming: Int = 3): DataFrame = {
+      bits: Int, bands: Int, maxHamming: Int = 3,
+      spreadInput: Boolean = true): DataFrame = {
     require(bits % bands == 0,
       s"dedup_simhash: bits=$bits must split evenly into bands=$bands")
     require(bands >= maxHamming + 1,
@@ -1490,8 +1514,12 @@ object TextOps {
       else s"graft_simhash(${hxAll("split(text,' ')")}, $bits)"
     // signatures materialize once — they feed all band-join inputs;
     // without the barrier each side re-hashes the corpus
-    val sigs = graft.Scratch.cp(docs
-      .select(col("doc_id"), expr(sigExpr).as("sig")))
+    val sigs = graft.Scratch.cp(
+      // fan out before the signature hash (§2.5 — see cappedShinglesOf);
+      // the prod geometry opts out (see dedupSimhashWith)
+      (if (spreadInput) Tables.spread(docs.select(col("doc_id"), col("text")), "doc_id")
+       else docs)
+        .select(col("doc_id"), expr(sigExpr).as("sig")))
     // each pair emits from its FIRST matching band only (the ann_lsh
     // canonical-band argument, row-local over the two sigs), so the
     // bands-way union is disjoint BY CONSTRUCTION and the distinct
@@ -1583,6 +1611,9 @@ object TextOps {
     // hamming-0 expansion below) — which is the pair list itself,
     // not wasted probing.
     val sigs = graft.Scratch.cp(docs
+      // NO spread: the sharded arm measured worse with it (paired
+      // 4.13 -> 5.62 — the 32-partition cp perturbs the key-join
+      // geometry at gate scale; the gate-geometry arm keeps its spread)
       .select(col("doc_id"), expr(sigExpr).as("sig")))
     // keys via the native graft_simhash_keys pass (the spelled-out
     // array literal at (10,4) is 210 structs × 4 shift-or terms —

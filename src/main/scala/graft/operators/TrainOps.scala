@@ -42,7 +42,7 @@ object TrainOps {
   def pipeSample(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     // materialize-once before the presentation sort (r18 plan audit)
-    graft.Scratch.cpSorted(Tables.documents(spark, dir)
+    graft.Scratch.cpSorted(Tables.spread(Tables.documents(spark, dir), "doc_id")
       .withColumn("len", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))
@@ -97,7 +97,9 @@ object TrainOps {
     * registered on the frame's session.
     */
   def packInput(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // fan out before the tokenize (§2.5 input skew)
+    Tables.spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("tok"))
       .withColumn("shard", expr(s"${saltedHash("pack|")} % $PackShards"))
 
@@ -241,6 +243,7 @@ object TrainOps {
     val ordHash = s"graft_hash60(concat('$CurriculumSalt', CAST(doc_id AS STRING)))"
     val Seq(c1, c2, c3) = CurriculumCutsE2
     val w = Window.partitionBy("band", "shard").orderBy(col("ord"), col("doc_id"))
+    // NO spread: fan-out measured worse here (paired 1.21 -> 1.37)
     Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
       .withColumn("avg_len_e2",
@@ -350,7 +353,7 @@ object TrainOps {
   def pipeTokenize(spark: SparkSession, dir: String): DataFrame = {
     // the regex pretokenize + explode feeds TWO consumers (vocab pass
     // and the id-assignment probe) — materialize it once
-    val tok = graft.Scratch.cp(Tables.documents(spark, dir)
+    val tok = graft.Scratch.cp(Tables.spread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"),
         posexplode(expr(s"regexp_extract_all(text, '$PretokRe', 0)")).as(Seq("pos", "t"))))
     // Rank WITHOUT a window: the frame is ≤ TokenizeVocab rows by
@@ -539,7 +542,7 @@ object TrainOps {
 
   def pipeChunk(spark: SparkSession, dir: String): DataFrame =
     // materialize-once before the presentation sort (r18 plan audit)
-    graft.Scratch.cpSorted(Tables.documents(spark, dir)
+    graft.Scratch.cpSorted(Tables.spread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
       .select(col("doc_id"), posexplode(expr(

@@ -70,9 +70,16 @@ object VectorOps {
     * for them, and NaN semantics differ between engines (Spark CAST
     * maps NaN to 0; DuckDB errors). The oracle applies the same guard.
     */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
-    // materialized once: every consumer is a self-join or multi-read
-    graft.Scratch.cp(quantizePlan(Tables.embeddings(spark, dir)))
+  private def quantized(spark: SparkSession, dir: String,
+      spreadInput: Boolean = true): DataFrame =
+    // materialized once: every consumer is a self-join or multi-read.
+    // fan out before the row-local quantize+norm (§2.5 input skew —
+    // the single-row-group embeddings scan is otherwise ONE task);
+    // dedup_embed opts out (paired sf1 A/B: its band-vector self-join
+    // measured worse over the 32-partition checkpoint, 3.10 -> 4.64)
+    graft.Scratch.cp(quantizePlan(
+      if (spreadInput) Tables.spread(Tables.embeddings(spark, dir), "vec_id")
+      else Tables.embeddings(spark, dir)))
 
   private val quantizedDuckCte =
     s"""q0 AS (
@@ -94,8 +101,8 @@ object VectorOps {
     */
   private[graft] def bucketed(spark: SparkSession, dir: String,
       bands: Int = Bands, bitsPerBand: Int = BitsPerBand,
-      keepBandVector: Boolean = false): DataFrame =
-    bucketedFrom(quantized(spark, dir), bands, bitsPerBand, keepBandVector)
+      keepBandVector: Boolean = false, spreadInput: Boolean = true): DataFrame =
+    bucketedFrom(quantized(spark, dir, spreadInput), bands, bitsPerBand, keepBandVector)
 
   /** Bucket keys over a caller-supplied quantized frame
     * (vec_id, q, n2) — the corpus-independent entry the recall specs
@@ -433,7 +440,7 @@ object VectorOps {
     * not just row counts.
     */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val b = bucketed(spark, dir, keepBandVector = true)
+    val b = bucketed(spark, dir, keepBandVector = true, spreadInput = false)
     // each pair from its first shared band only (firstSharedBand) —
     // no distinct over the pair set, same argument as lshTopkFrom
     val pairs = b.as("a").join(b.as("b"),
@@ -1373,6 +1380,7 @@ object VectorOps {
   def embedStats(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val e = graft.Scratch.cp(Tables.embeddings(spark, dir)
+      // NO spread: fan-out measured worse here (paired 1.67 -> 1.92)
       .select(col("vec_id"), col("label"), expr(quantExpr).as("q"))
       .withColumn("n2", expr(dotExpr("q", "q")))
       .filter(col("n2") > 0))
@@ -1442,6 +1450,7 @@ object VectorOps {
     */
   def annIndexAppend(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
+    // NO spread: fan-out measured worse here (paired 1.79 -> 2.13)
     val all = Tables.embeddings(spark, dir)
     val corpusIdx = bucketedOf(
       quantizePlan(all.filter(col("vec_id") % 10 =!= 7)), Bands, BitsPerBand)
@@ -1498,6 +1507,7 @@ object VectorOps {
     */
   def annIvfAppend(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
+    // NO spread: fan-out measured worse here (paired 1.80 -> 2.96)
     val all = Tables.embeddings(spark, dir)
     val corpus = graft.Scratch.cp(quantizePlan(all.filter(col("vec_id") % 10 =!= 7)))
     val cents = refinedCentroidsRouted(corpus, IvfCells, 1, 0)
@@ -1588,6 +1598,7 @@ object VectorOps {
     */
   def annPqAppend(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
+    // NO spread: fan-out measured worse here (paired 2.73 -> 4.01)
     val all = Tables.embeddings(spark, dir)
     val corpus = graft.Scratch.cp(quantizePlan(all.filter(col("vec_id") % 10 =!= 7)))
     val cents = refinedCentroidsRouted(corpus, IvfCells, 1, 0)
@@ -1718,7 +1729,8 @@ object VectorOps {
   def annFiltered(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val v = graft.Scratch.cp(
-      Tables.embeddings(spark, dir)
+      // fan out before the row-local quantize (§2.5 input skew)
+      Tables.spread(Tables.embeddings(spark, dir), "vec_id")
         .withColumn("q", expr(quantExpr))
         .withColumn("n2", expr(dotExpr("q", "q")))
         .filter(col("n2") > 0)
@@ -1770,7 +1782,9 @@ object VectorOps {
     */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val x = graft.Scratch.cp(Tables.embeddings(spark, dir)
+    val x = graft.Scratch.cp(
+      // fan out before the row-local quantize (§2.5 input skew)
+      Tables.spread(Tables.embeddings(spark, dir), "vec_id")
       .select(col("vec_id"), posexplode(expr(quantExpr)).as(Seq("pos", "x"))))
     val stats = x.groupBy("pos")
       .agg(min("x").as("lo"), max("x").as("hi")) // Dim rows, total

@@ -70,7 +70,8 @@ object RawIngest {
     * first-dash from last-dash).
     */
   def rawRecords(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(to_json(struct(
+    // fan out before the per-row JSON render (§2.5 input skew)
+    Tables.spread(Tables.events(spark, dir), "event_id").select(to_json(struct(
       when(col("event_type").isin("click", "view", "purchase"), "VARIABLE")
         .when(col("event_type") === "signup", "PROCESS_INSTANCE")
         .otherwise("DEPLOYMENT").as("valueType"),

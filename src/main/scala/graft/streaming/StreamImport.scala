@@ -1686,7 +1686,9 @@ object StreamImport {
     graft.functions.GraftFunctions.register(spark)
     val corpusIdx = graft.Scratch.cp(
       VectorOps.bucketKeysPlan(VectorOps.quantizePlan(
-          Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 7)))
+          // fan out before the row-local quantize (§2.5 input skew)
+          Tables.spread(Tables.embeddings(spark, dir), "vec_id")
+            .filter(col("vec_id") % 10 =!= 7)))
         .select(col("vec_id").as("n_id"), col("q").as("nq"), col("n2").as("nn2"),
           col("band_idx"), col("bucket")))
     val rawSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema

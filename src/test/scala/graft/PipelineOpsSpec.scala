@@ -706,16 +706,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("dedup_substring plan: three hash shuffles, no join ever enumerates doc pairs") {
+  test("dedup_substring plan: bounded hash shuffles (fan-out + agg + join + rollup), no join ever enumerates doc pairs") {
     graft.functions.GraftFunctions.register(spark)
     val df = TextOps.dedupSubstring(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
-    // the linear-work claim: window-hash aggregate + the occurrence
-    // side of the join + the per-doc count — and nothing else (a
-    // pair-enumerating formulation would add a shuffle per join side
-    // of the doc-pair frame)
+    // the linear-work claim: the input fan-out (Tables.spread — §2.5
+    // input skew, a small exchange of (doc_id, text) that the STATIC
+    // plan counts once per join branch; AQE stage reuse dedupes the
+    // identical scan side at runtime) + window-hash aggregate + the
+    // occurrence side of the join + the per-doc count — and nothing
+    // else (a pair-enumerating formulation would add a shuffle per
+    // join side of the DOC-PAIR frame, which scales with pairs, not
+    // with the corpus)
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(shuffles <= 3, s"expected <= 3 hash exchanges, got $shuffles:\n$plan")
+    assert(shuffles <= 5, s"expected <= 5 hash exchanges, got $shuffles:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"pair enumeration crept into the plan:\n$plan")
   }
