@@ -72,7 +72,9 @@ object TextOps {
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     // materialize-once before the presentation sort (r18 plan audit:
     // the sort's sample pass re-ran the pretokenizer regex per doc)
-    graft.Scratch.cpSorted(Tables.spread(Tables.documents(spark, dir), "doc_id").select(
+    // NO spread: sf1 flat (1.66 -> 1.59) and sf0.1 isolated worse
+    // (0.35 -> 0.83) — body too light to beat the fan-out exchange
+    graft.Scratch.cpSorted(Tables.documents(spark, dir).select(
       col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
       size(expr(s"regexp_extract_all(text, '${graft.functions.Portable.PretokRe}', 0)"))
@@ -94,7 +96,9 @@ object TextOps {
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     // materialize-once before the presentation sort (r18 plan audit)
-    graft.Scratch.cpSorted(Tables.spread(Tables.documents(spark, dir), "doc_id")
+    // NO spread: sf0.1 isolated worse (0.33 -> 0.78) for a small sf1
+    // gain — under the fan-out's breakeven
+    graft.Scratch.cpSorted(Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         size(expr("filter(split(text,' '), t -> t = 'the' OR t = 'a')")).cast(LongType))
@@ -512,7 +516,9 @@ object TextOps {
     */
   private[graft] def textTfidfScored(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docs = Tables.spread(Tables.documents(spark, dir), "doc_id")
+    // NO spread: sf1 gain marginal (4.62 -> 4.29) and sf0.1 isolated
+    // worse (1.42 -> 2.09) — the tf groupBy shuffles right away
+    val docs = Tables.documents(spark, dir)
     val tf = graft.Scratch.cp(docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).cast(LongType).as("tf")))

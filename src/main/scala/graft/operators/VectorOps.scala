@@ -1782,9 +1782,9 @@ object VectorOps {
     */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val x = graft.Scratch.cp(
-      // fan out before the row-local quantize (§2.5 input skew)
-      Tables.spread(Tables.embeddings(spark, dir), "vec_id")
+    val x = graft.Scratch.cp(Tables.embeddings(spark, dir)
+      // NO spread: sf0.1 isolated worse (0.80 -> 1.28) for a small
+      // sf1 gain — the posexplode feeds a shuffle immediately
       .select(col("vec_id"), posexplode(expr(quantExpr)).as(Seq("pos", "x"))))
     val stats = x.groupBy("pos")
       .agg(min("x").as("lo"), max("x").as("hi")) // Dim rows, total
